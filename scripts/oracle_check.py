@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 scripts/oracle_check.py [sfDir] [outDir]
+
+Reads each parquet result that graft.Verify dumped to outDir, runs the
+matching oracle SQL (outDir/oracle_sql.json) in DuckDB over the same sf
+tables, sorts columns by name and rows by value, and compares cell-by-cell.
+Exit 0 iff every query matches.
+"""
+import json, math, sys, glob, os
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    """Sort columns by name, then rows; normalize values for compare."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm(v):
+        if v is None:
+            return None
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return round(v, 9)
+        if isinstance(v, (list, tuple)):
+            return tuple(norm(x) for x in v)
+        return str(v)
+
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main():
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    result_dirs = sorted(d for d in glob.glob(f"{OUT}/*") if os.path.isdir(d))
+    failures, passed, rows_only = [], [], []
+
+    for d in result_dirs:
+        name = os.path.basename(d)
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            failures.append((name, "no parquet output"))
+            continue
+        got = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        gcols, grows = got.columns, got.fetchall()
+        if name not in oracle:
+            rows_only.append((name, len(grows)))
+            continue
+        try:
+            exp = con.sql(oracle[name])
+            ecols, erows = exp.columns, exp.fetchall()
+        except Exception as e:
+            failures.append((name, f"oracle SQL error: {e}"))
+            continue
+        gc, gr = canon(grows, gcols)
+        ec, er = canon(erows, ecols)
+        if gc != ec:
+            failures.append((name, f"schema mismatch: spark={gc} duck={ec}"))
+            continue
+        if len(gr) != len(er):
+            failures.append((name, f"row count: spark={len(gr)} duck={len(er)}"))
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(gr, er)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            failures.append((name, f"{len(bad)}/{len(gr)} rows differ; first at {i}:\n  spark={a}\n  duck ={b}\n  cols ={gc}"))
+        else:
+            passed.append((name, len(gr)))
+
+    for n, c in passed:
+        print(f"PASS  {n} ({c} rows)")
+    for n, c in rows_only:
+        print(f"ROWS  {n} ({c} rows, no oracle)")
+    for n, msg in failures:
+        print(f"FAIL  {n}: {msg}")
+    missing = set(oracle) - {os.path.basename(d) for d in result_dirs}
+    for n in sorted(missing):
+        print(f"MISS  {n}: oracle declared but no result dir")
+    print(f"\n{len(passed)} pass, {len(rows_only)} rows-only, "
+          f"{len(failures)} fail, {len(missing)} missing")
+    sys.exit(1 if failures or missing else 0)
+
+
+if __name__ == "__main__":
+    main()

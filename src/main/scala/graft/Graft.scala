@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared session + IO helpers for the graft engine.
+  *
+  * Scale posture: every knob here is chosen so the same code runs on
+  * local[32] for tests and on a 1000-executor cluster unchanged — AQE
+  * handles runtime re-planning (partition coalescing, skew-join splitting),
+  * and shuffle partitions default to the local core count only when no
+  * cluster manager overrides it.
+  */
+object Graft {
+
+  /** One query of the engine: (session, sf-dir) => result frame. */
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Standard config applied to every entry-point session (Verify, Bench,
+    * tests). ANSI off: the reference's semantics are permissive (nulls, 0.0
+    * fallbacks — SURVEY.md §7.4.6), and the DuckDB oracle queries are written
+    * to guard their own domains.
+    */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / ad-hoc mains. */
+  def localSession(cores: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {
+    val s = configure(
+      SparkSession.builder().master(s"local[$cores]").appName("graft")
+        .config("spark.sql.shuffle.partitions", cores.toString))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Load one driver-generated parquet table from an sf directory. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

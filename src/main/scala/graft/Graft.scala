@@ -26,6 +26,10 @@ object Graft {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // events.parquet carries ns timestamps, which Spark 4 otherwise refuses
+    // (PARQUET_TYPE_ILLEGAL); as a long it keeps full ns precision — convert
+    // with timestamp_micros(ts/1000) where a real timestamp is needed.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests / ad-hoc mains. */

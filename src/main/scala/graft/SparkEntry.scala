@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Graft.Q
-import graft.operators.CoreQueries
+import graft.operators.{CoreQueries, TsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,12 +12,15 @@ import graft.operators.CoreQueries
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's §7.2 minimum slice: the full risk-classification
+    * pipeline (log returns → annualized vol → percentiles → classes+rank). */
   def entry(spark: SparkSession): DataFrame =
-    CoreQueries.q1Agg(spark, "/root/testdata/sf0.001")
+    TsQueries.a6RiskClassify(spark, "/root/testdata/sf0.001")
 
   private def modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (CoreQueries.queries, CoreQueries.oracle),
+    (TsQueries.queries, TsQueries.oracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.Graft
+import graft.Graft.Q
+import graft.analytics.Volatility
+import graft.ta.Technical
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-series operator queries over the `events` table (user_id = series
+  * key, ts = time axis, value = price), mirroring SURVEY.md §2.5 W1-W3 and
+  * §2.4 A4-A8 exactly as the reference defines them (two log-return
+  * variants, warm-up-null SMA, percentile risk classes).
+  *
+  * Oracle ordering note: Spark reads the parquet ns timestamps as ns-longs
+  * (nanosAsLong, see Graft.configure) while DuckDB keeps ns timestamps —
+  * both order identically; (ts, event_id) adds a unique tiebreak anyway.
+  */
+object TsQueries {
+
+  private val keys = Seq("user_id")
+  private def order: Seq[Column] = Seq(col("ts"), col("event_id"))
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "events").select("event_id", "user_id", "ts", "value")
+
+  private val orderedCte =
+    """WITH r AS (
+      |  SELECT event_id, user_id, value,
+      |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events)""".stripMargin
+
+  /** W1 strict/volatility variant: invalid pairs omitted. */
+  val w1LogReturns: Q = (s, dir) =>
+    events(s, dir)
+      .withColumn("ret", round(Technical.logReturnStrict(col("value"), keys, order), 6))
+      .filter(col("ret").isNotNull)
+      .select("event_id", "user_id", "ret")
+      .orderBy("user_id", "event_id")
+
+  val w1LogReturnsSql: String = orderedCte +
+    """
+      |SELECT event_id, user_id, ROUND(LN(value / prev), 6) AS ret
+      |FROM r WHERE prev IS NOT NULL AND prev > 0 AND value > 0
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** W1 zero/technical variant: rows with a predecessor always emit, 0.0
+    * on invalid pairs (technical.py:151-153). */
+  val w1LogReturnsZero: Q = (s, dir) =>
+    events(s, dir)
+      .withColumn("ret", round(Technical.logReturnZero(col("value"), keys, order), 6))
+      .filter(col("ret").isNotNull)
+      .select("event_id", "user_id", "ret")
+      .orderBy("user_id", "event_id")
+
+  val w1LogReturnsZeroSql: String = orderedCte +
+    """
+      |SELECT event_id, user_id,
+      |  ROUND(CASE WHEN value > 0 AND prev > 0 THEN LN(value / prev) ELSE 0.0 END, 6) AS ret
+      |FROM r WHERE prev IS NOT NULL
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** W2: simple returns, 0.0 on zero denominator. */
+  val w2SimpleReturns: Q = (s, dir) =>
+    events(s, dir)
+      .withColumn("ret", round(Technical.simpleReturn(col("value"), keys, order), 6))
+      .filter(col("ret").isNotNull)
+      .select("event_id", "user_id", "ret")
+      .orderBy("user_id", "event_id")
+
+  val w2SimpleReturnsSql: String = orderedCte +
+    """
+      |SELECT event_id, user_id,
+      |  ROUND(CASE WHEN prev = 0 THEN 0.0 ELSE (value - prev) / prev END, 6) AS ret
+      |FROM r WHERE prev IS NOT NULL
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** W3+W9: trailing SMA(20) with null warm-up rows. */
+  val w3Sma20: Q = (s, dir) =>
+    events(s, dir)
+      .withColumn("sma", round(Technical.sma(col("value"), 20, keys, order), 6))
+      .select("event_id", "user_id", "sma")
+      .orderBy("user_id", "event_id")
+
+  val w3Sma20Sql: String =
+    """SELECT event_id, user_id,
+      |  CASE WHEN row_number() OVER w >= 20 THEN
+      |    ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6)
+      |  END AS sma
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  private def volsDf(s: SparkSession, dir: String): DataFrame =
+    Volatility.annualized(events(s, dir), col("value"), keys, order)
+      .withColumn("vol", round(col("vol"), 6))
+
+  private val volsCte = orderedCte +
+    """,
+      |rets AS (SELECT user_id, LN(value / prev) AS ret
+      |         FROM r WHERE prev > 0 AND value > 0),
+      |vols AS (SELECT u.user_id,
+      |           ROUND(COALESCE(STDDEV_SAMP(ret) * SQRT(252.0), 0.0), 6) AS vol
+      |         FROM (SELECT DISTINCT user_id FROM events) u
+      |         LEFT JOIN rets ON u.user_id = rets.user_id
+      |         GROUP BY u.user_id)""".stripMargin
+
+  /** A4: annualized historical volatility per series. */
+  val a4Volatility: Q = (s, dir) => volsDf(s, dir).orderBy("user_id")
+
+  val a4VolatilitySql: String = volsCte +
+    """
+      |SELECT user_id, vol FROM vols ORDER BY user_id""".stripMargin
+
+  /** A5: exact linear-interpolation P33/P66 of the vol distribution. */
+  val a5Percentile: Q = (s, dir) =>
+    Volatility.thresholds(volsDf(s, dir))
+      .select(round(col("p33"), 6).as("p33"), round(col("p66"), 6).as("p66"))
+
+  val a5PercentileSql: String = volsCte +
+    """
+      |SELECT ROUND(quantile_cont(vol, 0.33), 6) AS p33,
+      |       ROUND(quantile_cont(vol, 0.66), 6) AS p66
+      |FROM vols""".stripMargin
+
+  /** A6+A8: risk classification + ascending-vol rank (user_id tiebreak). */
+  val a6RiskClassify: Q = (s, dir) =>
+    Volatility.classify(volsDf(s, dir), Seq(col("user_id")))
+      .select(col("user_id"), col("vol"), col("risk_class"),
+        col("rank").as("risk_rank"))
+      .orderBy("risk_rank")
+
+  val a6RiskClassifySql: String = volsCte +
+    """,
+      |th AS (SELECT quantile_cont(vol, 0.33) AS p33,
+      |              quantile_cont(vol, 0.66) AS p66 FROM vols)
+      |SELECT user_id, vol,
+      |  CASE WHEN vol <= p33 THEN 'Conservador'
+      |       WHEN vol <= p66 THEN 'Moderado'
+      |       ELSE 'Agresivo' END AS risk_class,
+      |  row_number() OVER (ORDER BY vol ASC, user_id) AS risk_rank
+      |FROM vols, th
+      |ORDER BY risk_rank""".stripMargin
+
+  /** A7: class membership counts. */
+  val a7RiskSummary: Q = (s, dir) =>
+    Volatility.summary(Volatility.classify(volsDf(s, dir), Seq(col("user_id"))))
+      .select(col("risk_class"), col("count").as("n"))
+      .orderBy("risk_class")
+
+  val a7RiskSummarySql: String = volsCte +
+    """,
+      |th AS (SELECT quantile_cont(vol, 0.33) AS p33,
+      |              quantile_cont(vol, 0.66) AS p66 FROM vols)
+      |SELECT CASE WHEN vol <= p33 THEN 'Conservador'
+      |            WHEN vol <= p66 THEN 'Moderado'
+      |            ELSE 'Agresivo' END AS risk_class,
+      |       COUNT(*) AS n
+      |FROM vols, th
+      |GROUP BY 1 ORDER BY risk_class""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "w1_log_returns" -> w1LogReturns,
+    "w1_log_returns_zero" -> w1LogReturnsZero,
+    "w2_simple_returns" -> w2SimpleReturns,
+    "w3_sma20" -> w3Sma20,
+    "a4_volatility" -> a4Volatility,
+    "a5_percentile" -> a5Percentile,
+    "a6_risk_classify" -> a6RiskClassify,
+    "a7_risk_summary" -> a7RiskSummary,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "w1_log_returns" -> w1LogReturnsSql,
+    "w1_log_returns_zero" -> w1LogReturnsZeroSql,
+    "w2_simple_returns" -> w2SimpleReturnsSql,
+    "w3_sma20" -> w3Sma20Sql,
+    "a4_volatility" -> a4VolatilitySql,
+    "a5_percentile" -> a5PercentileSql,
+    "a6_risk_classify" -> a6RiskClassifySql,
+    "a7_risk_summary" -> a7RiskSummarySql,
+  )
+}

@@ -45,4 +45,9 @@ object Graft {
   /** Load one driver-generated parquet table from an sf directory. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table projected as a time series: user_id = series key,
+    * ts (ns-long) = time axis, value = price. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events").select("event_id", "user_id", "ts", "value")
 }

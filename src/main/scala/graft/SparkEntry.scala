@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Graft.Q
-import graft.operators.{CoreQueries, TsQueries}
+import graft.operators.{CoreQueries, PatternQueries, SimilarityQueries, TsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,6 +21,8 @@ object SparkEntry {
   private def modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (CoreQueries.queries, CoreQueries.oracle),
     (TsQueries.queries, TsQueries.oracle),
+    (SimilarityQueries.queries, SimilarityQueries.oracle),
+    (PatternQueries.queries, PatternQueries.oracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

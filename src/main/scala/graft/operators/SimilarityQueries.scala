@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.Graft
+import graft.Graft.Q
+import graft.analytics.{Dtw, Similarity}
+import graft.ta.Technical
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pairwise-similarity queries over per-user log-return series from
+  * `events` (SURVEY.md §2.4 A9-A13, §2.9 X1/X3). Pair (1, 2) plays the
+  * reference's (VOO, SPY); the heatmap runs over users 0-19 like the
+  * reference's 20-symbol matrix. */
+object SimilarityQueries {
+
+  private val keys = Seq("user_id")
+  private def order: Seq[Column] = Seq(col("ts"), col("event_id"))
+
+  /** Per-user strict log returns with positional index, users < `maxUser`. */
+  private def rets(s: SparkSession, dir: String, maxUser: Int): DataFrame =
+    Similarity.withPos(
+      Graft.events(s, dir)
+        .filter(col("user_id") < maxUser)
+        .withColumn("ret", Technical.logReturnStrict(col("value"), keys, order))
+        .filter(col("ret").isNotNull),
+      keys, order)
+      .select(col("user_id"), col("pos"), col("ret").as("v"))
+
+  private def retsCte(maxUser: Int): String =
+    s"""WITH r AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events WHERE user_id < $maxUser),
+       |rets AS (
+       |  SELECT user_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+       |    LN(value / prev) AS v
+       |  FROM r WHERE prev IS NOT NULL AND prev > 0 AND value > 0)""".stripMargin
+
+  /** A9: Pearson correlation of one aligned pair. */
+  val a9CorrPair: Q = (s, dir) =>
+    Similarity.alignPair(
+      Graft.events(s, dir)
+        .withColumn("ret", Technical.logReturnStrict(col("value"), keys, order))
+        .filter(col("ret").isNotNull),
+      keys, order, col("ret"), 1, 2)
+      .agg(round(coalesce(corr(col("a"), col("b")), lit(0.0)), 6).as("pearson"))
+
+  val a9CorrPairSql: String = retsCte(maxUser = 3) +
+    """
+      |SELECT ROUND(COALESCE(corr(a.v, b.v), 0.0), 6) AS pearson
+      |FROM rets a JOIN rets b ON a.pos = b.pos
+      |WHERE a.user_id = 1 AND b.user_id = 2""".stripMargin
+
+  /** X3/A11-A13: full similarity façade for one pair — euclidean, pearson,
+    * cosine + decomposition, n_points (compare_two_assets,
+    * similarity.py:440-530). */
+  val x3SimilarityPair: Q = (s, dir) => {
+    val aligned = Similarity.alignPair(
+      Graft.events(s, dir)
+        .withColumn("ret", Technical.logReturnStrict(col("value"), keys, order))
+        .filter(col("ret").isNotNull),
+      keys, order, col("ret"), 1, 2)
+    Similarity.metrics(aligned)
+      .select(
+        round(col("pearson"), 6).as("pearson"),
+        round(col("euclidean"), 6).as("euclidean"),
+        round(col("cosine"), 6).as("cosine"),
+        round(col("dot"), 6).as("dot"),
+        round(col("norm_a"), 6).as("norm_a"),
+        round(col("norm_b"), 6).as("norm_b"),
+        col("n_points"))
+  }
+
+  val x3SimilarityPairSql: String = retsCte(maxUser = 3) +
+    """
+      |SELECT ROUND(COALESCE(corr(a.v, b.v), 0.0), 6) AS pearson,
+      |  ROUND(SQRT(SUM((a.v - b.v) * (a.v - b.v))), 6) AS euclidean,
+      |  ROUND(CASE WHEN SUM(a.v * a.v) = 0 OR SUM(b.v * b.v) = 0 THEN 0.0
+      |        ELSE SUM(a.v * b.v) / (SQRT(SUM(a.v * a.v)) * SQRT(SUM(b.v * b.v)))
+      |        END, 6) AS cosine,
+      |  ROUND(SUM(a.v * b.v), 6) AS dot,
+      |  ROUND(SQRT(SUM(a.v * a.v)), 6) AS norm_a,
+      |  ROUND(SQRT(SUM(b.v * b.v)), 6) AS norm_b,
+      |  COUNT(*) AS n_points
+      |FROM rets a JOIN rets b ON a.pos = b.pos
+      |WHERE a.user_id = 1 AND b.user_id = 2""".stripMargin
+
+  /** A10: 20×20 Pearson heatmap with symmetry pruning + mirrored output. */
+  val a10Heatmap: Q = (s, dir) =>
+    Similarity.heatmap(rets(s, dir, maxUser = 20), "user_id")
+      .select(col("ka"), col("kb"), round(col("corr"), 6).as("pearson"))
+      .orderBy("ka", "kb")
+
+  val a10HeatmapSql: String = retsCte(maxUser = 20) +
+    """,
+      |pairs AS (
+      |  SELECT a.user_id AS ka, b.user_id AS kb,
+      |    ROUND(COALESCE(corr(a.v, b.v), 0.0), 6) AS pearson
+      |  FROM rets a JOIN rets b ON a.pos = b.pos
+      |  WHERE a.user_id < b.user_id
+      |  GROUP BY a.user_id, b.user_id)
+      |SELECT ka, kb, pearson FROM pairs
+      |UNION ALL SELECT kb AS ka, ka AS kb, pearson FROM pairs
+      |UNION ALL SELECT DISTINCT user_id AS ka, user_id AS kb, 1.0 AS pearson FROM rets
+      |ORDER BY ka, kb""".stripMargin
+
+  /** X1: banded DTW distance for every pair among users 0-9 — the one
+    * operator with no SQL oracle (driver records a rows-only check; the
+    * kernel is verified against reference fixtures in DtwSpec). Series are
+    * collected per pair via a grouped array build, pairs fan out as tasks. */
+  val x1DtwPairs: Q = (s, dir) => {
+    import s.implicits._
+    val arrs = rets(s, dir, maxUser = 10)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pts"))
+      .select(col("user_id"), col("pts.v").as("series"))
+    // Distributed pair fan-out: k series → k(k-1)/2 DTW tasks on executors
+    // (never collected to the driver). broadcast() because the array side is
+    // small (k rows of series); the DP kernel dominates, not the join.
+    val a = arrs.select(col("user_id").as("_1"), col("series").as("_2"))
+    val b = arrs.select(col("user_id").as("_3"), col("series").as("_4"))
+    a.crossJoin(broadcast(b)).filter(col("_1") < col("_3"))
+      .as[(Long, Seq[Double], Long, Seq[Double])]
+      .map { case (ia, va, ib, vb) => (ia, ib, Dtw.distance(va.toArray, vb.toArray)) }
+      .toDF("user_a", "user_b", "dtw")
+      .select(col("user_a"), col("user_b"), round(col("dtw"), 6).as("dtw"))
+      .orderBy("user_a", "user_b")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "a9_corr_pair" -> a9CorrPair,
+    "a10_heatmap" -> a10Heatmap,
+    "x3_similarity_pair" -> x3SimilarityPair,
+    "x1_dtw_pairs" -> x1DtwPairs,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "a9_corr_pair" -> a9CorrPairSql,
+    "a10_heatmap" -> a10HeatmapSql,
+    "x3_similarity_pair" -> x3SimilarityPairSql,
+    // x1_dtw_pairs: not SQL-expressible → rows-only check.
+  )
+}

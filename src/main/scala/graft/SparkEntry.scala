@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Graft.Q
-import graft.operators.{CoreQueries, PatternQueries, SimilarityQueries, TsQueries}
+import graft.operators.{CleanQueries, CoreQueries, PatternQueries, SimilarityQueries, TsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,6 +23,7 @@ object SparkEntry {
     (TsQueries.queries, TsQueries.oracle),
     (SimilarityQueries.queries, SimilarityQueries.oracle),
     (PatternQueries.queries, PatternQueries.oracle),
+    (CleanQueries.queries, CleanQueries.oracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.Graft
+import graft.Graft.Q
+import graft.align.Alignment
+import graft.clean.Cleaning
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cleaning + alignment operator queries (SURVEY.md §2.2 C1-C4, §2.3
+  * J1-J3). The testdata has no nulls, so missingness is injected
+  * deterministically (event_id % 10 → null) and OHLC anomalies are
+  * injected per user (user_id % 7 / % 11) before running the operators —
+  * both sides of the oracle apply the same injection. */
+object CleanQueries {
+
+  private def order: Seq[Column] = Seq(col("ts"), col("event_id"))
+
+  /** events with deterministic missing values in `v`. */
+  private def nulled(s: SparkSession, dir: String): DataFrame =
+    Graft.events(s, dir).withColumn("v",
+      when(col("event_id") % 10 === 0, lit(null).cast("double"))
+        .otherwise(col("value")))
+
+  private val nulledCte =
+    """WITH e AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS v
+      |  FROM events)""".stripMargin
+
+  private val barsCte =
+    """WITH bars AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    arg_min(value, ts) AS open, max(value) AS high,
+      |    min(value) AS low, arg_max(value, ts) AS close
+      |  FROM events GROUP BY 1, 2),
+      |mod AS (
+      |  SELECT user_id, day,
+      |    CASE WHEN user_id % 7 = 0 THEN high * 1.1 ELSE open END AS open,
+      |    CASE WHEN user_id % 11 = 0 THEN low ELSE high END AS high,
+      |    CASE WHEN user_id % 11 = 0 THEN high ELSE low END AS low,
+      |    close
+      |  FROM bars)""".stripMargin
+
+  /** C1: global missing-cell report. */
+  val c1MissingReport: Q = (s, dir) =>
+    Cleaning.missingReport(nulled(s, dir), Seq("v"))
+
+  val c1MissingReportSql: String = nulledCte +
+    """
+      |SELECT SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS missing_v,
+      |       SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS missing_total
+      |FROM e""".stripMargin
+
+  /** C2: OHLC consistency anomalies over bars with injected defects. */
+  val c2Anomalies: Q = (s, dir) => {
+    val bars = PatternQueries.dailyBars(s, dir)
+    val defective = bars.select(
+      col("user_id"), col("day"),
+      when(col("user_id") % 7 === 0, col("high") * 1.1).otherwise(col("open")).as("open"),
+      when(col("user_id") % 11 === 0, col("low")).otherwise(col("high")).as("high"),
+      when(col("user_id") % 11 === 0, col("high")).otherwise(col("low")).as("low"),
+      col("close"))
+    Cleaning.inconsistencies(defective)
+      .select("user_id", "day", "anomaly_type")
+      .orderBy("user_id", "day", "anomaly_type")
+  }
+
+  val c2AnomaliesSql: String = barsCte +
+    """
+      |SELECT user_id, day, anomaly_type FROM (
+      |  SELECT user_id, day, 'High_less_than_Low' AS anomaly_type
+      |  FROM mod WHERE high < low
+      |  UNION ALL
+      |  SELECT user_id, day, 'Close_outside_Low_High_range'
+      |  FROM mod WHERE close < low OR close > high
+      |  UNION ALL
+      |  SELECT user_id, day, 'Open_outside_Low_High_range'
+      |  FROM mod WHERE open < low OR open > high)
+      |ORDER BY user_id, day, anomaly_type""".stripMargin
+
+  /** C3: forward fill of the nulled series. */
+  val c3ForwardFill: Q = (s, dir) =>
+    Cleaning.forwardFill(nulled(s, dir), "v", Seq("user_id"), order)
+      .select(col("event_id"), col("user_id"), round(col("v"), 6).as("v"))
+      .orderBy("user_id", "event_id")
+
+  val c3ForwardFillSql: String = nulledCte +
+    """
+      |SELECT event_id, user_id,
+      |  ROUND(last_value(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v
+      |FROM e
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** C4: rows surviving ffill + drop-invalid, per series. */
+  val c4DropInvalid: Q = (s, dir) =>
+    Cleaning.dropInvalid(
+      Cleaning.forwardFill(nulled(s, dir), "v", Seq("user_id"), order), "v")
+      .groupBy("user_id").agg(count(lit(1)).as("n_kept"))
+      .orderBy("user_id")
+
+  val c4DropInvalidSql: String = nulledCte +
+    """,
+      |f AS (
+      |  SELECT user_id,
+      |    last_value(v IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      |  FROM e)
+      |SELECT user_id, COUNT(*) AS n_kept FROM f WHERE v IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** J1: master calendar (union-distinct of observed days). */
+  val j1Calendar: Q = (s, dir) =>
+    Alignment.masterCalendar(PatternQueries.dailyBars(s, dir), "day")
+      .select(col("day").as("date"))
+
+  val j1CalendarSql: String =
+    """SELECT DISTINCT CAST(ts AS DATE) AS date FROM events ORDER BY date""".stripMargin
+
+  /** J2: calendar × series LEFT JOIN bars — null-padded alignment. */
+  val j2Align: Q = (s, dir) =>
+    Alignment.alignToCalendar(PatternQueries.dailyBars(s, dir), "user_id", "day")
+      .select(col("day"), col("user_id"), round(col("close"), 6).as("close"))
+      .orderBy("day", "user_id")
+
+  val j2AlignSql: String =
+    """WITH bars AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, arg_max(value, ts) AS close
+      |  FROM events GROUP BY 1, 2),
+      |cal AS (SELECT DISTINCT day FROM bars),
+      |syms AS (SELECT DISTINCT user_id FROM bars)
+      |SELECT c.day, s.user_id, ROUND(b.close, 6) AS close
+      |FROM cal c CROSS JOIN syms s
+      |LEFT JOIN bars b ON b.day = c.day AND b.user_id = s.user_id
+      |ORDER BY c.day, s.user_id""".stripMargin
+
+  /** J3: wide assembly — one row per day, one close column per series. */
+  val j3PivotWide: Q = (s, dir) => {
+    val bars = PatternQueries.dailyBars(s, dir).filter(col("user_id") < 5)
+    val aggs = (0 to 4).map(k =>
+      round(max(when(col("user_id") === k, col("close"))), 6).as(s"u$k"))
+    bars.groupBy("day").agg(aggs.head, aggs.tail: _*).orderBy("day")
+  }
+
+  val j3PivotWideSql: String =
+    """WITH bars AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, arg_max(value, ts) AS close
+      |  FROM events WHERE user_id < 5 GROUP BY 1, 2)
+      |SELECT day,
+      |  ROUND(MAX(CASE WHEN user_id = 0 THEN close END), 6) AS u0,
+      |  ROUND(MAX(CASE WHEN user_id = 1 THEN close END), 6) AS u1,
+      |  ROUND(MAX(CASE WHEN user_id = 2 THEN close END), 6) AS u2,
+      |  ROUND(MAX(CASE WHEN user_id = 3 THEN close END), 6) AS u3,
+      |  ROUND(MAX(CASE WHEN user_id = 4 THEN close END), 6) AS u4
+      |FROM bars GROUP BY day ORDER BY day""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "c1_missing_report" -> c1MissingReport,
+    "c2_anomalies" -> c2Anomalies,
+    "c3_forward_fill" -> c3ForwardFill,
+    "c4_drop_invalid" -> c4DropInvalid,
+    "j1_calendar" -> j1Calendar,
+    "j2_align" -> j2Align,
+    "j3_pivot_wide" -> j3PivotWide,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "c1_missing_report" -> c1MissingReportSql,
+    "c2_anomalies" -> c2AnomaliesSql,
+    "c3_forward_fill" -> c3ForwardFillSql,
+    "c4_drop_invalid" -> c4DropInvalidSql,
+    "j1_calendar" -> j1CalendarSql,
+    "j2_align" -> j2AlignSql,
+    "j3_pivot_wide" -> j3PivotWideSql,
+  )
+}

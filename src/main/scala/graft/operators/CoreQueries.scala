@@ -172,6 +172,29 @@ object CoreQueries {
       |ORDER BY ship_day ASC, price ASC, l_orderkey, l_linenumber
       |LIMIT 100""".stripMargin
 
+  /** K2: the reference's multi-criteria integer sort key for
+    * non-comparative sorts (main.py:139-169) — bit-parity encoding
+    * (date-compact·1e5 + value-cents), ordered by the key alone. */
+  val k2MultikeyEncoded: Q = (s, dir) => {
+    val li = Graft.table(s, dir, "lineitem")
+      .withColumn("ship_day", col("l_shipdate").cast("date"))
+    li.withColumn("sort_key",
+      graft.sortbench.Sorting.multiKeyDateClose(col("ship_day"), col("l_quantity")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("sort_key"))
+      .orderBy(col("sort_key"), col("l_orderkey"), col("l_linenumber"))
+      .limit(50)
+  }
+
+  val k2MultikeyEncodedSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  ((year(CAST(l_shipdate AS DATE)) - 2000) * 366 +
+      |   (month(CAST(l_shipdate AS DATE)) - 1) * 31 +
+      |   day(CAST(l_shipdate AS DATE))) * 100000
+      |  + CAST(ROUND(l_quantity * 100) AS BIGINT) AS sort_key
+      |FROM lineitem
+      |ORDER BY sort_key, l_orderkey, l_linenumber
+      |LIMIT 50""".stripMargin
+
   /** U1: union + distinct (the reference's master-calendar set union,
     * etl/data_unifier.py:46-55) over the two date-bearing fact tables. */
   val uUnionDistinct: Q = (s, dir) => {
@@ -194,10 +217,12 @@ object CoreQueries {
     "q_anti_join" -> qAntiJoin,
     "k_top_volume" -> kTopVolume,
     "k_multikey_sort" -> kMultiKeySort,
+    "k2_multikey_encoded" -> k2MultikeyEncoded,
     "u_union_distinct" -> uUnionDistinct,
   )
 
   def oracle: Map[String, String] = Map(
+    "k2_multikey_encoded" -> k2MultikeyEncodedSql,
     "q1_agg" -> q1AggSql,
     "q3_join" -> q3JoinSql,
     "q5_nation" -> q5NationSql,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Graft.Q
-import graft.operators.{CleanQueries, CoreQueries, PatternQueries, SimilarityQueries, TsQueries}
+import graft.operators.{CleanQueries, CoreQueries, PatternQueries, SimilarityQueries, TextQueries, TsQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,6 +24,8 @@ object SparkEntry {
     (SimilarityQueries.queries, SimilarityQueries.oracle),
     (PatternQueries.queries, PatternQueries.oracle),
     (CleanQueries.queries, CleanQueries.oracle),
+    (TextQueries.queries, TextQueries.oracle),
+    (VectorQueries.queries, VectorQueries.oracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,149 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (driver
+  * north-star): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design: every variant is shuffle-bounded by its key —
+  *  - exact: one groupBy on the fingerprint hash (128-bit md5 keys
+  *    distribute uniformly; no skew);
+  *  - MinHash LSH: docs → b band keys each (b small constant), one
+  *    groupBy per banded key; candidate pairs only ever materialize
+  *    within a bucket (never the n² cross join);
+  *  - SimHash: 64-bit signature → 4×16-bit band keys, same bucketing;
+  *  - n-gram Jaccard: shingle-level join with distinct-shingle
+  *    pre-aggregation; hot shingles (stopword trigrams) are the skew
+  *    risk — AQE skew-join handles it, and a document-frequency cap can
+  *    drop degenerate shingles at extreme scale.
+  */
+object Dedup {
+
+  /** Exact dedup: group by normalized-text fingerprint, keep the lowest
+    * id, report group size. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.withColumn("fp", TextOps.fingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
+
+  /** Word k-shingles, distinct per doc, lowercased. */
+  def shingles(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    // sequence(1, 0) would DESCEND ([1,0]) — guard docs shorter than k.
+    val idxs = when(size(words) >= k, sequence(lit(1), size(words) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    docs.select(col(idCol),
+      explode(transform(idxs,
+        i => concat_ws(" ", slice(words, i, lit(k))))).as("shingle"))
+      .filter(length(col("shingle")) > 0)
+      .distinct()
+  }
+
+  /** MinHash signatures: `numHashes` independent min-hashes per doc via
+    * seeded xxhash64 over shingles (one shuffle: groupBy doc). */
+  def minhash(sh: DataFrame, numHashes: Int, idCol: String = "doc_id"): DataFrame = {
+    val hashes = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy(col(idCol)).agg(hashes.head, hashes.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (bands × rowsPerBand =
+    * numHashes), bucket-join per band, emit distinct (a < b) pairs. */
+  def minhashCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val banded = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      sigs.select(col(idCol).as("id"),
+        lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }.reduce(_ unionByName _)
+    banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Estimated Jaccard from signatures: fraction of agreeing hashes. */
+  def minhashJaccard(sigs: DataFrame, pairs: DataFrame, numHashes: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val a = sigs.select(col(idCol).as("doc_a") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"a$i")): _*)
+    val b = sigs.select(col(idCol).as("doc_b") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"b$i")): _*)
+    val agree = (0 until numHashes).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / numHashes
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"), agree.as("jaccard_est"))
+  }
+
+  /** SimHash 64-bit signature of a document's word multiset. Deterministic
+    * (MurmurHash3 over words); pure Scala kernel behind a UDF. */
+  def simhash64(words: Seq[String]): Long = {
+    val counts = new Array[Int](64)
+    words.foreach { w =>
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(w, 0xcafebabe).toLong & 0xffffffffL
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(w, 0xdeadbeef).toLong & 0xffffffffL
+      val h = (h1 << 32) | h2
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  private val simhashUdf = udf((text: String) =>
+    simhash64(text.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)))
+
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), simhashUdf(col(textCol)).as("simhash"))
+
+  /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
+    * keys (any pair within hamming ≤ 3 of a band collides in ≥1 band for
+    * uniformly spread differences), then exact hamming filter. */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int, idCol: String = "doc_id"): DataFrame = {
+    val banded = (0 until 4).map { b =>
+      sigs.select(col(idCol).as("id"), col("simhash").as("sig"),
+        lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
+    }.reduce(_ unionByName _)
+    banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs above a threshold:
+    * distinct-shingle join → per-pair intersection counts → |A∩B| /
+    * (|A|+|B|−|A∩B|). */
+  def ngramJaccard(docs: DataFrame, k: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, k, idCol, textCol).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col(idCol).as("doc_a"), col("shingle"))
+      .join(sh.select(col(idCol).as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("szb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+}

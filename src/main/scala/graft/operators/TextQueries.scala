@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.Graft
+import graft.Graft.Q
+import graft.dedup.Dedup
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication queries over `documents` (driver
+  * north-star operators). The testdata has no duplicate texts, so the
+  * dedup corpora append deterministic copies: exact dups (trailing
+  * whitespace, normalized away by the fingerprint) and near-dups (last
+  * word dropped) for every doc_id % 5 = 0 — the oracle builds the same
+  * corpus in SQL. */
+object TextQueries {
+
+  /** documents ∪ exact dups (+100000) ∪ near dups (+200000). */
+  def corpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Graft.table(s, dir, "documents").select("doc_id", "text")
+    val fifth = docs.filter(col("doc_id") % 5 === 0)
+    docs
+      .unionByName(fifth.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit("  ")).as("text")))
+      .unionByName(fifth.select((col("doc_id") + 200000).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text")))
+  }
+
+  private val corpusCte =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text || '  ' AS text
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id,
+      |         regexp_replace(text, '\s+\S+\s*$', '') AS text
+      |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  /** Near-dup-only corpus (originals + last-word-dropped copies). */
+  private def nearCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Graft.table(s, dir, "documents").select("doc_id", "text")
+    docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text")))
+  }
+
+  private val nearCorpusCte =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id,
+      |         regexp_replace(text, '\s+\S+\s*$', '') AS text
+      |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  /** T1: whitespace token counting. */
+  val t1TokenCount: Q = (s, dir) =>
+    Graft.table(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+
+  val t1TokenCountSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** T2: quality scoring (length band, punctuation sanity, token count). */
+  val t2Quality: Q = (s, dir) =>
+    Graft.table(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TextOps.punctCount(col("text")).cast("double") /
+          greatest(length(col("text")), lit(1)), 6).as("punct_ratio"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality"))
+      .orderBy("doc_id")
+
+  val t2QualitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+      |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct
+      |  FROM documents)
+      |SELECT doc_id, n AS n_chars, toks AS n_tokens,
+      |  ROUND(CAST(punct AS DOUBLE) / GREATEST(n, 1), 6) AS punct_ratio,
+      |  ROUND((
+      |    (CASE WHEN n >= 100 AND n <= 5000 THEN 1.0 WHEN n >= 20 THEN 0.5 ELSE 0.0 END) +
+      |    (CASE WHEN CAST(punct AS DOUBLE) / GREATEST(n, 1) <= 0.1 THEN 1.0
+      |          WHEN CAST(punct AS DOUBLE) / GREATEST(n, 1) <= 0.25 THEN 0.5 ELSE 0.0 END) +
+      |    (CASE WHEN toks >= 10 THEN 1.0 WHEN toks >= 3 THEN 0.5 ELSE 0.0 END)
+      |  ) / 3.0, 6) AS quality
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** T3: language-ID heuristic vs the labeled lang column. */
+  val t3LangId: Q = (s, dir) =>
+    Graft.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  val t3LangIdSql: String = {
+    val scores = TextOps.LangMarkers.map { case (lang, pat) =>
+      s"len(regexp_extract_all(lower(text), '$pat')) AS s_$lang"
+    }.mkString(",\n      |    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    len(regexp_extract_all(text, '[一-鿿]')) AS s_zh,
+       |    $scores
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |  CASE WHEN s_zh > 0 THEN 'zh'
+       |       WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+       |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+       |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+       |       WHEN s_fr >= s_de THEN 'fr'
+       |       ELSE 'de' END AS lang_pred
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** T4: normalized-text fingerprint. */
+  val t4Fingerprint: Q = (s, dir) =>
+    Graft.table(s, dir, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val t4FingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** D1: exact dedup over the corpus — groups with >1 member. */
+  val d1ExactDedup: Q = (s, dir) =>
+    Dedup.exact(corpus(s, dir))
+      .filter(col("n_dups") > 1)
+      .select("fp", "keeper", "n_dups")
+      .orderBy("keeper")
+
+  val d1ExactDedupSql: String = corpusCte +
+    """
+      |SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |       MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+      |FROM corpus
+      |GROUP BY 1 HAVING COUNT(*) > 1
+      |ORDER BY keeper""".stripMargin
+
+  /** D4: exact 3-gram Jaccard near-dup pairs (threshold 0.5). */
+  val d4NgramJaccard: Q = (s, dir) =>
+    Dedup.ngramJaccard(nearCorpus(s, dir), 3, 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  val d4NgramJaccardSql: String = nearCorpusCte +
+    """,
+      |w AS (SELECT doc_id,
+      |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |      FROM corpus),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+      |       WHERE len(ws) >= 3 AND length(ws[i] || ws[i+1] || ws[i+2]) > 0),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** D2: MinHash (16 hashes) + LSH (4 bands × 4) candidate pairs with
+    * estimated Jaccard ≥ 0.5 — seeded xxhash64 signatures, not
+    * SQL-expressible → rows-only check (kernel verified in DedupSpec). */
+  val d2MinhashLsh: Q = (s, dir) => {
+    val sh = Dedup.shingles(nearCorpus(s, dir), 3)
+    val sigs = Dedup.minhash(sh, 16)
+    val cands = Dedup.minhashCandidates(sigs, 4, 4)
+    Dedup.minhashJaccard(sigs, cands, 16)
+      .filter(col("jaccard_est") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard_est"), 6).as("jaccard_est"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** D3: SimHash near-dup pairs (hamming ≤ 8) — rows-only check. */
+  val d3Simhash: Q = (s, dir) =>
+    Dedup.simhashPairs(Dedup.simhash(nearCorpus(s, dir)), 8)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+
+  def queries: Map[String, Q] = Map(
+    "t1_token_count" -> t1TokenCount,
+    "t2_quality" -> t2Quality,
+    "t3_langid" -> t3LangId,
+    "t4_fingerprint" -> t4Fingerprint,
+    "d1_exact_dedup" -> d1ExactDedup,
+    "d2_minhash_lsh" -> d2MinhashLsh,
+    "d3_simhash" -> d3Simhash,
+    "d4_ngram_jaccard" -> d4NgramJaccard,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "t1_token_count" -> t1TokenCountSql,
+    "t2_quality" -> t2QualitySql,
+    "t3_langid" -> t3LangIdSql,
+    "t4_fingerprint" -> t4FingerprintSql,
+    "d1_exact_dedup" -> d1ExactDedupSql,
+    "d4_ngram_jaccard" -> d4NgramJaccardSql,
+  )
+}

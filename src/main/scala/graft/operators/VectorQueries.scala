@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.Graft
+import graft.Graft.Q
+import graft.multimodal.Multimodal
+import graft.vector.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Similarity-search + multimodal queries over `embeddings` /
+  * `documents` (driver north-star). Cosine math is double-precision on
+  * both engines (oracle casts the float lists to DOUBLE[]), and every
+  * ranking orders on the 6-dp-rounded score with id tiebreaks so results
+  * are engine-independent. */
+object VectorQueries {
+
+  /** V1: brute-force exact top-5 cosine neighbors for queries vec_id<5. */
+  val v1KnnBrute: Q = (s, dir) => {
+    val emb = Graft.table(s, dir, "embeddings")
+    VectorOps.knnBrute(emb, emb.filter(col("vec_id") < 5), 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val v1KnnBruteSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, v.vec_id AS neighbor_id,
+      |    ROUND(list_cosine_similarity(q.qe, v.e), 6) AS cos
+      |  FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cos, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** V2: IVF coarse assignment — centroids vec_id<8, cluster sizes. */
+  val v2IvfAssign: Q = (s, dir) => {
+    val emb = Graft.table(s, dir, "embeddings")
+    VectorOps.ivfAssign(emb.filter(col("vec_id") >= 8), emb.filter(col("vec_id") < 8))
+      .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+      .orderBy("centroid_id")
+  }
+
+  val v2IvfAssignSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT v.vec_id, c.centroid_id,
+      |    ROUND(list_cosine_similarity(v.e, c.ce), 6) AS cos,
+      |    row_number() OVER (PARTITION BY v.vec_id
+      |      ORDER BY ROUND(list_cosine_similarity(v.e, c.ce), 6) DESC, c.centroid_id) AS rk
+      |  FROM v CROSS JOIN c WHERE v.vec_id >= 8)
+      |SELECT centroid_id, COUNT(*) AS n FROM scored WHERE rk = 1
+      |GROUP BY centroid_id ORDER BY centroid_id""".stripMargin
+
+  /** V3: random-hyperplane LSH bucket histogram (8 planes = embeddings
+    * vec_id 8-15; collected driver-side as the broadcast plane set). */
+  val v3LshBuckets: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Graft.table(s, dir, "embeddings")
+    val planes = emb.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select(col("vec_id") - 8, col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    VectorOps.lshBucket(emb, planes)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  val v3LshBucketsSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |planes AS (SELECT vec_id - 8 AS pid, e AS pe FROM v
+      |           WHERE vec_id >= 8 AND vec_id < 16),
+      |bits AS (
+      |  SELECT v.vec_id,
+      |    SUM(CASE WHEN list_dot_product(v.e, p.pe) > 0
+      |        THEN 1 << p.pid ELSE 0 END) AS bucket
+      |  FROM v CROSS JOIN planes p GROUP BY v.vec_id)
+      |SELECT bucket, COUNT(*) AS n FROM bits GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** D5: embedding-cosine near-dup pairs (cos ≥ 0.3, a < b). */
+  val d5EmbeddingNeardup: Q = (s, dir) => {
+    val emb = Graft.table(s, dir, "embeddings")
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(VectorOps.cosine(col("ea"), col("eb")), 6))
+      .filter(col("cos") >= 0.3)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val d5EmbeddingNeardupSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.3
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** M1: multimodal payload plumbing — binary column → mapPartitions
+    * stub decoder → typed metadata. */
+  val m1MultimodalMeta: Q = (s, dir) =>
+    Multimodal.decodeStub(
+      Multimodal.attachPayload(Graft.table(s, dir, "documents")))
+      .toDF()
+      .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"), col("format"))
+      .orderBy("doc_id")
+
+  val m1MultimodalMetaSql: String =
+    """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+      |SELECT doc_id, n AS n_bytes,
+      |  64 + n % 512 AS width,
+      |  64 + (n * 7) % 512 AS height,
+      |  3 AS channels,
+      |  CASE WHEN n % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, Graft.Q] = Map(
+    "v1_knn_brute" -> v1KnnBrute,
+    "v2_ivf_assign" -> v2IvfAssign,
+    "v3_lsh_buckets" -> v3LshBuckets,
+    "d5_embedding_neardup" -> d5EmbeddingNeardup,
+    "m1_multimodal_meta" -> m1MultimodalMeta,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "v1_knn_brute" -> v1KnnBruteSql,
+    "v2_ivf_assign" -> v2IvfAssignSql,
+    "v3_lsh_buckets" -> v3LshBucketsSql,
+    "d5_embedding_neardup" -> d5EmbeddingNeardupSql,
+    "m1_multimodal_meta" -> m1MultimodalMetaSql,
+  )
+}

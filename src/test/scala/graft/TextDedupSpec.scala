@@ -1,0 +1,89 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token count: whitespace runs, blank -> 0") {
+    val df = Seq("one two  three", "", "   ", "solo").toDF("text")
+      .select(TextOps.tokenCount(col("text")).as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(3, 0, 0, 1))
+  }
+
+  test("language-ID picks the right stopword language + CJK override") {
+    val df = Seq(
+      ("the cat and the dog is here", "en"),
+      ("el gato y la casa de que", "es"),
+      ("le chat et les maisons dans", "fr"),
+      ("der hund und die katze ist", "de"),
+      ("这是一个中文文本", "zh"),
+      ("xyzzy qwerty", "und"))
+      .toDF("text", "expected")
+    val got = df.select(TextOps.langId(col("text")).as("got"), col("expected"))
+      .as[(String, String)].collect()
+    got.foreach { case (g, e) => assert(g == e, s"expected $e got $g") }
+  }
+
+  test("fingerprint ignores case and whitespace runs") {
+    val df = Seq("Hello  World", "hello world", "hello  world  ").toDF("text")
+      .select(TextOps.fingerprint(col("text")).as("fp"))
+    assert(df.distinct().count() == 1)
+  }
+
+  test("exact dedup groups normalized copies under the lowest keeper") {
+    val docs = Seq((1L, "A b c"), (2L, "a  b C"), (3L, "different")).toDF("doc_id", "text")
+    val got = Dedup.exact(docs).orderBy("keeper")
+      .select("keeper", "n_dups").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingles: distinct word 3-grams, short docs yield none") {
+    val docs = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, 3).as[(Long, String)].collect().toSet
+    assert(sh == Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("minhash LSH finds near-duplicates and estimates jaccard high") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),               // near-dup of 1
+      (3L, "completely unrelated content about database engines and query planners today"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, 3)
+    val sigs = Dedup.minhash(sh, 16)
+    val cands = Dedup.minhashCandidates(sigs, 4, 4)
+    val scored = Dedup.minhashJaccard(sigs, cands, 16)
+      .as[(Long, Long, Double)].collect()
+    val pair12 = scored.find(r => r._1 == 1L && r._2 == 2L)
+    assert(pair12.isDefined, "near-dup pair (1,2) not found by LSH")
+    assert(pair12.get._3 > 0.5)
+    assert(!scored.exists(r => r._2 == 3L && r._3 > 0.5))
+  }
+
+  test("simhash: identical docs same signature; near-dups low hamming") {
+    val a = Dedup.simhash64("the quick brown fox jumps over the lazy dog".split(" ").toSeq)
+    val b = Dedup.simhash64("the quick brown fox jumps over the lazy dog".split(" ").toSeq)
+    assert(a == b)
+    val c = Dedup.simhash64("the quick brown fox jumps over the lazy cat".split(" ").toSeq)
+    assert(java.lang.Long.bitCount(a ^ c) <= 16)
+    val docs = Seq((1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs), 8)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("ngram jaccard: exact for hand-computed pair") {
+    // shingles(1) = {a b c, b c d, c d e}; shingles(2) = {a b c, b c d, c d x}
+    // inter = 2, union = 4 -> jaccard 0.5
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d x")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccard(docs, 3, 0.4).as[(Long, Long, Double)].collect()
+    assert(got.length == 1)
+    assert(approx(got.head._3, 0.5))
+  }
+}

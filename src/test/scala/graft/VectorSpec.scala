@@ -1,0 +1,62 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.vector.VectorOps
+import org.apache.spark.sql.functions._
+
+class VectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Seq(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Seq(-1.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Seq(0.0f, 0.0f, 0.0f))    // zero vector
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identity 1, orthogonal 0, opposite -1, zero-norm 0") {
+    val pairs = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f), 1.0),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 3.0f), 0.0),
+      (Seq(1.0f, 1.0f), Seq(-1.0f, -1.0f), -1.0),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 1.0f), 0.0))
+    pairs.foreach { case (a, b, exp) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(VectorOps.cosine(col("a"), col("b"))).as[Double].head()
+      assert(approx(got, exp, 1e-6), s"cosine($a,$b)=$got expected $exp")
+    }
+  }
+
+  test("knnBrute ranks by cosine desc with deterministic tiebreaks") {
+    val got = VectorOps.knnBrute(vecs, vecs.filter(col("vec_id") === 0), 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 4L)) // closest, orthogonal(0.0) beats zero(0.0)? ties -> id order
+  }
+
+  test("ivfAssign picks the nearest centroid") {
+    val centroids = Seq((100L, Seq(1.0f, 0.0f, 0.0f)), (101L, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = VectorOps.ivfAssign(vecs.filter(col("vec_id").isin(1, 2)), centroids)
+      .orderBy("vec_id").select("centroid_id").as[Long].collect().toSeq
+    assert(got == Seq(100L, 101L))
+  }
+
+  test("lshBucket: same direction same bucket, opposite differs") {
+    val planes = Seq((0L, Seq(1.0f, 0.5f, 0.2f)), (1L, Seq(-0.3f, 0.8f, 0.1f)))
+    val got = VectorOps.lshBucket(vecs, planes)
+      .as[(Long, Long)].collect().toMap
+    assert(got(0L) == got(1L))   // nearly parallel vectors agree on both planes
+    assert(got(0L) != got(3L))   // antipodal flips every sign bit
+  }
+
+  test("multimodal stub decoder: deterministic metadata from payload bytes") {
+    val docs = Seq((1L, "abcd"), (2L, "héllo")).toDF("doc_id", "text")
+    val got = Multimodal.decodeStub(Multimodal.attachPayload(docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(got(1L).n_bytes == 4 && got(1L).width == 64 + 4 && got(1L).format == "png")
+    assert(got(2L).n_bytes == 6 && got(2L).format == "png") // utf-8 é = 2 bytes
+    val again = Multimodal.decodeStub(Multimodal.attachPayload(docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(got == again)
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Graft.Q
-import graft.operators.{CleanQueries, CoreQueries, PatternQueries, SimilarityQueries, TextQueries, TsQueries, VectorQueries}
+import graft.operators.{CleanQueries, CoreQueries, PatternQueries, SimilarityQueries, StreamQueries, TextQueries, TsQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,6 +26,7 @@ object SparkEntry {
     (CleanQueries.queries, CleanQueries.oracle),
     (TextQueries.queries, TextQueries.oracle),
     (VectorQueries.queries, VectorQueries.oracle),
+    (StreamQueries.queries, StreamQueries.oracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

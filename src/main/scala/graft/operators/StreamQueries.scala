@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.Graft
+import graft.Graft.Q
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** Batch-equivalent queries for the streaming transforms (the driver's
+  * oracle is batch SQL; StreamingSpec proves the same transforms produce
+  * identical results when run incrementally through MemoryStream). */
+object StreamQueries {
+
+  /** S-W1: tumbling 1-hour windowed counts/sums per event type. */
+  val s1WindowAgg: Q = (s, dir) =>
+    EventStream.windowedAgg(
+      Graft.table(s, dir, "events")
+        .withColumn("tsm", expr("timestamp_micros(ts div 1000)")))
+      .select(col("wstart"), col("event_type"), col("n"),
+        round(col("sum_value"), 6).as("sum_value"))
+      .orderBy("wstart", "event_type")
+
+  val s1WindowAggSql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart, event_type,
+      |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
+
+  /** S-W2: 30-minute-gap sessionization per user (batch form). Runs on
+    * µs-truncated timestamps because the oracle's TIMESTAMP type is µs
+    * (DuckDB truncates the parquet ns values on read). */
+  val s2Sessionize: Q = (s, dir) =>
+    EventStream.sessionizeBatch(
+      Graft.events(s, dir).withColumn("ts", expr("ts div 1000")),
+      30L * 60 * 1000 * 1000)
+      .select(col("user_id"), col("session_id"),
+        col("n_events"), col("session_start"),
+        col("duration_ns").as("duration_us"))
+      .orderBy("user_id", "session_id")
+
+  val s2SessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, tsu,
+      |    CASE WHEN prev IS NULL OR tsu - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+      |  FROM g),
+      |sid AS (
+      |  SELECT user_id, tsu,
+      |    SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM m)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(tsu) AS session_start, MAX(tsu) - MIN(tsu) AS duration_us
+      |FROM sid GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "s1_window_agg" -> s1WindowAgg,
+    "s2_sessionize" -> s2Sessionize,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "s1_window_agg" -> s1WindowAggSql,
+    "s2_sessionize" -> s2SessionizeSql,
+  )
+}

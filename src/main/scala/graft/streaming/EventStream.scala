@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the events schema (driver
+  * north-star; the reference itself is batch-only — SURVEY.md §2.9 notes
+  * no streaming surface is needed for parity, so this is engine-native
+  * capability).
+  *
+  * The transforms are written once and applied to BOTH batch and
+  * streaming frames — Spark's unification means the same groupBy(window)
+  * plan runs incrementally under a watermark in a stream.
+  */
+object EventStream {
+
+  /** Tumbling-window counts/sums per event type. `events` needs a
+    * timestamp column `tsm`; works on batch and streaming frames alike. */
+  def windowedAgg(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("tsm"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Same aggregation as an incremental stream with a watermark. */
+  def windowedAggStream(events: DataFrame, width: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    windowedAgg(events.withWatermark("tsm", lateness), width)
+
+  /** Batch sessionization: a session breaks when the gap to the previous
+    * event exceeds gapNs. Pure window functions — oracle-expressible. */
+  def sessionizeBatch(events: DataFrame, gapNs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        (max(col("ts")) - min(col("ts"))).as("duration_ns"))
+  }
+
+  // ---- streaming sessionization (custom state, flatMapGroupsWithState) ----
+
+  case class Ev(user_id: Long, ts: Long, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, session_start: Long, n_events: Long, duration_ns: Long)
+
+  /** Per-user stateful sessionizer: closes a session when a later event
+    * arrives more than gapNs after the last one; the open session stays
+    * in state across micro-batches. (Production hardening would add an
+    * event-time timeout to flush idle users; kept minimal here.) */
+  def sessionizeStream(events: Dataset[Ev], gapNs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts)
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          sorted.foreach { e =>
+            cur match {
+              case Some(st) if e.ts - st.last <= gapNs =>
+                cur = Some(st.copy(last = e.ts, n = st.n + 1))
+              case Some(st) =>
+                closed += Session(user, st.start, st.n, st.last - st.start)
+                cur = Some(SessionState(e.ts, e.ts, 1))
+              case None =>
+                cur = Some(SessionState(e.ts, e.ts, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+}

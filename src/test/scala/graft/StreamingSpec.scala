@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Ev, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming transforms produce the same results as their batch forms
+  * when driven incrementally through MemoryStream. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed agg: stream over two micro-batches equals batch result") {
+    implicit val sc = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+    def ts(minOff: Int) = new java.sql.Timestamp(t0.getTime + minOff * 60000L)
+    val rows = Seq(
+      (ts(0), "click", 1.0), (ts(10), "click", 2.0), (ts(20), "view", 3.0),
+      (ts(70), "click", 4.0), (ts(80), "view", 5.0))
+
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sdf = stream.toDF().toDF("tsm", "event_type", "value")
+    val q = EventStream.windowedAggStream(sdf)
+      .writeStream.format("memory").queryName("winagg").outputMode("append").start()
+    stream.addData(rows.take(3))
+    q.processAllAvailable()
+    stream.addData(rows.drop(3))
+    q.processAllAvailable()
+    // advance the watermark far enough to close every window
+    stream.addData(Seq((ts(600), "late", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("winagg")
+      .select("wstart", "event_type", "n", "sum_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batch = EventStream.windowedAgg(rows.toDF("tsm", "event_type", "value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(batch.subsetOf(got))
+    assert(got.filter(_._2 != "late") == batch)
+  }
+
+  test("stateful sessionizer closes sessions across micro-batches like batch") {
+    implicit val sc = spark.sqlContext
+    val M = 60L * 1000 * 1000 * 1000 // one minute in ns
+    val gap = 30 * M
+    val evs1 = Seq(Ev(1, 0 * M, 1.0), Ev(1, 5 * M, 1.0), Ev(2, 0 * M, 1.0))
+    val evs2 = Seq(Ev(1, 60 * M, 1.0),   // closes user 1's first session
+      Ev(2, 10 * M, 1.0), Ev(2, 100 * M, 1.0)) // closes user 2's first session
+
+    val stream = MemoryStream[Ev]
+    val q = EventStream.sessionizeStream(stream.toDS(), gap)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    stream.addData(evs1)
+    q.processAllAvailable()
+    stream.addData(evs2)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sessions").as[Session].collect().toSet
+    assert(got == Set(
+      Session(1, 0, 2, 5 * M),     // user 1: events at 0,5min then gap
+      Session(2, 0, 2, 10 * M)))   // user 2: events at 0,10min then gap
+
+    // batch equivalence on the closed sessions
+    val all = (evs1 ++ evs2).zipWithIndex
+      .map { case (e, i) => (i.toLong, e.user_id, e.ts, e.value) }
+      .toDF("event_id", "user_id", "ts", "value")
+    val batch = EventStream.sessionizeBatch(all, gap)
+      .select("user_id", "session_start", "n_events", "duration_ns")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val closed = got.map(s => (s.user_id, s.session_start, s.n_events, s.duration_ns))
+    assert(closed.subsetOf(batch))
+  }
+}

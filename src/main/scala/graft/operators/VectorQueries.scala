@@ -78,17 +78,11 @@ object VectorQueries {
       |  FROM v CROSS JOIN planes p GROUP BY v.vec_id)
       |SELECT bucket, COUNT(*) AS n FROM bits GROUP BY bucket ORDER BY bucket""".stripMargin
 
-  /** D5: embedding-cosine near-dup pairs (cos ≥ 0.3, a < b). */
-  val d5EmbeddingNeardup: Q = (s, dir) => {
-    val emb = Graft.table(s, dir, "embeddings")
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(VectorOps.cosine(col("ea"), col("eb")), 6))
-      .filter(col("cos") >= 0.3)
-      .select("vec_a", "vec_b", "cos")
+  /** D5: embedding-cosine near-dup pairs (cos ≥ 0.3, a < b) via the
+    * broadcast tight-loop sweep (see VectorOps.allPairsCosine). */
+  val d5EmbeddingNeardup: Q = (s, dir) =>
+    VectorOps.allPairsCosine(Graft.table(s, dir, "embeddings"), 0.3)
       .orderBy("vec_a", "vec_b")
-  }
 
   val d5EmbeddingNeardupSql: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

@@ -66,6 +66,59 @@ object VectorOps {
       .select(col("id").as(idCol), col("centroid_id"), col("cos"))
   }
 
+  /** All-pairs cosine near-dup pairs (a < b, rounded cos ≥ threshold).
+    *
+    * Implementation note: Catalyst higher-order functions (zip_with +
+    * aggregate) are interpreted per element, which makes an O(n²·d)
+    * pair sweep ~100× slower than a JIT'd loop. The vector set is
+    * broadcast (ids + double vectors + precomputed norms) and each
+    * partition runs a tight dot-product loop against it — the classic
+    * broadcast-small-side pattern. Works while the vector set fits in
+    * executor memory (64-dim floats: ~3 GB per 10M vectors); beyond
+    * that, bucket candidates first with lshBucket/ivfAssign and run the
+    * exact sweep per bucket.
+    *
+    * Numerics match the expression form exactly: left-to-right double
+    * folds, cos = dot/(‖a‖·‖b‖), HALF_UP rounding to 6 dp. */
+  def allPairsCosine(vectors: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val ds = vectors
+      .select(col(idCol).cast("long").as("_1"), col(vecCol).as("_2"))
+      .as[(Long, Seq[Float])]
+    val local = ds.collect().sortBy(_._1).map { case (id, v) =>
+      val d = new Array[Double](v.length)
+      var i = 0
+      var n2 = 0.0
+      while (i < v.length) { d(i) = v(i).toDouble; n2 += d(i) * d(i); i += 1 }
+      (id, d, math.sqrt(n2))
+    }
+    val bc = spark.sparkContext.broadcast(local)
+    val round6 = (x: Double) =>
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    ds.mapPartitions { it =>
+      val all = bc.value
+      it.flatMap { case (ia, va) =>
+        val a = new Array[Double](va.length)
+        var i = 0
+        var na2 = 0.0
+        while (i < va.length) { a(i) = va(i).toDouble; na2 += a(i) * a(i); i += 1 }
+        val na = math.sqrt(na2)
+        all.iterator
+          .filter(_._1 > ia)
+          .flatMap { case (ib, b, nb) =>
+            var s = 0.0
+            var j = 0
+            val len = math.min(a.length, b.length)
+            while (j < len) { s += a(j) * b(j); j += 1 }
+            val cos = if (na == 0.0 || nb == 0.0) 0.0 else round6(s / (na * nb))
+            if (cos >= threshold) Some((ia, ib, cos)) else None
+          }
+      }
+    }.toDF("vec_a", "vec_b", "cos")
+  }
+
   /** Random-hyperplane LSH: bucket id from the sign bits of dot products
     * against `planes` (any fixed small vector set). */
   def lshBucket(vectors: DataFrame, planes: Seq[(Long, Seq[Float])],

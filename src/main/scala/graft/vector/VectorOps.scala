@@ -21,18 +21,29 @@ object VectorOps {
 
   private def d(x: Column): Column = x.cast("double")
 
-  /** Σ aᵢ·bᵢ in double precision, sequential fold (deterministic). */
+  /** Σ aᵢ·bᵢ in double precision — native codegen'd Expression (a tight
+    * fused loop inside whole-stage codegen; the HOF zip_with/aggregate
+    * formulation evaluates its lambda interpreted per element and is
+    * ~100× slower — see functions.VectorExpressions). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dot_native(a, b)
+
+  /** HOF reference implementation, kept for cross-checking the native
+    * expression in tests. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; 0.0 on zero norm (mirrors the similarity module's
-    * edge rule). */
-  def cosine(a: Column, b: Column): Column = {
-    val na = norm(a)
-    val nb = norm(b)
-    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot(a, b) / (na * nb))
+    * edge rule). Native codegen'd Expression. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine_native(a, b)
+
+  def cosineHof(a: Column, b: Column): Column = {
+    val na = sqrt(dotHof(a, a))
+    val nb = sqrt(dotHof(b, b))
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dotHof(a, b) / (na * nb))
   }
 
   /** Brute-force exact top-k neighbors for each query vector. Ranking is

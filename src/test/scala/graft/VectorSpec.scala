@@ -49,6 +49,21 @@ class VectorSpec extends SparkSpec {
     assert(got(0L) != got(3L))   // antipodal flips every sign bit
   }
 
+  test("native codegen expressions agree bit-for-bit with the HOF forms") {
+    val rnd = new scala.util.Random(11)
+    val data = Seq.fill(50)((Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("a", "b")
+    val diff = data.select(
+      (VectorOps.dot(col("a"), col("b")) - VectorOps.dotHof(col("a"), col("b"))).as("dd"),
+      (VectorOps.cosine(col("a"), col("b")) - VectorOps.cosineHof(col("a"), col("b"))).as("dc"))
+      .agg(max(abs(col("dd"))), max(abs(col("dc")))).head()
+    assert(diff.getDouble(0) == 0.0, "dot: native != HOF")
+    assert(diff.getDouble(1) == 0.0, "cosine: native != HOF")
+    // interpreted path (eval) agrees with codegen too
+    val one = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    assert(one.select(VectorOps.dot(col("a"), col("b"))).as[Double].head() == 32.0)
+  }
+
   test("multimodal stub decoder: deterministic metadata from payload bytes") {
     val docs = Seq((1L, "abcd"), (2L, "héllo")).toDF("doc_id", "text")
     val got = Multimodal.decodeStub(Multimodal.attachPayload(docs))

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Graft
 import graft.Graft.Q
-import graft.analytics.Volatility
+import graft.analytics.{Similarity, Volatility}
 import graft.ta.Technical
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -160,7 +160,70 @@ object TsQueries {
       |FROM vols, th
       |GROUP BY 1 ORDER BY risk_class""".stripMargin
 
+  /** F10: linear-regression trend line per series (regr_slope/intercept —
+    * the reference's client-side JS trend, similarity.js:220-232). */
+  val f10RegrTrend: Q = (s, dir) =>
+    Similarity.withPos(events(s, dir), keys, order)
+      .groupBy("user_id")
+      .agg(
+        round(regr_slope(col("value"), col("pos").cast("double")), 6).as("slope"),
+        round(regr_intercept(col("value"), col("pos").cast("double")), 6).as("intercept"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+
+  val f10RegrTrendSql: String =
+    """WITH p AS (
+      |  SELECT user_id, value,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS pos
+      |  FROM events)
+      |SELECT user_id,
+      |  ROUND(regr_slope(value, pos), 6) AS slope,
+      |  ROUND(regr_intercept(value, pos), 6) AS intercept,
+      |  COUNT(*) AS n
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** C9: chart downsampling — every k-th element so ≤200 points survive
+    * per series (app.py:213-238). */
+  val c9Downsample: Q = (s, dir) => {
+    val posed = Similarity.withPos(events(s, dir), keys, order)
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .withColumn("step", greatest(lit(1), ceil(col("n") / 200).cast("int")))
+    posed.filter((col("pos") - 1) % col("step") === 0)
+      .select(col("user_id"), col("pos"), round(col("value"), 6).as("value"))
+      .orderBy("user_id", "pos")
+  }
+
+  val c9DownsampleSql: String =
+    """WITH p AS (
+      |  SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events)
+      |SELECT user_id, pos, ROUND(value, 6) AS value
+      |FROM p
+      |WHERE (pos - 1) % GREATEST(1, CAST(CEIL(n / 200.0) AS INT)) = 0
+      |ORDER BY user_id, pos""".stripMargin
+
+  /** K6: candlestick tail-limit — last N points of one series, ascending
+    * (app.py:366-381). */
+  val k6TailLimit: Q = (s, dir) =>
+    events(s, dir).filter(col("user_id") === 1)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(30)
+      .select(col("event_id"), round(col("value"), 6).as("value"))
+      .orderBy("event_id")
+
+  val k6TailLimitSql: String =
+    """SELECT event_id, ROUND(value, 6) AS value
+      |FROM (SELECT * FROM events WHERE user_id = 1
+      |      ORDER BY ts DESC, event_id DESC LIMIT 30)
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "f10_regr_trend" -> f10RegrTrend,
+    "c9_downsample" -> c9Downsample,
+    "k6_tail_limit" -> k6TailLimit,
     "w1_log_returns" -> w1LogReturns,
     "w1_log_returns_zero" -> w1LogReturnsZero,
     "w2_simple_returns" -> w2SimpleReturns,
@@ -172,6 +235,9 @@ object TsQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "f10_regr_trend" -> f10RegrTrendSql,
+    "c9_downsample" -> c9DownsampleSql,
+    "k6_tail_limit" -> k6TailLimitSql,
     "w1_log_returns" -> w1LogReturnsSql,
     "w1_log_returns_zero" -> w1LogReturnsZeroSql,
     "w2_simple_returns" -> w2SimpleReturnsSql,

@@ -132,10 +132,15 @@ object Dedup {
     * (|A|+|B|−|A∩B|). */
   def ngramJaccard(docs: DataFrame, k: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingles(docs, k, idCol, textCol).cache()
+    // join on the 64-bit shingle hash, not the string: same counts
+    // (collisions at ~1e-10 for realistic shingle cardinalities) with a
+    // far smaller shuffle payload.
+    val sh = shingles(docs, k, idCol, textCol)
+      .select(col(idCol), xxhash64(col("shingle")).as("sh"))
+      .cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col(idCol).as("doc_a"), col("shingle"))
-      .join(sh.select(col(idCol).as("doc_b"), col("shingle")), "shingle")
+    val inter = sh.select(col(idCol).as("doc_a"), col("sh"))
+      .join(sh.select(col(idCol).as("doc_b"), col("sh")), "sh")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     inter

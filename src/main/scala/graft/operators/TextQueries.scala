@@ -176,7 +176,9 @@ object TextQueries {
     * SQL-expressible → rows-only check (kernel verified in DedupSpec). */
   val d2MinhashLsh: Q = (s, dir) => {
     val sh = Dedup.shingles(nearCorpus(s, dir), 3)
-    val sigs = Dedup.minhash(sh, 16)
+    // the signature frame feeds four join branches — materialize it once
+    // (S7 cache operator) instead of recomputing the shingle groupBy 4×.
+    val sigs = Dedup.minhash(sh, 16).cache()
     val cands = Dedup.minhashCandidates(sigs, 4, 4)
     Dedup.minhashJaccard(sigs, cands, 16)
       .filter(col("jaccard_est") >= 0.5)

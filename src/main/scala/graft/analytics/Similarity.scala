@@ -58,6 +58,9 @@ object Similarity {
     val upper = a.join(b, "pos").filter(col("ka") < col("kb"))
       .groupBy("ka", "kb")
       .agg(coalesce(corr(col("va"), col("vb")), lit(0.0)).as("corr"))
+      // k(k-1)/2 rows feed both the direct and the mirrored branch —
+      // materialize once instead of recomputing the join+agg lineage.
+      .cache()
     val mirror = upper.select(col("kb").as("ka"), col("ka").as("kb"), col("corr"))
     val diag = posed.select(col(k).as("ka")).distinct()
       .select(col("ka"), col("ka").as("kb"), lit(1.0).as("corr"))

@@ -210,7 +210,50 @@ object CoreQueries {
       |  SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem)
       |ORDER BY d""".stripMargin
 
+  /** As-of join: each event gains the daily bar close most recently
+    * at-or-before its timestamp (union+ffill pattern — align.AsOfJoin;
+    * the oracle uses DuckDB's native ASOF JOIN). */
+  val qAsofJoin: Q = (s, dir) => {
+    val bars = PatternQueries.dailyBars(s, dir)
+      .select(col("user_id"),
+        (expr("unix_date(day)").cast("long") * 86400L * 1000000000L).as("bar_ts"),
+        col("close"))
+    val probe = Graft.events(s, dir)
+    graft.align.AsOfJoin.asof(probe, bars, Seq("user_id"), "ts", "bar_ts", Seq("close"))
+      .select(col("event_id"), col("user_id"), round(col("close"), 6).as("asof_close"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val qAsofJoinSql: String =
+    """WITH bars AS (
+      |  SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_ts,
+      |         arg_max(value, ts) AS close
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+      |SELECT e.event_id, e.user_id, ROUND(b.close, 6) AS asof_close
+      |FROM events e ASOF JOIN bars b
+      |  ON e.user_id = b.user_id AND e.ts >= b.day_ts
+      |ORDER BY e.user_id, e.event_id""".stripMargin
+
+  /** Salted two-phase aggregation (skew path) — must equal the direct
+    * groupBy; decimal partials keep the sum associative-exact. */
+  val qSaltedAgg: Q = (s, dir) => {
+    val li = Graft.table(s, dir, "lineitem")
+      .withColumn("price_dec", col("l_extendedprice").cast("decimal(18,4)"))
+    graft.scale.Skew.saltedSumCount(li, Seq("l_returnflag"), "price_dec", 16)
+      .select(col("l_returnflag"),
+        col("sum_price_dec").cast("double").as("sum_price"), col("count"))
+      .orderBy("l_returnflag")
+  }
+
+  val qSaltedAggSql: String =
+    """SELECT l_returnflag,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      | COUNT(*) AS count
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_asof_join" -> qAsofJoin,
+    "q_salted_agg" -> qSaltedAgg,
     "q1_agg" -> q1Agg,
     "q3_join" -> q3Join,
     "q5_nation" -> q5Nation,
@@ -222,6 +265,8 @@ object CoreQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_asof_join" -> qAsofJoinSql,
+    "q_salted_agg" -> qSaltedAggSql,
     "k2_multikey_encoded" -> k2MultikeyEncodedSql,
     "q1_agg" -> q1AggSql,
     "q3_join" -> q3JoinSql,

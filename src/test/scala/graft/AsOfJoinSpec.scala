@@ -1,0 +1,39 @@
+package graft
+
+import graft.align.AsOfJoin
+import graft.scale.Skew
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join picks the most recent build row at-or-before, per key") {
+    val probe = Seq((1L, "A", 5L, 1.0), (2L, "A", 15L, 2.0), (3L, "A", 30L, 3.0),
+      (4L, "B", 8L, 4.0), (5L, "B", 9L, 5.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val build = Seq(("A", 0L, 100.0), ("A", 10L, 110.0), ("A", 30L, 130.0),
+      ("B", 9L, 200.0))
+      .toDF("user_id", "bar_ts", "close")
+    val got = AsOfJoin.asof(probe, build, Seq("user_id"), "ts", "bar_ts", Seq("close"))
+      .select("event_id", "close").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(100.0))  // ts=5 -> bar at 0
+    assert(got(2L).contains(110.0))  // ts=15 -> bar at 10
+    assert(got(3L).contains(130.0))  // tie: at-or-before includes ts=30
+    assert(got(4L).isEmpty)          // B@8: no bar yet -> null
+    assert(got(5L).contains(200.0))  // tie at 9
+  }
+
+  test("salted aggregation equals the direct groupBy") {
+    val rnd = new scala.util.Random(5)
+    val df = Seq.fill(2000)(("k" + rnd.nextInt(3), rnd.nextInt(100)))
+      .toDF("k", "v")
+      .withColumn("v_dec", col("v").cast("decimal(18,2)"))
+    val direct = df.groupBy("k")
+      .agg(sum(col("v_dec")).cast("double").as("s"), count(lit(1)).as("c"))
+      .orderBy("k").as[(String, Double, Long)].collect().toSeq
+    val salted = Skew.saltedSumCount(df, Seq("k"), "v_dec", 8)
+      .select(col("k"), col("sum_v_dec").cast("double"), col("count"))
+      .orderBy("k").as[(String, Double, Long)].collect().toSeq
+    assert(salted == direct)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.analytics.{Dtw, Similarity}
+import graft.clean.Cleaning
+import graft.ta.Technical
+import org.apache.spark.sql.functions._
+
+/** Property-style invariants over seeded random inputs (FIXTURES.md §5:
+  * scalacheck-style checks — deterministic seeded loops here). */
+class InvariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randSeries(seed: Int, n: Int): Seq[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(rnd.nextDouble() * 200 - 100)
+  }
+
+  test("pearson and cosine stay in [-1, 1]; euclidean and n non-negative") {
+    (1 to 10).foreach { seed =>
+      val a = randSeries(seed, 80)
+      val b = randSeries(seed + 100, 80)
+      val m = Similarity.metrics(a.zip(b).toDF("a", "b"))
+        .select("pearson", "cosine", "euclidean").head()
+      assert(m.getDouble(0) >= -1.0 - 1e-12 && m.getDouble(0) <= 1.0 + 1e-12)
+      assert(m.getDouble(1) >= -1.0 - 1e-12 && m.getDouble(1) <= 1.0 + 1e-12)
+      assert(m.getDouble(2) >= 0.0)
+    }
+  }
+
+  test("DTW: identity zero, symmetry, non-negativity") {
+    (1 to 10).foreach { seed =>
+      val a = randSeries(seed, 60).toArray
+      val b = randSeries(seed + 50, 45).toArray
+      assert(Dtw.distance(a, a) == 0.0)
+      val ab = Dtw.distance(a, b)
+      val ba = Dtw.distance(b, a)
+      assert(ab >= 0.0)
+      assert(approx(ab, ba, 1e-9), s"seed $seed: dtw not symmetric ($ab vs $ba)")
+    }
+  }
+
+  test("forward fill is idempotent and only fills forward") {
+    val rnd = new scala.util.Random(9)
+    val vals = (0 until 200).map(i =>
+      (i, "X", if (rnd.nextDouble() < 0.3) None else Some(rnd.nextDouble())))
+    val df = vals.toDF("i", "symbol", "v")
+    val once = Cleaning.forwardFill(df, "v", Seq("symbol"), Seq(col("i")))
+    val twice = Cleaning.forwardFill(once, "v", Seq("symbol"), Seq(col("i")))
+    assert(once.orderBy("i").as[(Int, String, Option[Double])].collect().toSeq ==
+      twice.orderBy("i").as[(Int, String, Option[Double])].collect().toSeq)
+    // leading nulls survive; after the first non-null, no nulls remain
+    val seq = once.orderBy("i").select("v").as[Option[Double]].collect().toSeq
+    val firstDefined = seq.indexWhere(_.isDefined)
+    assert(seq.drop(firstDefined).forall(_.isDefined))
+  }
+
+  test("SMA stays within the min/max of its window") {
+    val prices = randSeries(3, 100).map(math.abs)
+    val df = prices.zipWithIndex.map { case (p, i) => (i, "X", p) }
+      .toDF("i", "symbol", "close")
+    val got = df.withColumn("s", Technical.sma($"close", 7, Seq("symbol"), Seq(col("i"))))
+      .orderBy("i").select("s").as[Option[Double]].collect()
+    got.zipWithIndex.drop(6).foreach { case (Some(s), i) =>
+      val window = prices.slice(i - 6, i + 1)
+      assert(s >= window.min - 1e-9 && s <= window.max + 1e-9)
+    case _ => fail("missing SMA value after warm-up")
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.io.Bucketing
+import graft.operators.{CoreQueries, TsQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the optimizations the engine is designed
+  * around must actually appear in the plans (pushdown, pruning,
+  * broadcast, partial aggregation, top-K, single-shuffle windows,
+  * bucketed shuffle-free joins). */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: filter pushed to parquet scan, schema pruned, partial agg") {
+    val p = plan(CoreQueries.q1Agg(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "scan should prune unused columns")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "expect partial+final agg")
+  }
+
+  test("q3: dimension tables broadcast, top-K plans as TakeOrderedAndProject") {
+    val p = plan(CoreQueries.q3Join(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"),
+      "sf-scale dims must broadcast, not sort-merge")
+  }
+
+  test("k_top_volume: partial top-K, no global sort of the input") {
+    val p = plan(CoreQueries.kTopVolume(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("w1 log returns: exactly one exchange (the series-key shuffle)") {
+    val p = plan(TsQueries.w1LogReturns(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    // one hashpartitioning exchange for the window + one range for orderBy
+    assert(exchanges <= 2, s"unexpected extra shuffles:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+  }
+
+  test("bucketed tables join without any exchange") {
+    // writes to the default local warehouse (spark-warehouse/, gitignored)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    Bucketing.writeBucketed(li, "li_b", Seq("l_orderkey"), 8)
+    Bucketing.writeBucketed(ord, "ord_b", Seq("o_orderkey"), 8)
+    val joined = Bucketing.readBucketed(spark, "li_b")
+      .join(Bucketing.readBucketed(spark, "ord_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey").agg(sum("l_quantity"))
+    val p = plan(joined)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join should be shuffle-free:\n$p")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+  }
+}

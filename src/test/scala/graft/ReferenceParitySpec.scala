@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   * Exact expected values were produced by executing the reference
   * implementation over the same CSV. */
 class ReferenceParitySpec extends SparkSpec {
+  import spark.implicits._
 
   private val csvPath = "/root/reference/data/dataset_maestro.csv"
   private lazy val bars = BarsIO.readLong(spark, csvPath).cache()
@@ -39,6 +40,27 @@ class ReferenceParitySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(approx(vols("VOO"), 0.19968609692184333, 1e-9))
     assert(approx(vols("PBR"), 0.4942880035039508, 1e-9))
+  }
+
+  test("compare_two_assets matches reference on VOO/SPY and VOO/PBR") {
+    // expected values produced by executing the reference implementation
+    // (similarity.py compare_two_assets) over the same CSV
+    val r1 = graft.analytics.CompareAssets.compare(bars, "VOO", "SPY")
+    assert(approx(r1.euclidean, 0.03861280294213744, 1e-9))
+    assert(approx(r1.pearson, 0.9973147045054994, 1e-9))
+    assert(approx(r1.dtw, 0.5793689314042973, 1e-9))
+    assert(approx(r1.cosine, 0.9973193927771115, 1e-9))
+    assert(r1.n_points == 1757L)
+    val r2 = graft.analytics.CompareAssets.compare(bars, "VOO", "PBR")
+    assert(approx(r2.euclidean, 1.1628645955346504, 1e-9))
+    assert(approx(r2.pearson, 0.45673812138825653, 1e-9))
+    assert(approx(r2.dtw, 25.367541335489225, 1e-9))
+    assert(approx(r2.cosine, 0.45660111006059934, 1e-9))
+    // degenerate: one point -> all-zero result
+    val tiny = Seq(("2024-01-01", "A", 1.0), ("2024-01-01", "B", 2.0))
+      .toDF("date", "symbol", "close")
+    assert(graft.analytics.CompareAssets.compare(tiny, "A", "B") ==
+      graft.analytics.CompareAssets.Zero)
   }
 
   test("VOO streak histogram matches the reference anchor (window=20)") {

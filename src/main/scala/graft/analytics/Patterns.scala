@@ -86,6 +86,22 @@ object Patterns {
       .drop("max_streak0")
   }
 
+  /** W6: full pattern-scan façade (patterns.py:271-292) — streak stats +
+    * gap stats in one call. `zeroSubstituteNulls` reproduces the
+    * dashboard's null→0.0 substitution before scanning (app.py:384,
+    * 426-428 — SURVEY.md §7.4.2: it manufactures up-days/gap-ups at data
+    * holes; bit-parity requires opting in). */
+  def scan(df: DataFrame, close: Column, open: Column, high: Column,
+      keys: Seq[String], order: Seq[Column], windowSize: Int,
+      zeroSubstituteNulls: Boolean = false): DataFrame = {
+    val (c, o, h) =
+      if (zeroSubstituteNulls)
+        (coalesce(close, lit(0.0)), coalesce(open, lit(0.0)), coalesce(high, lit(0.0)))
+      else (close, open, high)
+    streakStats(df, c, keys, order, windowSize)
+      .join(gapStats(df, o, h, keys, order, windowSize), keys)
+  }
+
   /** W5: per-window gap-up counts (the sliding frame IS the reference's
     * O(n) add/subtract accumulator) + per-series totals/max. */
   def gapWindows(df: DataFrame, open: Column, high: Column, keys: Seq[String],

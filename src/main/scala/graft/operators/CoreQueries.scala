@@ -251,9 +251,24 @@ object CoreQueries {
       | COUNT(*) AS count
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Distinct counting (exact; the approx_count_distinct sketch path is
+    * available but not oracle-comparable across engines). */
+  val qDistinctCount: Q = (s, dir) =>
+    Graft.table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy("l_returnflag")
+
+  val qDistinctCountSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      | COUNT(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q_asof_join" -> qAsofJoin,
     "q_salted_agg" -> qSaltedAgg,
+    "q_distinct_count" -> qDistinctCount,
     "q1_agg" -> q1Agg,
     "q3_join" -> q3Join,
     "q5_nation" -> q5Nation,
@@ -267,6 +282,7 @@ object CoreQueries {
   def oracle: Map[String, String] = Map(
     "q_asof_join" -> qAsofJoinSql,
     "q_salted_agg" -> qSaltedAggSql,
+    "q_distinct_count" -> qDistinctCountSql,
     "k2_multikey_encoded" -> k2MultikeyEncodedSql,
     "q1_agg" -> q1AggSql,
     "q3_join" -> q3JoinSql,

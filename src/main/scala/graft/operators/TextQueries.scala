@@ -171,6 +171,21 @@ object TextQueries {
       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** D1b: apply the dedup — the surviving corpus (keepers only). */
+  val d1DedupApply: Q = (s, dir) => {
+    val c = corpus(s, dir)
+    Dedup.exact(c)
+      .select(col("keeper").as("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  val d1DedupApplySql: String = corpusCte +
+    """
+      |SELECT MIN(doc_id) AS doc_id
+      |FROM corpus
+      |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |ORDER BY doc_id""".stripMargin
+
   /** D2: MinHash (16 hashes) + LSH (4 bands × 4) candidate pairs with
     * estimated Jaccard ≥ 0.5 — seeded xxhash64 signatures, not
     * SQL-expressible → rows-only check (kernel verified in DedupSpec). */
@@ -198,6 +213,7 @@ object TextQueries {
     "t3_langid" -> t3LangId,
     "t4_fingerprint" -> t4Fingerprint,
     "d1_exact_dedup" -> d1ExactDedup,
+    "d1b_dedup_apply" -> d1DedupApply,
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
@@ -209,6 +225,7 @@ object TextQueries {
     "t3_langid" -> t3LangIdSql,
     "t4_fingerprint" -> t4FingerprintSql,
     "d1_exact_dedup" -> d1ExactDedupSql,
+    "d1b_dedup_apply" -> d1DedupApplySql,
     "d4_ngram_jaccard" -> d4NgramJaccardSql,
   )
 }

@@ -265,10 +265,45 @@ object CoreQueries {
       | COUNT(DISTINCT l_suppkey) AS n_supps
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Hierarchical aggregation via ROLLUP (region → nation → total):
+    * grouping-set coverage the reference lacks but the harness provides
+    * for free (SURVEY.md §2.4 note). */
+  val qRollup: Q = (s, dir) => {
+    // via spark.sql: the Dataset rollup API trips Spark's ambiguous-
+    // self-join check on the Expand node after a join chain; the SQL
+    // front-end resolves cleanly (and exercises the engine's SQL surface).
+    Graft.table(s, dir, "lineitem").createOrReplaceTempView("li_v")
+    Graft.table(s, dir, "supplier").createOrReplaceTempView("sup_v")
+    Graft.table(s, dir, "nation").createOrReplaceTempView("nat_v")
+    Graft.table(s, dir, "region").createOrReplaceTempView("reg_v")
+    s.sql(
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM li_v
+        |JOIN sup_v ON l_suppkey = s_suppkey
+        |JOIN nat_v ON s_nationkey = n_nationkey
+        |JOIN reg_v ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  val qRollupSql: String =
+    """SELECT r_name, n_name,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | COUNT(*) AS n
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q_asof_join" -> qAsofJoin,
     "q_salted_agg" -> qSaltedAgg,
     "q_distinct_count" -> qDistinctCount,
+    "q_rollup" -> qRollup,
     "q1_agg" -> q1Agg,
     "q3_join" -> q3Join,
     "q5_nation" -> q5Nation,
@@ -283,6 +318,7 @@ object CoreQueries {
     "q_asof_join" -> qAsofJoinSql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_distinct_count" -> qDistinctCountSql,
+    "q_rollup" -> qRollupSql,
     "k2_multikey_encoded" -> k2MultikeyEncodedSql,
     "q1_agg" -> q1AggSql,
     "q3_join" -> q3JoinSql,

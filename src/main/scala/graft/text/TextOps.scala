@@ -18,7 +18,8 @@ object TextOps {
     * punctuation marks — a cheap deterministic stand-in for a real
     * tokenizer's piece count. */
   def bpeishCount(text: Column): Column =
-    size(filter(split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+    size(filter(split(text,
+      "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"),
       t => length(trim(t)) > 0))
 
   /** Punctuation character count / ratio over total chars. */

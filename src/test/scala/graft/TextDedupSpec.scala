@@ -27,6 +27,15 @@ class TextDedupSpec extends SparkSpec {
     got.foreach { case (g, e) => assert(g == e, s"expected $e got $g") }
   }
 
+  test("bpeish count approximates subword pieces deterministically") {
+    val df = Seq("hello world", "a,b.c", "", "x123y").toDF("text")
+      .select(TextOps.bpeishCount(col("text")).as("n"))
+    val got = df.as[Int].collect().toSeq
+    assert(got(0) == 2)       // two letter-runs
+    assert(got(1) == 5)       // a , b . c
+    assert(got(3) == 3)       // x 123 y
+  }
+
   test("fingerprint ignores case and whitespace runs") {
     val df = Seq("Hello  World", "hello world", "hello  world  ").toDF("text")
       .select(TextOps.fingerprint(col("text")).as("fp"))

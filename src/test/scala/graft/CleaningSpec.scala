@@ -43,6 +43,14 @@ class CleaningSpec extends SparkSpec {
       .contains("Open_outside_Low_High_range"))
   }
 
+  test("affectedRows lists zero-based positions of rows with missing fields") {
+    val df = Seq((0, "X", Some(1.0)), (1, "X", None), (2, "X", Some(3.0)),
+      (3, "X", None)).toDF("i", "symbol", "close")
+    val got = Cleaning.affectedRows(df, Seq("close"), Seq("symbol"), Seq(col("i")))
+      .select("row_index").as[Int].collect().toSet
+    assert(got == Set(1, 3))
+  }
+
   test("missing report counts per-field nulls") {
     val df = Seq((Some(1.0), Option.empty[Double]), (None, Some(2.0)), (Some(3.0), Some(4.0)))
       .toDF("open", "close")

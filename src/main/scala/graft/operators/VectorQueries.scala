@@ -113,7 +113,19 @@ object VectorQueries {
       |  CASE WHEN n % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** V4: IVF search (nprobe=3 of 8 centroids, exact rerank inside the
+    * probed buckets) — approximate by design, so rows-only for the
+    * driver; recall vs the exact baseline is measured in VectorSpec. */
+  val v4IvfSearch: Q = (s, dir) => {
+    val emb = Graft.table(s, dir, "embeddings")
+    VectorOps.ivfSearch(
+      emb.filter(col("vec_id") >= 8), emb.filter(col("vec_id") < 8),
+      emb.filter(col("vec_id") >= 8 && col("vec_id") < 13), k = 5, nprobe = 3)
+      .orderBy("query_id", "rank")
+  }
+
   def queries: Map[String, Graft.Q] = Map(
+    "v4_ivf_search" -> v4IvfSearch,
     "v1_knn_brute" -> v1KnnBrute,
     "v2_ivf_assign" -> v2IvfAssign,
     "v3_lsh_buckets" -> v3LshBuckets,

@@ -77,6 +77,35 @@ object VectorOps {
       .select(col("id").as(idCol), col("centroid_id"), col("cos"))
   }
 
+  /** IVF search end-to-end: restrict each query to its `nprobe` nearest
+    * centroids' buckets, then exact-rerank within the candidates. The
+    * scale path for ANN: the brute-force sweep drops from O(n·q) to
+    * O(n·q·nprobe/k_centroids) expected, at a recall cost bounded by the
+    * quantizer (IvfSearchSpec measures recall against knnBrute). */
+  def ivfSearch(vectors: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val index = ivfAssign(vectors, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"))
+      .join(vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
+        "neighbor_id")
+    val c = broadcast(centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("cv")))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(c)
+      .withColumn("ccos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("ccos").desc, col("centroid_id"))))
+      .filter(col("crk") <= nprobe)
+      .select("query_id", "qv", "centroid_id")
+    probes.join(index, "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** All-pairs cosine near-dup pairs (a < b, rounded cos ≥ threshold).
     *
     * Implementation note: Catalyst higher-order functions (zip_with +

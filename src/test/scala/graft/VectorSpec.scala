@@ -64,6 +64,27 @@ class VectorSpec extends SparkSpec {
     assert(one.select(VectorOps.dot(col("a"), col("b"))).as[Double].head() == 32.0)
   }
 
+  test("ivfSearch returns valid ranked results with measurable recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vectors = emb.filter(col("vec_id") >= 8)
+    val centroids = emb.filter(col("vec_id") < 8)
+    val queries = vectors.filter(col("vec_id") < 20)
+    val exact = VectorOps.knnBrute(vectors, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx5 = VectorOps.ivfSearch(vectors, centroids, queries, 5, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // structure: ≤5 per query, no self-matches
+    assert(approx5.groupBy(_._1).values.forall(_.size <= 5))
+    assert(approx5.forall { case (q, n) => q != n })
+    val recall = approx5.intersect(exact).size.toDouble / exact.size
+    info(f"IVF recall@5 (nprobe=3/8): $recall%.2f")
+    assert(recall > 0.15, s"recall $recall suspiciously low")
+    // probing every centroid must recover the exact results
+    val full = VectorOps.ivfSearch(vectors, centroids, queries, 5, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+  }
+
   test("multimodal stub decoder: deterministic metadata from payload bytes") {
     val docs = Seq((1L, "abcd"), (2L, "héllo")).toDF("doc_id", "text")
     val got = Multimodal.decodeStub(Multimodal.attachPayload(docs))

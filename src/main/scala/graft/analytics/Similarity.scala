@@ -49,6 +49,57 @@ object Similarity {
       .join(posed.filter(col(k) === keyB).select(col("pos"), col("v").as("b")), "pos")
   }
 
+  /** Pearson over two equal-indexed arrays (common prefix), two-pass
+    * like the reference (similarity.py:100-193); 0.0 on zero variance. */
+  def pearsonKernel(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    if (n < 2) return 0.0
+    var sa = 0.0
+    var sb = 0.0
+    var i = 0
+    while (i < n) { sa += a(i); sb += b(i); i += 1 }
+    val ma = sa / n
+    val mb = sb / n
+    var cov = 0.0
+    var va = 0.0
+    var vb = 0.0
+    i = 0
+    while (i < n) {
+      val da = a(i) - ma
+      val db = b(i) - mb
+      cov += da * db; va += da * da; vb += db * db
+      i += 1
+    }
+    if (va == 0.0 || vb == 0.0) 0.0 else cov / math.sqrt(va * vb)
+  }
+
+  /** A10 fast path: per-series reduction to arrays (one shuffle), then
+    * the k²/2 pair sweep as a broadcast crossJoin + kernel — right when
+    * k is moderate and series fit a row (the reference's regime: 20 ×
+    * ~1760 points). The SQL `heatmap` below stays the scale path when k
+    * or series length makes collected arrays unreasonable. */
+  def heatmapCollected(posed: DataFrame, k: String): DataFrame = {
+    val spark = posed.sparkSession
+    import spark.implicits._
+    val arrs = posed.groupBy(col(k))
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pts"))
+      .select(col(k).cast("long").as("_1"), col("pts.v").as("_2"))
+    val b = arrs.select(col("_1").as("_3"), col("_2").as("_4"))
+    // symmetry pruning like the reference: compute ka <= kb, mirror after
+    val upper = arrs.crossJoin(broadcast(b))
+      .filter(col("_1") <= col("_3"))
+      .as[(Long, Seq[Double], Long, Seq[Double])]
+      .map { case (ka, va, kb, vb) =>
+        val c = if (ka == kb) 1.0 else pearsonKernel(va.toArray, vb.toArray)
+        (ka, kb, c)
+      }
+      .toDF("ka", "kb", "corr")
+      .cache() // feeds both branches; k² rows, trivial to hold
+    upper.unionByName(
+      upper.filter(col("ka") < col("kb"))
+        .select(col("kb").as("ka"), col("ka").as("kb"), col("corr")))
+  }
+
   /** A10: all-pairs Pearson matrix over series keyed by `k`, with the
     * reference's symmetry trick (compute kA < kB, mirror, diag = 1.0 —
     * app.py:322-353). Input must already carry (k, pos, v). */

@@ -9,6 +9,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JIT/codegen/first-read costs land here, not on
+    // whichever query happens to run first.
+    try {
+      spark.range(1 << 20).selectExpr("sum(id)").collect()
+      Seq("lineitem", "orders", "events", "documents", "embeddings")
+        .foreach(t => Graft.table(spark, sfDir, t).limit(1).count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every column of every row (count() would let

@@ -113,7 +113,10 @@ object Dedup {
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
     * keys (any pair within hamming ≤ 3 of a band collides in ≥1 band for
     * uniformly spread differences), then exact hamming filter. */
-  def simhashPairs(sigs: DataFrame, maxHamming: Int, idCol: String = "doc_id"): DataFrame = {
+  def simhashPairs(sigs0: DataFrame, maxHamming: Int, idCol: String = "doc_id"): DataFrame = {
+    // 4 bands × 2 join sides read the signatures — materialize once so
+    // the per-word hash UDF doesn't run 8×.
+    val sigs = sigs0.cache()
     val banded = (0 until 4).map { b =>
       sigs.select(col(idCol).as("id"), col("simhash").as("sig"),
         lit(b).as("band"),

@@ -54,7 +54,7 @@ object Alignment {
         col(s + "_Low").as("low"), col(s + "_Close").as("close"),
         col(s + "_Volume").cast("long").as("volume"))
     }
-    wide.select(col("Date").as("date"), explode(array(stacks: _*)).as("bar"))
+    wide.select(col("Date").as("date"), explode(array(stacks.toIndexedSeq: _*)).as("bar"))
       .select("date", "bar.*")
   }
 }

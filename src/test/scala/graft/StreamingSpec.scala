@@ -40,6 +40,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(_._2 != "late") == batch)
   }
 
+  test("file-source stream over the real events parquet equals batch") {
+    val dir = "/root/testdata/sf0.001"
+    // the file stream source wants a directory: stage the single file
+    val staged = java.nio.file.Files.createTempDirectory("graftstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(staged.toString)
+      .withColumn("tsm", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStream.windowedAgg(stream)
+      .writeStream.format("memory").queryName("filewin").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("filewin")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batch = EventStream.windowedAgg(
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("tsm", expr("timestamp_micros(ts div 1000)")))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("stateful sessionizer closes sessions across micro-batches like batch") {
     implicit val sc = spark.sqlContext
     val M = 60L * 1000 * 1000 * 1000 // one minute in ns

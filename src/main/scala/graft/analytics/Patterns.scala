@@ -35,6 +35,11 @@ object Patterns {
 
   private val runLengthsUdf = udf((w: Seq[Int]) => runLengths(w))
 
+  /** Native codegen'd form of the kernel (functions.RunLengths); the UDF
+    * above stays as the cross-check reference. */
+  private def runLengthsNative(c: Column): Column =
+    graft.functions.RunLengthsExpr.run_lengths(c)
+
   /** Binary up-day column: 1 iff value > previous value, both non-null;
     * first row of each series is 0 (patterns.py:92-104). */
   def ups(value: Column, keys: Seq[String], order: Seq[Column]): Column = {
@@ -66,7 +71,7 @@ object Patterns {
         collect_list(col("up")).over(w.rowsBetween(0, windowSize - 1)))
       .filter(col("rn") <= greatest(lit(1), col("n") - windowSize + 1))
     windows
-      .select(keys.map(col) :+ explode(runLengthsUdf(col("winUps"))).as("streak_len"): _*)
+      .select(keys.map(col) :+ explode(runLengthsNative(col("winUps"))).as("streak_len"): _*)
       .groupBy((keys :+ "streak_len").map(col): _*)
       .agg(count(lit(1)).as("freq"))
   }

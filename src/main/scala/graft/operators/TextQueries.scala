@@ -207,7 +207,31 @@ object TextQueries {
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
       .orderBy("doc_a", "doc_b")
 
+  /** T6: deterministic per-group sampling — keep k docs per lang, chosen
+    * by md5(doc_id) order (engine-independent "random"). The pipeline op
+    * for building balanced training subsets at scale: one window per
+    * group key, no global shuffle. */
+  val t6GroupSample: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Graft.table(s, dir, "documents")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("doc_id"), col("rk").cast("long").as("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  val t6GroupSampleSql: String =
+    """SELECT lang, doc_id, rk FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 10
+      |ORDER BY lang, rk""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "t6_group_sample" -> t6GroupSample,
     "t1_token_count" -> t1TokenCount,
     "t2_quality" -> t2Quality,
     "t3_langid" -> t3LangId,
@@ -220,6 +244,7 @@ object TextQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "t6_group_sample" -> t6GroupSampleSql,
     "t1_token_count" -> t1TokenCountSql,
     "t2_quality" -> t2QualitySql,
     "t3_langid" -> t3LangIdSql,

@@ -21,6 +21,7 @@ object Graft {
     * to guard their own domains.
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new graft.functions.GraftExtensions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")

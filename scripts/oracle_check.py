@@ -73,6 +73,32 @@ def main():
         if gc != ec:
             failures.append((name, f"schema mismatch: spark={gc} duck={ec}"))
             continue
+        # Type-category check: the driver's hash is type-sensitive (e.g.
+        # DuckDB HUGEINT -> pandas float64), so a bare value match is not
+        # enough. Compare arrow type categories per column.
+        def cat(t):
+            import pyarrow.types as pt
+            if pt.is_integer(t):
+                return "int"
+            if pt.is_floating(t):
+                return "float"
+            if pt.is_decimal(t):
+                return "decimal"
+            if pt.is_date(t):
+                return "date"
+            if pt.is_timestamp(t):
+                return "timestamp"
+            return str(t)
+        gschema = con.sql(f"SELECT * FROM read_parquet({files!r}) LIMIT 0").arrow().schema
+        eschema = con.sql(f"SELECT * FROM ({oracle[name]}) LIMIT 0").arrow().schema
+        gtypes = {f.name: cat(f.type) for f in gschema}
+        etypes = {f.name: cat(f.type) for f in eschema}
+        if gtypes != etypes:
+            diff = {k: (gtypes.get(k), etypes.get(k))
+                    for k in set(gtypes) | set(etypes)
+                    if gtypes.get(k) != etypes.get(k)}
+            failures.append((name, f"type mismatch (spark, duck): {diff}"))
+            continue
         if len(gr) != len(er):
             failures.append((name, f"row count: spark={len(gr)} duck={len(er)}"))
             continue

@@ -48,8 +48,8 @@ object CleanQueries {
 
   val c1MissingReportSql: String = nulledCte +
     """
-      |SELECT SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS missing_v,
-      |       SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS missing_total
+      |SELECT CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_v,
+      |       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_total
       |FROM e""".stripMargin
 
   /** C2: OHLC consistency anomalies over bars with injected defects. */

@@ -75,7 +75,7 @@ object PatternQueries {
 
   val w4StreakStatsSql: String = upsCte +
     """,
-      |tot AS (SELECT user_id, SUM(up) AS total_ups,
+      |tot AS (SELECT user_id, CAST(SUM(up) AS BIGINT) AS total_ups,
       |               GREATEST(1, count(*) - 20 + 1) AS total_windows
       |        FROM ups GROUP BY user_id),
       |mx AS (SELECT user_id, MAX(length(run)) AS max_streak
@@ -103,8 +103,8 @@ object PatternQueries {
       |  FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day)),
       |wins AS (
       |  SELECT user_id, day, rn, n,
-      |    sum(gap) OVER (PARTITION BY user_id ORDER BY day
-      |                   ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS gaps_in_window
+      |    CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY day
+      |                   ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS BIGINT) AS gaps_in_window
       |  FROM g)
       |SELECT user_id, rn, day, gaps_in_window FROM wins
       |WHERE rn <= GREATEST(1, n - 5 + 1)
@@ -128,11 +128,11 @@ object PatternQueries {
       |  FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day)),
       |wins AS (
       |  SELECT user_id, rn, n,
-      |    sum(gap) OVER (PARTITION BY user_id ORDER BY day
-      |                   ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS gaps_in_window
+      |    CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY day
+      |                   ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS BIGINT) AS gaps_in_window
       |  FROM g)
       |SELECT g2.user_id, g2.total_gaps, w2.max_gaps_in_window
-      |FROM (SELECT user_id, SUM(gap) AS total_gaps FROM g GROUP BY user_id) g2
+      |FROM (SELECT user_id, CAST(SUM(gap) AS BIGINT) AS total_gaps FROM g GROUP BY user_id) g2
       |JOIN (SELECT user_id, MAX(gaps_in_window) AS max_gaps_in_window
       |      FROM wins WHERE rn <= GREATEST(1, n - 5 + 1) GROUP BY user_id) w2
       |  ON g2.user_id = w2.user_id

@@ -48,8 +48,8 @@ object StreamQueries {
       |  FROM g),
       |sid AS (
       |  SELECT user_id, tsu,
-      |    SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM m)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  MIN(tsu) AS session_start, MAX(tsu) - MIN(tsu) AS duration_us

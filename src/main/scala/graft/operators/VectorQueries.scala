@@ -73,8 +73,8 @@ object VectorQueries {
       |           WHERE vec_id >= 8 AND vec_id < 16),
       |bits AS (
       |  SELECT v.vec_id,
-      |    SUM(CASE WHEN list_dot_product(v.e, p.pe) > 0
-      |        THEN 1 << p.pid ELSE 0 END) AS bucket
+      |    CAST(SUM(CASE WHEN list_dot_product(v.e, p.pe) > 0
+      |        THEN 1 << p.pid ELSE 0 END) AS BIGINT) AS bucket
       |  FROM v CROSS JOIN planes p GROUP BY v.vec_id)
       |SELECT bucket, COUNT(*) AS n FROM bits GROUP BY bucket ORDER BY bucket""".stripMargin
 

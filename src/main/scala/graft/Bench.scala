@@ -16,18 +16,23 @@ object Bench {
       Seq("lineitem", "orders", "events", "documents", "embeddings")
         .foreach(t => Graft.table(spark, sfDir, t).limit(1).count())
     } catch { case _: Throwable => () }
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every column of every row (count() would let
       // Catalyst prune the plan down to a row count).
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -122,8 +122,10 @@ object Dedup {
     * uniformly spread differences), then exact hamming filter. */
   def simhashPairs(sigs0: DataFrame, maxHamming: Int, idCol: String = "doc_id"): DataFrame = {
     // 4 bands × 2 join sides read the signatures — materialize once so
-    // the per-word hash UDF doesn't run 8×.
-    val sigs = sigs0.cache()
+    // the per-word hash UDF doesn't run 8×. localCheckpoint (not cache):
+    // blocks are GC-reclaimed with the plan instead of pinned in the
+    // CacheManager across a long-lived session.
+    val sigs = sigs0.localCheckpoint(false)
     val banded = (0 until 4).map { b =>
       sigs.select(col(idCol).as("id"), col("simhash").as("sig"),
         lit(b).as("band"),
@@ -147,7 +149,8 @@ object Dedup {
     // far smaller shuffle payload.
     val sh = shingles(docs, k, idCol, textCol)
       .select(col(idCol), xxhash64(col("shingle")).as("sh"))
-      .cache()
+      .localCheckpoint(false) // feeds 2 join sides + sizes; GC-reclaimed
+
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col(idCol).as("doc_a"), col("sh"))
       .join(sh.select(col(idCol).as("doc_b"), col("sh")), "sh")

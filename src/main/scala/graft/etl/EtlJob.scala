@@ -28,7 +28,9 @@ object EtlJob {
     val anomalies = Cleaning.inconsistencies(bars).count()
     val filled = Cleaning.dropInvalid(
       Cleaning.forwardFill(bars, "close", Seq("symbol"), Seq(col("date"))))
-    val aligned = Alignment.alignToCalendar(filled).cache()
+    // localCheckpoint: the frame feeds four report counts and is handed
+    // to the caller; blocks are GC-reclaimed once the caller drops it.
+    val aligned = Alignment.alignToCalendar(filled).localCheckpoint(false)
 
     val report = Report(
       symbols = aligned.select("symbol").distinct().count(),

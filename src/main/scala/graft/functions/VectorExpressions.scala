@@ -17,11 +17,17 @@ import org.apache.spark.sql.types._
   *
   * Semantics: elements are read as float-or-double per the child array
   * type and folded left-to-right in double (bit-identical to the HOF
-  * formulation they replace); null arrays → null; array elements are
-  * assumed non-null (embedding columns).
+  * formulation they replace); null arrays → null; arrays of unequal
+  * length → null (zip_with pads the shorter array with nulls, so the
+  * HOF form also yields null there); array elements are assumed
+  * non-null (embedding columns).
   */
 abstract class VectorFold extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  // Unequal-length inputs yield null even when both children are
+  // non-nullable, so the result is always nullable.
+  override def nullable: Boolean = true
 
   protected def elemJava(arr: String, child: Expression, i: String): String =
     child.dataType.asInstanceOf[ArrayType].elementType match {
@@ -38,12 +44,13 @@ abstract class VectorFold extends BinaryExpression {
     }
 }
 
-/** dot(a, b) = Σ aᵢ·bᵢ over the common prefix. */
+/** dot(a, b) = Σ aᵢ·bᵢ; null when |a| ≠ |b|. */
 case class DotProduct(left: Expression, right: Expression) extends VectorFold {
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += elemScala(a, left, i) * elemScala(b, right, i); i += 1 }
@@ -56,12 +63,16 @@ case class DotProduct(left: Expression, right: Expression) extends VectorFold {
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${elemJava(a, left, i)} * ${elemJava(b, right, i)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ${elemJava(a, left, i)} * ${elemJava(b, right, i)};
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -69,12 +80,14 @@ case class DotProduct(left: Expression, right: Expression) extends VectorFold {
     copy(left = l, right = r)
 }
 
-/** cosine(a, b) = dot/(‖a‖·‖b‖); 0.0 on zero norm (engine edge rule). */
+/** cosine(a, b) = dot/(‖a‖·‖b‖); 0.0 on zero norm (engine edge rule);
+  * null when |a| ≠ |b|. */
 case class CosineSim(left: Expression, right: Expression) extends VectorFold {
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -85,11 +98,6 @@ case class CosineSim(left: Expression, right: Expression) extends VectorFold {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    // norms over the FULL arrays (not just the common prefix)
-    i = n
-    while (i < a.numElements()) { val x = elemScala(a, left, i); na += x * x; i += 1 }
-    i = n
-    while (i < b.numElements()) { val y = elemScala(b, right, i); nb += y * y; i += 1 }
     if (na == 0.0 || nb == 0.0) 0.0
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
@@ -104,21 +112,19 @@ case class CosineSim(left: Expression, right: Expression) extends VectorFold {
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = ${elemJava(a, left, i)};
-         |  double $y = ${elemJava(b, right, i)};
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = ${elemJava(a, left, i)};
+         |    double $y = ${elemJava(b, right, i)};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+         |    : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |for (int $i = $n; $i < $a.numElements(); $i++) {
-         |  double $x = ${elemJava(a, left, i)}; $na += $x * $x;
-         |}
-         |for (int $i = $n; $i < $b.numElements(); $i++) {
-         |  double $y = ${elemJava(b, right, i)}; $nb += $y * $y;
-         |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
-         |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

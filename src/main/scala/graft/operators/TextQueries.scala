@@ -192,8 +192,9 @@ object TextQueries {
   val d2MinhashLsh: Q = (s, dir) => {
     val sh = Dedup.shingles(nearCorpus(s, dir), 3)
     // the signature frame feeds four join branches — materialize it once
-    // (S7 cache operator) instead of recomputing the shingle groupBy 4×.
-    val sigs = Dedup.minhash(sh, 16).cache()
+    // (S7 cache operator) instead of recomputing the shingle groupBy 4×;
+    // localCheckpoint so the blocks don't outlive the query.
+    val sigs = Dedup.minhash(sh, 16).localCheckpoint(false)
     val cands = Dedup.minhashCandidates(sigs, 4, 4)
     Dedup.minhashJaccard(sigs, cands, 16)
       .filter(col("jaccard_est") >= 0.5)

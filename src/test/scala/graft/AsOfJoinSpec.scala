@@ -23,6 +23,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(5L).contains(200.0))  // tie at 9
   }
 
+  test("as-of join works when probe and build share the time column name") {
+    val probe = Seq((1L, "A", 5L), (2L, "A", 15L))
+      .toDF("event_id", "user_id", "ts")
+    val build = Seq(("A", 0L, 100.0), ("A", 10L, 110.0))
+      .toDF("user_id", "ts", "close")
+    val got = AsOfJoin.asof(probe, build, Seq("user_id"), "ts", "ts", Seq("close"))
+    assert(got.columns.toSeq == Seq("event_id", "user_id", "ts", "close"))
+    val m = got.select("event_id", "ts", "close")
+      .as[(Long, Long, Option[Double])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(1L) == (5L, Some(100.0)))   // probe ts survives intact
+    assert(m(2L) == (15L, Some(110.0)))
+  }
+
+  test("as-of join breaks equal-timestamp build ties deterministically") {
+    val probe = Seq((1L, "A", 10L)).toDF("event_id", "user_id", "ts")
+    val build = Seq(("A", 10L, 1.0), ("A", 10L, 2.0), ("A", 10L, 3.0))
+      .toDF("user_id", "bar_ts", "close")
+    val picks = (1 to 5).map { _ =>
+      AsOfJoin.asof(probe, build.repartition(7), Seq("user_id"), "ts", "bar_ts", Seq("close"))
+        .select("close").as[Double].head()
+    }
+    assert(picks.distinct.size == 1) // same winner regardless of partitioning
+  }
+
   test("salted aggregation equals the direct groupBy") {
     val rnd = new scala.util.Random(5)
     val df = Seq.fill(2000)(("k" + rnd.nextInt(3), rnd.nextInt(100)))

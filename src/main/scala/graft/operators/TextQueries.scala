@@ -95,8 +95,8 @@ object TextQueries {
 
   /** T3: language-ID heuristic vs the labeled lang column. */
   val t3LangId: Q = (s, dir) =>
-    Graft.table(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+    TextOps.withLangId(Graft.table(s, dir, "documents"), "text", "lang_pred")
+      .select(col("doc_id"), col("lang"), col("lang_pred"))
       .orderBy("doc_id")
 
   val t3LangIdSql: String = {

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines over the
@@ -64,24 +64,52 @@ object TextOps {
     "de" -> "(^| )(der|die|das|und|ist|ein|eine|nicht)( |$)",
   )
 
-  /** Language-ID: CJK-script presence wins outright; otherwise the
-    * language with the most stopword-marker hits (ties broken by marker
-    * order). Pure expressions → pushes through codegen. */
-  def langId(text: Column): Column = {
-    val lowered = lower(text)
-    val scores = LangMarkers.map { case (lang, pat) =>
-      lang -> regexp_count(lowered, lit(pat))
-    }
+  /** Language-ID decision given already-projected marker scores, in
+    * LangMarkers priority order (ties go to the earlier language). */
+  def langIdFromScores(cjk: Column, scores: Seq[(String, Column)]): Column = {
     val best = scores.tail.foldLeft(
       struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
       case (acc, (lang, score)) =>
         when(score > acc.getField("score"),
           struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
     }
-    when(regexp_count(text, lit("[一-鿿]")) > 0, "zh")
+    when(cjk > 0, "zh")
       .when(best.getField("score") === 0, "und")
       .otherwise(best.getField("lang"))
   }
+
+  /** Language-ID over a frame: CJK-script presence wins outright;
+    * otherwise the language with the most stopword-marker hits (ties
+    * broken by marker order).
+    *
+    * Two explicit projections: the regex scores land in real columns
+    * first, then the decision tree reads the attributes. Folding the
+    * decision over inline regexp_count expressions duplicates each
+    * regex ~2^langs times per row (the CaseWhen accumulator appears in
+    * both the condition and the else branch, and codegen's
+    * subexpression elimination skips conditional branches) — measured
+    * ~3× slower on the documents scan. CollapseProject keeps the
+    * boundary because the scores are non-cheap and multiply-referenced. */
+  def withLangId(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val scored = df.withColumns(Map(
+      "__cjk" -> regexp_count(col(textCol), lit("[一-鿿]"))) ++
+      LangMarkers.map { case (lang, pat) =>
+        s"__s_$lang" -> regexp_count(lower(col(textCol)), lit(pat))
+      })
+    scored
+      .withColumn(outCol, langIdFromScores(col("__cjk"),
+        LangMarkers.map { case (lang, _) => lang -> col(s"__s_$lang") }))
+      .drop("__cjk" +: LangMarkers.map { case (lang, _) => s"__s_$lang" }: _*)
+  }
+
+  /** Single-Column language-ID (small inputs / tests). Prefer
+    * [[withLangId]] on scans: this form re-evaluates the marker regexes
+    * inside the decision tree. */
+  def langId(text: Column): Column =
+    langIdFromScores(regexp_count(text, lit("[一-鿿]")),
+      LangMarkers.map { case (lang, pat) =>
+        lang -> regexp_count(lower(text), lit(pat))
+      })
 
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text — the canonical exact-dedup key. */

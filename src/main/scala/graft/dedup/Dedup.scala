@@ -50,12 +50,29 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signatures: `numHashes` independent min-hashes per doc via
-    * seeded xxhash64 over shingles (one shuffle: groupBy doc). */
+  /** MinHash signatures: `numHashes` independent min-hashes per doc over
+    * its distinct shingles (one shuffle: groupBy doc). Seeded xxhash64
+    * family — the fast default for scale. */
   def minhash(sh: DataFrame, numHashes: Int, idCol: String = "doc_id"): DataFrame = {
     val hashes = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     sh.groupBy(col(idCol)).agg(hashes.head, hashes.tail: _*)
+  }
+
+  /** MinHash signatures from an engine-neutral md5-derived 2-universal
+    * family: one md5 per shingle split into h1 (60-bit) and h2 (56-bit),
+    * hash_i = h1 + i·h2 (< 2^62, so no overflow on engines where BIGINT
+    * overflow errors). Any SQL engine with md5 reproduces the signatures
+    * — the oracle-checkable variant; prefer [[minhash]] when cross-engine
+    * parity isn't needed. h1/h2 land in real columns before the
+    * aggregation so the md5 runs once per shingle, not once per hash. */
+  def minhashMd5(sh: DataFrame, numHashes: Int, idCol: String = "doc_id"): DataFrame = {
+    val based = sh.withColumn("__md5", md5(col("shingle")))
+      .withColumn("__h1", conv(substring(col("__md5"), 1, 15), 16, 10).cast("long"))
+      .withColumn("__h2", conv(substring(col("__md5"), 17, 14), 16, 10).cast("long"))
+    val hashes = (0 until numHashes).map(i =>
+      min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"h$i"))
+    based.groupBy(col(idCol)).agg(hashes.head, hashes.tail: _*)
   }
 
   /** LSH candidate pairs: band the signature (bands × rowsPerBand =
@@ -116,6 +133,42 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs.select(col(idCol), simhashUdf(col(textCol)).as("simhash"))
+
+  /** SimHash with md5-derived word hashes (first 16 hex chars of
+    * md5(word), read as an unsigned 64-bit value): slower than the
+    * Murmur3 kernel but reproducible by any engine with md5 — the
+    * oracle-checkable variant. Same fold as [[simhash64]]. */
+  def simhash64Md5(words: Seq[String]): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](64)
+    words.foreach { w =>
+      digest.reset()
+      val bytes = digest.digest(w.getBytes("UTF-8"))
+      // first 16 hex chars = first 8 bytes, big-endian
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = (h << 8) | (bytes(k).toLong & 0xffL); k += 1 }
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  private val simhashMd5Udf = udf((text: String) =>
+    simhash64Md5(text.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)))
+
+  def simhashMd5(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), simhashMd5Udf(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
     * keys (any pair within hamming ≤ 3 of a band collides in ≥1 band for

@@ -187,14 +187,15 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
 
   /** D2: MinHash (16 hashes) + LSH (4 bands × 4) candidate pairs with
-    * estimated Jaccard ≥ 0.5 — seeded xxhash64 signatures, not
-    * SQL-expressible → rows-only check (kernel verified in DedupSpec). */
+    * estimated Jaccard ≥ 0.5. The query uses the md5-derived hash family
+    * (engine-neutral) so the full pipeline is oracle-checkable; the
+    * xxhash64 family stays the library default for scale. */
   val d2MinhashLsh: Q = (s, dir) => {
     val sh = Dedup.shingles(nearCorpus(s, dir), 3)
     // the signature frame feeds four join branches — materialize it once
     // (S7 cache operator) instead of recomputing the shingle groupBy 4×;
     // localCheckpoint so the blocks don't outlive the query.
-    val sigs = Dedup.minhash(sh, 16).localCheckpoint(false)
+    val sigs = Dedup.minhashMd5(sh, 16).localCheckpoint(false)
     val cands = Dedup.minhashCandidates(sigs, 4, 4)
     Dedup.minhashJaccard(sigs, cands, 16)
       .filter(col("jaccard_est") >= 0.5)
@@ -202,11 +203,80 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** D3: SimHash near-dup pairs (hamming ≤ 8) — rows-only check. */
+  /** Oracle for D2: same shingles as d4, 16 min-hashes from the
+    * md5-derived 2-universal family (h1 + i·h2), band match = all 4
+    * hashes of any band agree (bucket-hash equality in the engine ≡
+    * tuple equality here), estimate = agreeing fraction. The O(n²)
+    * signature pair join is fine at oracle scale; the engine side only
+    * ever joins within buckets. */
+  val d2MinhashLshSql: String = {
+    val agree = (1 to 16).map(i => s"CASE WHEN ha[$i]=hb[$i] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val bands = (0 until 4).map { b =>
+      (1 to 4).map(j => s"ha[${4 * b + j}]=hb[${4 * b + j}]").mkString("(", " AND ", ")")
+    }.mkString("\n      |     OR ")
+    nearCorpusCte +
+      s""",
+        |w AS (SELECT doc_id,
+        |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+        |      FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+        |       WHERE len(ws) >= 3 AND length(ws[i] || ws[i+1] || ws[i+2]) > 0),
+        |hb AS (SELECT doc_id,
+        |         CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substring(md5(shingle), 17, 14)) AS BIGINT) AS h2
+        |       FROM sh),
+        |mh AS (SELECT doc_id, i, MIN(h1 + i * h2) AS h
+        |       FROM hb CROSS JOIN range(16) AS r(i) GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM mh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.hs AS ha, b.hs AS hb
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE $bands)
+        |SELECT doc_a, doc_b, ROUND(($agree) / 16.0, 6) AS jaccard_est
+        |FROM cand
+        |WHERE ($agree) / 16.0 >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** D3: SimHash near-dup pairs (hamming ≤ 8) — md5-derived word hashes
+    * (engine-neutral) so signatures, bands, and hamming distances are
+    * oracle-checkable; the Murmur3 kernel stays the library default. */
   val d3Simhash: Q = (s, dir) =>
-    Dedup.simhashPairs(Dedup.simhash(nearCorpus(s, dir)), 8)
+    Dedup.simhashPairs(Dedup.simhashMd5(nearCorpus(s, dir)), 8)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
       .orderBy("doc_a", "doc_b")
+
+  /** Oracle for D3: per-word 64-bit md5 hash → ±1 bit votes → sign bits
+    * → 4×16-bit band match → exact hamming filter. Docs with no words
+    * get signature 0 via the corpus left join (the kernel does too). */
+  val d3SimhashSql: String = {
+    val bandMatch = (0 until 4).map(b =>
+      s"((sa >> ${b * 16}) & 65535) = ((sb >> ${b * 16}) & 65535)")
+      .mkString("\n      |     OR ")
+    nearCorpusCte +
+      s""",
+        |wd AS (SELECT doc_id, UNNEST(
+        |         regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+        |       FROM corpus),
+        |h AS (SELECT doc_id, CAST(('0x' || substring(md5(word), 1, 16)) AS UBIGINT) AS hw
+        |      FROM wd WHERE length(word) > 0),
+        |bits AS (SELECT doc_id, b,
+        |           SUM(CASE WHEN (hw >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |         FROM h CROSS JOIN range(64) AS r(b) GROUP BY doc_id, b),
+        |sig0 AS (SELECT doc_id, bit_or(CAST(1 AS UBIGINT) << b) FILTER (WHERE c > 0) AS s
+        |         FROM bits GROUP BY doc_id),
+        |sig AS (SELECT c.doc_id, COALESCE(s0.s, CAST(0 AS UBIGINT)) AS s
+        |        FROM corpus c LEFT JOIN sig0 s0 ON s0.doc_id = c.doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE $bandMatch)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        |FROM pairs WHERE bit_count(xor(sa, sb)) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** T6: deterministic per-group sampling — keep k docs per lang, chosen
     * by md5(doc_id) order (engine-independent "random"). The pipeline op
@@ -252,6 +322,8 @@ object TextQueries {
     "t4_fingerprint" -> t4FingerprintSql,
     "d1_exact_dedup" -> d1ExactDedupSql,
     "d1b_dedup_apply" -> d1DedupApplySql,
+    "d2_minhash_lsh" -> d2MinhashLshSql,
+    "d3_simhash" -> d3SimhashSql,
     "d4_ngram_jaccard" -> d4NgramJaccardSql,
   )
 }

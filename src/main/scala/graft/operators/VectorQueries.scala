@@ -114,8 +114,10 @@ object VectorQueries {
       |FROM t ORDER BY doc_id""".stripMargin
 
   /** V4: IVF search (nprobe=3 of 8 centroids, exact rerank inside the
-    * probed buckets) — approximate by design, so rows-only for the
-    * driver; recall vs the exact baseline is measured in VectorSpec. */
+    * probed buckets). Approximate relative to exact kNN, but fully
+    * deterministic (rounded-cosine ranking with id tiebreaks at every
+    * step), so the oracle replays the same index + probe + rerank in
+    * SQL; recall vs the exact baseline is measured in VectorSpec. */
   val v4IvfSearch: Q = (s, dir) => {
     val emb = Graft.table(s, dir, "embeddings")
     VectorOps.ivfSearch(
@@ -123,6 +125,39 @@ object VectorQueries {
       emb.filter(col("vec_id") >= 8 && col("vec_id") < 13), k = 5, nprobe = 3)
       .orderBy("query_id", "rank")
   }
+
+  val v4IvfSearchSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
+      |vec AS (SELECT vec_id, e FROM v WHERE vec_id >= 8),
+      |assign AS (
+      |  SELECT vec_id AS neighbor_id, centroid_id FROM (
+      |    SELECT vec.vec_id, c.centroid_id,
+      |      row_number() OVER (PARTITION BY vec.vec_id
+      |        ORDER BY ROUND(list_cosine_similarity(vec.e, c.ce), 6) DESC, c.centroid_id) AS rk
+      |    FROM vec CROSS JOIN c)
+      |  WHERE rk = 1),
+      |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id >= 8 AND vec_id < 13),
+      |probes AS (
+      |  SELECT query_id, qe, centroid_id FROM (
+      |    SELECT q.query_id, q.qe, c.centroid_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY ROUND(list_cosine_similarity(q.qe, c.ce), 6) DESC, c.centroid_id) AS crk
+      |    FROM q CROSS JOIN c)
+      |  WHERE crk <= 3),
+      |cand AS (
+      |  SELECT p.query_id, a.neighbor_id,
+      |    ROUND(list_cosine_similarity(p.qe, vv.e), 6) AS cos
+      |  FROM probes p
+      |  JOIN assign a ON a.centroid_id = p.centroid_id
+      |  JOIN vec vv ON vv.vec_id = a.neighbor_id
+      |  WHERE a.neighbor_id <> p.query_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM cand)
+      |SELECT query_id, neighbor_id, cos, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   def queries: Map[String, Graft.Q] = Map(
     "v4_ivf_search" -> v4IvfSearch,
@@ -134,6 +169,7 @@ object VectorQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "v4_ivf_search" -> v4IvfSearchSql,
     "v1_knn_brute" -> v1KnnBruteSql,
     "v2_ivf_assign" -> v2IvfAssignSql,
     "v3_lsh_buckets" -> v3LshBucketsSql,

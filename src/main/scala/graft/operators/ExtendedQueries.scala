@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.Graft
+import graft.Graft.Q
+import org.apache.spark.sql.functions._
+
+/** Round-2 relational surface extensions: semi join, outer-join
+  * distribution, CUBE grouping sets, non-equi (band/theta) broadcast
+  * join, the full rank-function suite, and unpivot/melt — operators the
+  * reference never needed but a complete engine must cover (SURVEY.md
+  * §2.3 "absent from the reference" note, §2.4 grouping-sets note).
+  *
+  * Numeric policy matches CoreQueries (decimal exact sums, round 6 on
+  * per-row floats). Scale notes per query.
+  */
+object ExtendedQueries {
+
+  /** TPC-H Q4 shape: orders with ≥1 returned lineitem, counted per
+    * priority. left_semi keeps the probe row at first match — no
+    * fan-out, and the build side is pre-filtered before the shuffle. */
+  val qSemiJoin: Q = (s, dir) => {
+    val ord = Graft.table(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp"))
+    val returned = Graft.table(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+    ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q13 shape: order count per customer (left outer join keeps
+    * order-less customers at 0), then the distribution of those counts —
+    * the double-aggregation pattern. Both aggregations are key-partitioned
+    * shuffles; the second input is one row per customer, tiny. */
+  val q13Custdist: Q = (s, dir) => {
+    val cust = Graft.table(s, dir, "customer")
+    val ord = Graft.table(s, dir, "orders")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13CustdistSql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** CUBE over (returnflag, linestatus): all four grouping combinations
+    * in one pass (Expand + single shuffle — not four scans). */
+  val qCube: Q = (s, dir) =>
+    Graft.table(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Non-equi band join: events classified into value bands by a range
+    * predicate (value ∈ [lo, hi)) against a tiny broadcast dimension —
+    * Spark plans BroadcastNestedLoopJoin, the right shape for theta
+    * joins against small dims (the general range-join-at-scale pattern
+    * is: bucket both sides on a coarsened key, equi-join the buckets,
+    * re-filter the exact predicate — q_asof_join shows the keyed variant). */
+  val qRangeBand: Q = (s, dir) => {
+    val s2 = s
+    import s2.implicits._
+    val bands = (0 until 8).map(b => (b.toLong, b * 64.0, (b + 1) * 64.0))
+      .toDF("band", "lo", "hi")
+    Graft.table(s, dir, "events")
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("band", "event_type")
+  }
+
+  val qRangeBandSql: String =
+    """WITH bands AS (
+      |  SELECT b AS band, b * 64.0 AS lo, (b + 1) * 64.0 AS hi FROM range(8) r(b))
+      |SELECT band, event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events JOIN bands ON value >= lo AND value < hi
+      |GROUP BY band, event_type
+      |ORDER BY band, event_type""".stripMargin
+
+  /** W8+ rank-function suite per user over events: ntile quartiles and
+    * nth_value on the time order (unique via event_id tiebreak),
+    * rank/dense_rank/percent_rank/cume_dist on the value order (ties
+    * allowed — parquet doubles are bit-identical cross-engine, so tie
+    * groups agree). One shuffle on user_id serves both windows. */
+  val w6RankSuite: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val byValue = Window.partitionBy("user_id").orderBy(col("value"))
+    Graft.events(s, dir)
+      .filter(col("user_id") < 30)
+      .select(col("user_id"), col("event_id"),
+        ntile(4).over(byTime).cast("long").as("quartile"),
+        nth_value(col("value"), 3).over(byTime).as("third_value"),
+        rank().over(byValue).cast("long").as("rk"),
+        dense_rank().over(byValue).cast("long").as("drk"),
+        round(percent_rank().over(byValue), 6).as("prk"),
+        round(cume_dist().over(byValue), 6).as("cd"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val w6RankSuiteSql: String =
+    """SELECT user_id, event_id,
+      |  ntile(4) OVER wt AS quartile,
+      |  nth_value(value, 3) OVER wt AS third_value,
+      |  rank() OVER wv AS rk,
+      |  dense_rank() OVER wv AS drk,
+      |  ROUND(percent_rank() OVER wv, 6) AS prk,
+      |  ROUND(cume_dist() OVER wv, 6) AS cd
+      |FROM events
+      |WHERE user_id < 30
+      |WINDOW wt AS (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |       wv AS (PARTITION BY user_id ORDER BY value)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** J3 inverse: unpivot/melt — the q1 aggregate wide row melted into
+    * (measure, value) pairs via stack (Spark's generator-based melt; the
+    * oracle uses the equivalent UNION ALL). */
+  val j4Unpivot: Q = (s, dir) =>
+    CoreQueries.q1Agg(s, dir)
+      .selectExpr("l_returnflag", "l_linestatus",
+        """stack(3,
+          |  'sum_qty', sum_qty,
+          |  'sum_base_price', sum_base_price,
+          |  'avg_disc', avg_disc) AS (measure, val)""".stripMargin)
+      .orderBy("l_returnflag", "l_linestatus", "measure")
+
+  val j4UnpivotSql: String = {
+    val inner = CoreQueries.q1AggSql
+    s"""WITH q1 AS ($inner)
+       |SELECT l_returnflag, l_linestatus, measure, val FROM (
+       |  SELECT l_returnflag, l_linestatus, 'sum_qty' AS measure, sum_qty AS val FROM q1
+       |  UNION ALL
+       |  SELECT l_returnflag, l_linestatus, 'sum_base_price', sum_base_price FROM q1
+       |  UNION ALL
+       |  SELECT l_returnflag, l_linestatus, 'avg_disc', avg_disc FROM q1)
+       |ORDER BY l_returnflag, l_linestatus, measure""".stripMargin
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_semi_join" -> qSemiJoin,
+    "q13_custdist" -> q13Custdist,
+    "q_cube" -> qCube,
+    "q_range_band" -> qRangeBand,
+    "w6_rank_suite" -> w6RankSuite,
+    "j4_unpivot" -> j4Unpivot,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_semi_join" -> qSemiJoinSql,
+    "q13_custdist" -> q13CustdistSql,
+    "q_cube" -> qCubeSql,
+    "q_range_band" -> qRangeBandSql,
+    "w6_rank_suite" -> w6RankSuiteSql,
+    "j4_unpivot" -> j4UnpivotSql,
+  )
+}

@@ -301,7 +301,45 @@ object TextQueries {
       |WHERE rk <= 10
       |ORDER BY lang, rk""".stripMargin
 
+  /** T5: vocabulary building — top-5 word bigrams per language by
+    * document frequency (distinct per doc via the shingle op, so a
+    * bigram repeated inside one doc counts once). The scale shape:
+    * shingle explode → one (lang, bigram) keyed aggregation → per-group
+    * top-k window, never a global sort. Deterministic tiebreak on the
+    * bigram string. */
+  val t5TopBigrams: Q = (s, dir) => {
+    val docs = Graft.table(s, dir, "documents")
+    val sh = Dedup.shingles(docs.select("doc_id", "text"), 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("df").desc, col("shingle"))
+    sh.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "shingle").agg(count(lit(1)).as("df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("shingle").as("bigram"), col("df"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  val t5TopBigramsSql: String =
+    """WITH w AS (SELECT doc_id,
+      |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |      FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle
+      |       FROM w, UNNEST(range(1, len(ws))) AS t(i)
+      |       WHERE len(ws) >= 2 AND length(ws[i] || ws[i+1]) > 0),
+      |df AS (SELECT d.lang, sh.shingle, COUNT(*) AS df
+      |       FROM sh JOIN documents d USING (doc_id)
+      |       GROUP BY d.lang, sh.shingle),
+      |ranked AS (SELECT lang, shingle AS bigram, df,
+      |             row_number() OVER (PARTITION BY lang
+      |               ORDER BY df DESC, shingle) AS rk
+      |           FROM df)
+      |SELECT lang, bigram, df, rk FROM ranked
+      |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "t5_top_bigrams" -> t5TopBigrams,
     "t6_group_sample" -> t6GroupSample,
     "t1_token_count" -> t1TokenCount,
     "t2_quality" -> t2Quality,
@@ -315,6 +353,7 @@ object TextQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "t5_top_bigrams" -> t5TopBigramsSql,
     "t6_group_sample" -> t6GroupSampleSql,
     "t1_token_count" -> t1TokenCountSql,
     "t2_quality" -> t2QualitySql,

@@ -159,7 +159,49 @@ object VectorQueries {
       |SELECT query_id, neighbor_id, cos, rank FROM ranked
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** V5: k-means training step — element-wise mean of the vectors in
+    * each IVF cluster (the centroid update that pairs with v2's assign).
+    * posexplode → one (cluster, dim) keyed aggregation: d×k cells,
+    * partial-aggregated map-side, no vector ever collected. Means are
+    * computed through decimal so Spark's parallel partials and the
+    * oracle's serial sum agree exactly, then rounded. */
+  val v5CentroidUpdate: Q = (s, dir) => {
+    val emb = Graft.table(s, dir, "embeddings")
+    val assigned = VectorOps.ivfAssign(emb.filter(col("vec_id") >= 8),
+      emb.filter(col("vec_id") < 8))
+      .select(col("vec_id"), col("centroid_id"))
+      .join(emb, "vec_id")
+    assigned
+      .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("centroid_id", "pos")
+      .agg((sum(col("v").cast("decimal(28,10)")) / count(lit(1)))
+        .cast("double").as("mean_raw"))
+      .select(col("centroid_id"), col("pos").cast("long").as("pos"),
+        round(col("mean_raw"), 6).as("mean_v"))
+      .orderBy("centroid_id", "pos")
+  }
+
+  val v5CentroidUpdateSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
+      |assign AS (
+      |  SELECT vec_id, centroid_id FROM (
+      |    SELECT v.vec_id, c.centroid_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ROUND(list_cosine_similarity(v.e, c.ce), 6) DESC, c.centroid_id) AS rk
+      |    FROM v CROSS JOIN c WHERE v.vec_id >= 8)
+      |  WHERE rk = 1),
+      |cells AS (
+      |  SELECT a.centroid_id, i - 1 AS pos, v.e[i] AS val
+      |  FROM assign a JOIN v USING (vec_id),
+      |       UNNEST(range(1, len(v.e) + 1)) AS t(i))
+      |SELECT centroid_id, pos,
+      |  ROUND(CAST(SUM(CAST(val AS DECIMAL(28,10))) / COUNT(*) AS DOUBLE), 6) AS mean_v
+      |FROM cells GROUP BY centroid_id, pos
+      |ORDER BY centroid_id, pos""".stripMargin
+
   def queries: Map[String, Graft.Q] = Map(
+    "v5_centroid_update" -> v5CentroidUpdate,
     "v4_ivf_search" -> v4IvfSearch,
     "v1_knn_brute" -> v1KnnBrute,
     "v2_ivf_assign" -> v2IvfAssign,
@@ -169,6 +211,7 @@ object VectorQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "v5_centroid_update" -> v5CentroidUpdateSql,
     "v4_ivf_search" -> v4IvfSearchSql,
     "v1_knn_brute" -> v1KnnBruteSql,
     "v2_ivf_assign" -> v2IvfAssignSql,

@@ -25,6 +25,24 @@ object Multimodal {
       textCol: String = "text"): DataFrame =
     docs.select(col(idCol), col(textCol).cast("binary").as("payload"))
 
+  /** Frame sampling for video-shaped payloads: derive a stub frame count
+    * from the payload, keep every `everyK`-th frame index, and compute a
+    * per-frame stub feature. A real pipeline swaps the frame-count and
+    * feature stubs for codec calls; the plumbing — binary column →
+    * per-frame explode → per-frame features, all before any shuffle —
+    * is the real shape (the explode is a narrow map, so frame fan-out
+    * never re-partitions the payloads). */
+  def sampleFrames(payloads: DataFrame, everyK: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val nBytes = length(col("payload"))
+    payloads
+      .withColumn("n_frames", (nBytes % 7 + 1).cast("int"))
+      .select(col(idCol), col("n_frames"), nBytes.as("n_bytes"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))).as("frame_idx"))
+      .withColumn("feature",
+        (col("n_bytes") * (col("frame_idx") + 3) % 1000).cast("double") / 1000.0)
+  }
+
   /** STUB decoder: deterministic pseudo-metadata from payload bytes.
     * A real implementation swaps the body for an actual codec call; the
     * signature, batching, and output schema stay identical. */

@@ -167,7 +167,50 @@ object ExtendedQueries {
        |ORDER BY l_returnflag, l_linestatus, measure""".stripMargin
   }
 
+  /** Funnel conversion (view → click → purchase): per user, the earliest
+    * view, the earliest click at-or-after it, the earliest purchase
+    * at-or-after that; stage counts out. Three keyed aggregations chained
+    * by broadcast-sized joins (one row per user after each stage) — the
+    * standard product-analytics op at any scale. */
+  val f1Funnel: Q = (s, dir) => {
+    val ev = Graft.table(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, "user_id").filter(col("ts") >= col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id").filter(col("ts") >= col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_buy"))
+    views.select(lit(1L).as("stage"), lit("view").as("stage_name"), col("user_id"))
+      .unionByName(clicks.select(lit(2L).as("stage"), lit("click").as("stage_name"), col("user_id")))
+      .unionByName(buys.select(lit(3L).as("stage"), lit("purchase").as("stage_name"), col("user_id")))
+      .groupBy("stage", "stage_name").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
+  val f1FunnelSql: String =
+    """WITH views AS (
+      |  SELECT user_id, MIN(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |clicks AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_click
+      |  FROM events e JOIN views v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+      |  GROUP BY e.user_id),
+      |buys AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_buy
+      |  FROM events e JOIN clicks c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      |  GROUP BY e.user_id)
+      |SELECT stage, stage_name, COUNT(*) AS n_users FROM (
+      |  SELECT 1 AS stage, 'view' AS stage_name, user_id FROM views
+      |  UNION ALL SELECT 2, 'click', user_id FROM clicks
+      |  UNION ALL SELECT 3, 'purchase', user_id FROM buys)
+      |GROUP BY stage, stage_name ORDER BY stage""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "f1_funnel" -> f1Funnel,
     "q_semi_join" -> qSemiJoin,
     "q13_custdist" -> q13Custdist,
     "q_cube" -> qCube,
@@ -177,6 +220,7 @@ object ExtendedQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "f1_funnel" -> f1FunnelSql,
     "q_semi_join" -> qSemiJoinSql,
     "q13_custdist" -> q13CustdistSql,
     "q_cube" -> qCubeSql,

@@ -56,13 +56,42 @@ object StreamQueries {
       |FROM sid GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** S-W3: exact dedup of re-delivered events (batch form of the
+    * dropDuplicatesWithinWatermark stream op — StreamingSpec proves the
+    * incremental run matches). Duplicates are synthesized
+    * deterministically: every event_id % 7 = 0 event is re-delivered
+    * with a new delivery id; dedup keys on (user_id, ts) and keeps the
+    * first delivery. */
+  val s3EventDedup: Q = (s, dir) => {
+    val ev = Graft.events(s, dir)
+    val redelivered = ev.unionByName(
+      ev.filter(col("event_id") % 7 === 0)
+        .withColumn("event_id", col("event_id") + 100000))
+    EventStream.dedupBatch(redelivered.withColumn("ts", expr("ts div 1000")),
+      Seq("user_id", "ts"))
+      .select(col("user_id"), col("ts").as("tsu"), col("event_id"), col("n_seen"))
+      .orderBy("user_id", "tsu")
+  }
+
+  val s3EventDedupSql: String =
+    """WITH red AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+      |  UNION ALL
+      |  SELECT event_id + 100000, user_id, epoch_us(ts) FROM events
+      |  WHERE event_id % 7 = 0)
+      |SELECT user_id, tsu, MIN(event_id) AS event_id, COUNT(*) AS n_seen
+      |FROM red GROUP BY user_id, tsu
+      |ORDER BY user_id, tsu""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "s1_window_agg" -> s1WindowAgg,
     "s2_sessionize" -> s2Sessionize,
+    "s3_event_dedup" -> s3EventDedup,
   )
 
   def oracle: Map[String, String] = Map(
     "s1_window_agg" -> s1WindowAggSql,
     "s2_sessionize" -> s2SessionizeSql,
+    "s3_event_dedup" -> s3EventDedupSql,
   )
 }

@@ -200,7 +200,27 @@ object VectorQueries {
       |FROM cells GROUP BY centroid_id, pos
       |ORDER BY centroid_id, pos""".stripMargin
 
+  /** M2: multimodal frame-sample plumbing — video-shaped payloads,
+    * every-2nd-frame sampling, per-frame stub features (see
+    * Multimodal.sampleFrames for what's stub vs real). */
+  val m2FrameSample: Q = (s, dir) =>
+    Multimodal.sampleFrames(
+      Multimodal.attachPayload(Graft.table(s, dir, "documents")), 2)
+      .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        round(col("feature"), 6).as("feature"))
+      .orderBy("doc_id", "frame_idx")
+
+  val m2FrameSampleSql: String =
+    """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      |f AS (SELECT doc_id, n, n % 7 + 1 AS n_frames FROM t)
+      |SELECT doc_id, n_frames, i AS frame_idx,
+      |  ROUND(CAST((n * (i + 3)) % 1000 AS DOUBLE) / 1000.0, 6) AS feature
+      |FROM f, UNNEST(range(0, n_frames, 2)) AS u(i)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   def queries: Map[String, Graft.Q] = Map(
+    "m2_frame_sample" -> m2FrameSample,
     "v5_centroid_update" -> v5CentroidUpdate,
     "v4_ivf_search" -> v4IvfSearch,
     "v1_knn_brute" -> v1KnnBrute,
@@ -211,6 +231,7 @@ object VectorQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "m2_frame_sample" -> m2FrameSampleSql,
     "v5_centroid_update" -> v5CentroidUpdateSql,
     "v4_ivf_search" -> v4IvfSearchSql,
     "v1_knn_brute" -> v1KnnBruteSql,

@@ -46,6 +46,23 @@ object EventStream {
         (max(col("ts")) - min(col("ts"))).as("duration_ns"))
   }
 
+  /** Exact dedup of re-delivered events on a content key (batch form):
+    * keeps the lowest event_id per key and reports how often the key was
+    * seen. One keyed shuffle — the same shape at any scale. */
+  def dedupBatch(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.groupBy(keys.map(col): _*)
+      .agg(min(col("event_id")).as("event_id"), count(lit(1)).as("n_seen"))
+
+  /** Streaming form: dropDuplicatesWithinWatermark keeps the first
+    * arrival per key and expires its state once the watermark passes —
+    * the unbounded-stream answer to exact dedup (state is bounded by the
+    * lateness horizon, not the stream length). Requires an event-time
+    * column `tsm`. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("tsm", lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
   // ---- streaming sessionization (custom state, flatMapGroupsWithState) ----
 
   case class Ev(user_id: Long, ts: Long, value: Double)

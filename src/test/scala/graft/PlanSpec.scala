@@ -1,7 +1,7 @@
 package graft
 
 import graft.io.Bucketing
-import graft.operators.{CoreQueries, TsQueries}
+import graft.operators.{CoreQueries, ExtendedQueries, TsQueries}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,24 @@ class PlanSpec extends SparkSpec {
     // one hashpartitioning exchange for the window + one range for orderBy
     assert(exchanges <= 2, s"unexpected extra shuffles:\n$p")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+  }
+
+  test("q_semi_join plans as a semi join (no fan-out)") {
+    val p = plan(ExtendedQueries.qSemiJoin(spark, sf))
+    assert(p.contains("LeftSemi"), s"expected a semi join:\n$p")
+  }
+
+  test("q_range_band: non-equi join against the tiny dim is broadcast NLJ") {
+    val p = plan(ExtendedQueries.qRangeBand(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_cube: one Expand + one aggregation pass, not four scans") {
+    val p = plan(ExtendedQueries.qCube(spark, sf))
+    assert("Expand".r.findAllIn(p).length == 1)
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"cube must not rescan the input:\n$p")
   }
 
   test("bucketed tables join without any exchange") {

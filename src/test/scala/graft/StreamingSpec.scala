@@ -65,6 +65,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming dedup keeps the first delivery per key like batch") {
+    implicit val sc = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(minOff: Int) = new java.sql.Timestamp(t0.getTime + minOff * 60000L)
+    // (event_id, user_id, tsm): event 10 and 12 are re-delivered later
+    // with new delivery ids (110, 112)
+    val firstBatch = Seq((10L, 1L, ts(0)), (11L, 1L, ts(1)), (12L, 2L, ts(0)))
+    val redelivery = Seq((110L, 1L, ts(0)), (112L, 2L, ts(0)), (13L, 2L, ts(5)))
+
+    val stream = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val sdf = stream.toDF().toDF("event_id", "user_id", "tsm")
+    val q = EventStream.dedupStream(sdf, Seq("user_id", "tsm"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    stream.addData(firstBatch)
+    q.processAllAvailable()
+    stream.addData(redelivery)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup")
+      .select("event_id", "user_id").as[(Long, Long)].collect().toSet
+    // first arrival wins: original ids survive, redelivered ids don't
+    assert(got == Set((10L, 1L), (11L, 1L), (12L, 2L), (13L, 2L)))
+
+    // batch form keeps min event_id per key — same survivors here
+    val batch = EventStream.dedupBatch(
+      (firstBatch ++ redelivery).toDF("event_id", "user_id", "ts")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      Seq("user_id", "ts"))
+      .select("event_id", "user_id").as[(Long, Long)].collect().toSet
+    assert(batch == got)
+  }
+
   test("stateful sessionizer closes sessions across micro-batches like batch") {
     implicit val sc = spark.sqlContext
     val M = 60L * 1000 * 1000 * 1000 // one minute in ns

@@ -107,10 +107,11 @@ object SimilarityQueries {
       |UNION ALL SELECT DISTINCT user_id AS ka, user_id AS kb, 1.0 AS pearson FROM rets
       |ORDER BY ka, kb""".stripMargin
 
-  /** X1: banded DTW distance for every pair among users 0-9 — the one
-    * operator with no SQL oracle (driver records a rows-only check; the
-    * kernel is verified against reference fixtures in DtwSpec). Series are
-    * collected per pair via a grouped array build, pairs fan out as tasks. */
+  /** X1: banded DTW distance for every pair among users 0-9. Series are
+    * collected per pair via a grouped array build, pairs fan out as tasks.
+    * Oracle: the DP runs as a wavefront over anti-diagonals in a DuckDB
+    * recursive CTE (see x1DtwPairsSql); the kernel is additionally
+    * verified against reference fixtures in DtwSpec. */
   val x1DtwPairs: Q = (s, dir) => {
     import s.implicits._
     val arrs = rets(s, dir, maxUser = 10)
@@ -130,6 +131,57 @@ object SimilarityQueries {
       .orderBy("user_a", "user_b")
   }
 
+  /** Oracle for X1: banded DTW as a recursive-CTE wavefront.
+    *
+    * The DP cell D[i][j] = |a_i−b_j| + min(D[i−1][j], D[i][j−1],
+    * D[i−1][j−1]) advances one anti-diagonal (d = i+j) per recursion
+    * step, so each step only needs the two previous diagonals. The
+    * working set carries them as: "real" rows (kind 0) for diagonal d,
+    * plus one-shot "ghost" re-emissions (kind 1) of diagonal d−1 — the
+    * ghost supplies the D[i−1][j−1] candidate that would otherwise be
+    * lost when the band clips cell (i, j−1); ghosts never re-emit, so
+    * the recursion terminates at d = n+m−2. Candidate generation,
+    * grouping, and the band predicate |i−j| ≤ w (w = max(10,
+    * max(n,m)/4, |n−m|), matching analytics.Dtw.distance) reproduce the
+    * kernel's clipping exactly; additions happen in the same per-cell
+    * order, so values are bit-comparable after round 6. */
+  val x1DtwPairsSql: String = retsCte(maxUser = 10).replace("WITH ", "WITH RECURSIVE ") +
+    """,
+      |av AS (SELECT user_id, pos - 1 AS i, v FROM rets),
+      |len AS (SELECT user_id, COUNT(*) AS n FROM rets GROUP BY user_id),
+      |pairs AS (
+      |  SELECT a.user_id AS ua, b.user_id AS ub, a.n AS n, b.n AS m,
+      |    GREATEST(10, GREATEST(a.n, b.n) // 4, ABS(a.n - b.n)) AS w
+      |  FROM len a JOIN len b ON a.user_id < b.user_id),
+      |dp(ua, ub, n, m, w, kind, d, i, val) AS (
+      |  SELECT p.ua, p.ub, p.n, p.m, p.w, 0, 0, 0, ABS(a.v - b.v)
+      |  FROM pairs p
+      |  JOIN av a ON a.user_id = p.ua AND a.i = 0
+      |  JOIN av b ON b.user_id = p.ub AND b.i = 0
+      |  UNION ALL
+      |  (
+      |    SELECT s.ua, s.ub, s.n, s.m, s.w, 0, s.d, s.i2,
+      |      ABS(a.v - b.v) + s.cand
+      |    FROM (
+      |      SELECT ua, ub, n, m, w, d + 1 + kind AS d, i + delta AS i2,
+      |        MIN(val) AS cand
+      |      FROM dp, (VALUES (0, 0), (0, 1), (1, 1)) g(k, delta)
+      |      WHERE kind = g.k AND d + 1 + kind <= n + m - 2
+      |      GROUP BY ua, ub, n, m, w, d + 1 + kind, i + delta
+      |    ) s
+      |    JOIN av a ON a.user_id = s.ua AND a.i = s.i2
+      |    JOIN av b ON b.user_id = s.ub AND b.i = s.d - s.i2
+      |    WHERE s.d - s.i2 BETWEEN 0 AND s.m - 1
+      |      AND s.i2 BETWEEN 0 AND s.n - 1
+      |      AND ABS(s.i2 - (s.d - s.i2)) <= s.w
+      |    UNION ALL
+      |    SELECT ua, ub, n, m, w, 1, d, i, val
+      |    FROM dp WHERE kind = 0 AND d + 2 <= n + m - 2
+      |  ))
+      |SELECT ua AS user_a, ub AS user_b, ROUND(val, 6) AS dtw
+      |FROM dp WHERE kind = 0 AND d = n + m - 2 AND i = n - 1
+      |ORDER BY user_a, user_b""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "a9_corr_pair" -> a9CorrPair,
     "a10_heatmap" -> a10Heatmap,
@@ -141,6 +193,6 @@ object SimilarityQueries {
     "a9_corr_pair" -> a9CorrPairSql,
     "a10_heatmap" -> a10HeatmapSql,
     "x3_similarity_pair" -> x3SimilarityPairSql,
-    // x1_dtw_pairs: not SQL-expressible → rows-only check.
+    "x1_dtw_pairs" -> x1DtwPairsSql,
   )
 }

@@ -11,6 +11,35 @@ Exit 0 iff every query matches.
 import json, math, sys, glob, os
 
 import duckdb
+import pyarrow.types as pt
+
+
+def type_cat(t):
+    """Arrow type -> coarse category; the driver's hash is type-sensitive
+    (e.g. DuckDB HUGEINT -> pandas float64), so value equality alone is
+    not enough."""
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return "float"
+    if pt.is_decimal(t):
+        return "decimal"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    return str(t)
+
+
+def fetch(rel):
+    """One execution per query: rows, column names, and type categories
+    all come from a single .arrow() materialization."""
+    tbl = rel.arrow()
+    cols = tbl.column_names
+    rows = list(zip(*[tbl.column(i).to_pylist()
+                      for i in range(tbl.num_columns)])) if cols else []
+    cats = {f.name: type_cat(f.type) for f in tbl.schema}
+    return cols, rows, cats
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -57,14 +86,12 @@ def main():
         if not files:
             failures.append((name, "no parquet output"))
             continue
-        got = con.sql(f"SELECT * FROM read_parquet({files!r})")
-        gcols, grows = got.columns, got.fetchall()
+        gcols, grows, gtypes = fetch(con.sql(f"SELECT * FROM read_parquet({files!r})"))
         if name not in oracle:
             rows_only.append((name, len(grows)))
             continue
         try:
-            exp = con.sql(oracle[name])
-            ecols, erows = exp.columns, exp.fetchall()
+            ecols, erows, etypes = fetch(con.sql(oracle[name]))
         except Exception as e:
             failures.append((name, f"oracle SQL error: {e}"))
             continue
@@ -73,26 +100,6 @@ def main():
         if gc != ec:
             failures.append((name, f"schema mismatch: spark={gc} duck={ec}"))
             continue
-        # Type-category check: the driver's hash is type-sensitive (e.g.
-        # DuckDB HUGEINT -> pandas float64), so a bare value match is not
-        # enough. Compare arrow type categories per column.
-        def cat(t):
-            import pyarrow.types as pt
-            if pt.is_integer(t):
-                return "int"
-            if pt.is_floating(t):
-                return "float"
-            if pt.is_decimal(t):
-                return "decimal"
-            if pt.is_date(t):
-                return "date"
-            if pt.is_timestamp(t):
-                return "timestamp"
-            return str(t)
-        gschema = con.sql(f"SELECT * FROM read_parquet({files!r}) LIMIT 0").arrow().schema
-        eschema = con.sql(f"SELECT * FROM ({oracle[name]}) LIMIT 0").arrow().schema
-        gtypes = {f.name: cat(f.type) for f in gschema}
-        etypes = {f.name: cat(f.type) for f in eschema}
         if gtypes != etypes:
             diff = {k: (gtypes.get(k), etypes.get(k))
                     for k in set(gtypes) | set(etypes)

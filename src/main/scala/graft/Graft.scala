@@ -51,4 +51,17 @@ object Graft {
     * ts (ns-long) = time axis, value = price. */
   def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events").select("event_id", "user_id", "ts", "value")
+
+  /** Materialize an intermediate frame that feeds multiple branches of
+    * ONE query. Lazy localCheckpoint, deliberately not cache():
+    * cache() pins blocks in the CacheManager until an explicit
+    * unpersist that query-internal code has no place to issue, while
+    * checkpoint blocks are GC-reclaimed with the plan. The trade: the
+    * truncated lineage means losing an executor that holds blocks
+    * fails the job (Spark resubmits it) instead of recomputing the
+    * lost partitions. That is the right trade for bounded intra-query
+    * reuse; a frame SHARED across queries or held long-lived should
+    * instead cache() and unpersist in a try/finally at the call site
+    * (see analytics.CompareAssets.compare). */
+  def materialize(df: DataFrame): DataFrame = df.localCheckpoint(false)
 }

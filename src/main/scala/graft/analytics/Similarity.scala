@@ -94,9 +94,9 @@ object Similarity {
         (ka, kb, c)
       }
       .toDF("ka", "kb", "corr")
-      // feeds both branches; k² rows, trivial to hold. localCheckpoint
-      // so the blocks die with the plan (cache() pins them forever).
-      .localCheckpoint(false)
+      // feeds both branches; k² rows — see Graft.materialize for the
+      // localCheckpoint-vs-cache trade.
+      .transform(graft.Graft.materialize)
     upper.unionByName(
       upper.filter(col("ka") < col("kb"))
         .select(col("kb").as("ka"), col("ka").as("kb"), col("corr")))
@@ -112,9 +112,9 @@ object Similarity {
       .groupBy("ka", "kb")
       .agg(coalesce(corr(col("va"), col("vb")), lit(0.0)).as("corr"))
       // k(k-1)/2 rows feed both the direct and the mirrored branch —
-      // materialize once instead of recomputing the join+agg lineage;
-      // localCheckpoint so the blocks are GC-reclaimed with the plan.
-      .localCheckpoint(false)
+      // materialize once instead of recomputing the join+agg lineage
+      // (see Graft.materialize for the trade).
+      .transform(graft.Graft.materialize)
     val mirror = upper.select(col("kb").as("ka"), col("ka").as("kb"), col("corr"))
     val diag = posed.select(col(k).as("ka")).distinct()
       .select(col("ka"), col("ka").as("kb"), lit(1.0).as("corr"))

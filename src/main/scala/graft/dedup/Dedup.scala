@@ -61,12 +61,17 @@ object Dedup {
 
   /** MinHash signatures from an engine-neutral md5-derived 2-universal
     * family: one md5 per shingle split into h1 (60-bit) and h2 (56-bit),
-    * hash_i = h1 + i·h2 (< 2^62, so no overflow on engines where BIGINT
-    * overflow errors). Any SQL engine with md5 reproduces the signatures
-    * — the oracle-checkable variant; prefer [[minhash]] when cross-engine
-    * parity isn't needed. h1/h2 land in real columns before the
-    * aggregation so the md5 runs once per shingle, not once per hash. */
+    * hash_i = h1 + i·h2. Bounded: h1 + i·h2 ≤ 2^60 + (numHashes−1)·2^56,
+    * which stays below 2^63−1 only for numHashes ≤ 112 — enforced, so
+    * Spark's silent wraparound can never diverge from an engine where
+    * BIGINT overflow errors. Any SQL engine with md5 reproduces the
+    * signatures — the oracle-checkable variant; prefer [[minhash]] when
+    * cross-engine parity isn't needed. h1/h2 land in real columns before
+    * the aggregation so the md5 runs once per shingle, not once per
+    * hash. */
   def minhashMd5(sh: DataFrame, numHashes: Int, idCol: String = "doc_id"): DataFrame = {
+    require(numHashes <= 112,
+      s"numHashes=$numHashes would overflow h1 + i*h2 past Long.MaxValue (max 112)")
     val based = sh.withColumn("__md5", md5(col("shingle")))
       .withColumn("__h1", conv(substring(col("__md5"), 1, 15), 16, 10).cast("long"))
       .withColumn("__h2", conv(substring(col("__md5"), 17, 14), 16, 10).cast("long"))
@@ -128,7 +133,8 @@ object Dedup {
   }
 
   private val simhashUdf = udf((text: String) =>
-    simhash64(text.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)))
+    Option(text).map(t =>
+      simhash64(t.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty))))
 
   def simhash(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
@@ -164,7 +170,8 @@ object Dedup {
   }
 
   private val simhashMd5Udf = udf((text: String) =>
-    simhash64Md5(text.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)))
+    Option(text).map(t =>
+      simhash64Md5(t.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty))))
 
   def simhashMd5(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
@@ -175,10 +182,9 @@ object Dedup {
     * uniformly spread differences), then exact hamming filter. */
   def simhashPairs(sigs0: DataFrame, maxHamming: Int, idCol: String = "doc_id"): DataFrame = {
     // 4 bands × 2 join sides read the signatures — materialize once so
-    // the per-word hash UDF doesn't run 8×. localCheckpoint (not cache):
-    // blocks are GC-reclaimed with the plan instead of pinned in the
-    // CacheManager across a long-lived session.
-    val sigs = sigs0.localCheckpoint(false)
+    // the per-word hash UDF doesn't run 8× (see Graft.materialize for
+    // the localCheckpoint-vs-cache trade).
+    val sigs = graft.Graft.materialize(sigs0)
     val banded = (0 until 4).map { b =>
       sigs.select(col(idCol).as("id"), col("simhash").as("sig"),
         lit(b).as("band"),
@@ -200,9 +206,8 @@ object Dedup {
     // join on the 64-bit shingle hash, not the string: same counts
     // (collisions at ~1e-10 for realistic shingle cardinalities) with a
     // far smaller shuffle payload.
-    val sh = shingles(docs, k, idCol, textCol)
-      .select(col(idCol), xxhash64(col("shingle")).as("sh"))
-      .localCheckpoint(false) // feeds 2 join sides + sizes; GC-reclaimed
+    val sh = graft.Graft.materialize(shingles(docs, k, idCol, textCol)
+      .select(col(idCol), xxhash64(col("shingle")).as("sh"))) // feeds 2 join sides + sizes
 
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col(idCol).as("doc_a"), col("sh"))

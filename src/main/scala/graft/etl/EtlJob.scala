@@ -28,9 +28,9 @@ object EtlJob {
     val anomalies = Cleaning.inconsistencies(bars).count()
     val filled = Cleaning.dropInvalid(
       Cleaning.forwardFill(bars, "close", Seq("symbol"), Seq(col("date"))))
-    // localCheckpoint: the frame feeds four report counts and is handed
-    // to the caller; blocks are GC-reclaimed once the caller drops it.
-    val aligned = Alignment.alignToCalendar(filled).localCheckpoint(false)
+    // feeds four report counts and is handed to the caller; blocks are
+    // GC-reclaimed once the caller drops it (see Graft.materialize).
+    val aligned = graft.Graft.materialize(Alignment.alignToCalendar(filled))
 
     val report = Report(
       symbols = aligned.select("symbol").distinct().count(),

@@ -195,7 +195,7 @@ object TextQueries {
     // the signature frame feeds four join branches — materialize it once
     // (S7 cache operator) instead of recomputing the shingle groupBy 4×;
     // localCheckpoint so the blocks don't outlive the query.
-    val sigs = Dedup.minhashMd5(sh, 16).localCheckpoint(false)
+    val sigs = Graft.materialize(Dedup.minhashMd5(sh, 16))
     val cands = Dedup.minhashCandidates(sigs, 4, 4)
     Dedup.minhashJaccard(sigs, cands, 16)
       .filter(col("jaccard_est") >= 0.5)

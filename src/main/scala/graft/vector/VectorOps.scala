@@ -119,7 +119,9 @@ object VectorOps {
     * exact sweep per bucket.
     *
     * Numerics match the expression form exactly: left-to-right double
-    * folds, cos = dot/(‖a‖·‖b‖), HALF_UP rounding to 6 dp. */
+    * folds, cos = dot/(‖a‖·‖b‖), HALF_UP rounding to 6 dp; pairs with
+    * mismatched lengths are skipped (the expression form yields null
+    * there, which can never pass the threshold). */
   def allPairsCosine(vectors: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = vectors.sparkSession
@@ -146,12 +148,11 @@ object VectorOps {
         while (i < va.length) { a(i) = va(i).toDouble; na2 += a(i) * a(i); i += 1 }
         val na = math.sqrt(na2)
         all.iterator
-          .filter(_._1 > ia)
+          .filter(p => p._1 > ia && p._2.length == a.length)
           .flatMap { case (ib, b, nb) =>
             var s = 0.0
             var j = 0
-            val len = math.min(a.length, b.length)
-            while (j < len) { s += a(j) * b(j); j += 1 }
+            while (j < a.length) { s += a(j) * b(j); j += 1 }
             val cos = if (na == 0.0 || nb == 0.0) 0.0 else round6(s / (na * nb))
             if (cos >= threshold) Some((ia, ib, cos)) else None
           }

@@ -87,6 +87,20 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0)))
   }
 
+  test("simhash UDFs are null-safe; minhashMd5 rejects overflow-prone sizes") {
+    val docs = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash(docs).orderBy("doc_id")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(sigs.head._2.isDefined && sigs(1)._2.isEmpty)
+    val sigsMd5 = Dedup.simhashMd5(docs).orderBy("doc_id")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(sigsMd5(1)._2.isEmpty)
+    val sh = Dedup.shingles(Seq((1L, "a b c d")).toDF("doc_id", "text"), 2)
+    intercept[IllegalArgumentException] { Dedup.minhashMd5(sh, 113) }
+    assert(Dedup.minhashMd5(sh, 112).columns.length == 113) // doc_id + 112 hashes
+  }
+
   test("ngram jaccard: exact for hand-computed pair") {
     // shingles(1) = {a b c, b c d, c d e}; shingles(2) = {a b c, b c d, c d x}
     // inter = 2, union = 4 -> jaccard 0.5

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Graft.Q
-import graft.operators.{CleanQueries, CoreQueries, ExtendedQueries, PatternQueries, SimilarityQueries, StreamQueries, TextQueries, TsQueries, VectorQueries}
+import graft.operators.{CleanQueries, CoreQueries, ExtendedQueries, PatternQueries, SimilarityQueries, StreamQueries, TextQueries, TrainPrepQueries, TsQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,6 +21,7 @@ object SparkEntry {
   private def modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (CoreQueries.queries, CoreQueries.oracle),
     (ExtendedQueries.queries, ExtendedQueries.oracle),
+    (TrainPrepQueries.queries, TrainPrepQueries.oracle),
     (TsQueries.queries, TsQueries.oracle),
     (SimilarityQueries.queries, SimilarityQueries.oracle),
     (PatternQueries.queries, PatternQueries.oracle),

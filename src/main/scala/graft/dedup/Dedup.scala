@@ -198,6 +198,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over an undirected pair list — turns near-dup
+    * PAIRS into duplicate CLUSTERS (the step between candidate
+    * generation and keeper selection). Iterative min-label propagation:
+    * each round every node adopts the smallest label among itself and
+    * its neighbors; converges in O(component diameter) rounds — dup
+    * clusters are shallow, so a handful. Each round is one keyed
+    * shuffle, and the label frame is re-materialized per round
+    * (Graft.materialize) so lineage doesn't stack across iterations —
+    * the canonical iterative-Spark shape at any scale. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var changed = 1L
+    while (changed > 0) {
+      val prop = labels.join(sym, col("node") === col("src"))
+        .select(col("dst").as("node"), col("label"))
+      val next = graft.Graft.materialize(
+        labels.unionByName(prop)
+          .groupBy("node").agg(min(col("label")).as("label")))
+      changed = next.as("n")
+        .join(labels.as("o"), "node")
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+    }
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity for pairs above a threshold:
     * distinct-shingle join → per-pair intersection counts → |A∩B| /
     * (|A|+|B|−|A∩B|). */

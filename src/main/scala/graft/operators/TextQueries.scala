@@ -301,6 +301,48 @@ object TextQueries {
       |WHERE rk <= 10
       |ORDER BY lang, rk""".stripMargin
 
+  /** D6: near-dup pairs → duplicate clusters (connected components via
+    * min-label propagation; the oracle replays the closure as a
+    * recursive CTE). Every member maps to its cluster = the smallest
+    * doc_id transitively reachable. */
+  val d6DupClusters: Q = (s, dir) =>
+    Dedup.connectedComponents(Dedup.ngramJaccard(nearCorpus(s, dir), 3, 0.5))
+      .select(col("node").as("doc_id"), col("label").as("cluster"))
+      .orderBy("doc_id")
+
+  val d6DupClustersSql: String =
+    nearCorpusCte.replace("WITH ", "WITH RECURSIVE ") +
+    """,
+      |w AS (SELECT doc_id,
+      |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |      FROM corpus),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+      |       WHERE len(ws) >= 3 AND length(ws[i] || ws[i+1] || ws[i+2]) > 0),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+      |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT src, dst FROM sym
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN sym e ON e.src = r.dst
+      |)
+      |SELECT node AS doc_id, MIN(lbl) AS cluster FROM (
+      |  SELECT src AS node, dst AS lbl FROM reach
+      |  UNION ALL
+      |  SELECT DISTINCT src AS node, src AS lbl FROM sym)
+      |GROUP BY node
+      |ORDER BY doc_id""".stripMargin
+
   /** T5: vocabulary building — top-5 word bigrams per language by
     * document frequency (distinct per doc via the shingle op, so a
     * bigram repeated inside one doc counts once). The scale shape:
@@ -350,6 +392,7 @@ object TextQueries {
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
+    "d6_dup_clusters" -> d6DupClusters,
   )
 
   def oracle: Map[String, String] = Map(
@@ -364,5 +407,6 @@ object TextQueries {
     "d2_minhash_lsh" -> d2MinhashLshSql,
     "d3_simhash" -> d3SimhashSql,
     "d4_ngram_jaccard" -> d4NgramJaccardSql,
+    "d6_dup_clusters" -> d6DupClustersSql,
   )
 }

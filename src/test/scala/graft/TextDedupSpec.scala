@@ -101,6 +101,16 @@ class TextDedupSpec extends SparkSpec {
     assert(Dedup.minhashMd5(sh, 112).columns.length == 113) // doc_id + 112 hashes
   }
 
+  test("connected components: chains collapse to the smallest label") {
+    // 1-2, 2-3, 3-4 chain plus isolated pair 10-11
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("ngram jaccard: exact for hand-computed pair") {
     // shingles(1) = {a b c, b c d, c d e}; shingles(2) = {a b c, b c d, c d x}
     // inter = 2, union = 4 -> jaccard 0.5

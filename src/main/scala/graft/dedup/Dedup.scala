@@ -209,8 +209,12 @@ object Dedup {
     * the canonical iterative-Spark shape at any scale. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b"): DataFrame = {
-    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize the edge list once: every iteration joins against it,
+    // and the pair-generation pipeline upstream (e.g. a shingle
+    // self-join) must not re-run per round.
+    val sym = graft.Graft.materialize(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     var changed = 1L

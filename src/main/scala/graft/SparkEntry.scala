@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Graft.Q
-import graft.operators.{CleanQueries, CoreQueries, ExtendedQueries, PatternQueries, SimilarityQueries, StreamQueries, TextQueries, TrainPrepQueries, TsQueries, VectorQueries}
+import graft.operators.{CleanQueries, CoreQueries, ExtendedQueries, IndicatorQueries, PatternQueries, SimilarityQueries, StreamQueries, TextQueries, TrainPrepQueries, TsQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,6 +23,7 @@ object SparkEntry {
     (ExtendedQueries.queries, ExtendedQueries.oracle),
     (TrainPrepQueries.queries, TrainPrepQueries.oracle),
     (TsQueries.queries, TsQueries.oracle),
+    (IndicatorQueries.queries, IndicatorQueries.oracle),
     (SimilarityQueries.queries, SimilarityQueries.oracle),
     (PatternQueries.queries, PatternQueries.oracle),
     (CleanQueries.queries, CleanQueries.oracle),

@@ -1,0 +1,228 @@
+package graft.operators
+
+import graft.Graft
+import graft.Graft.Q
+import graft.ta.{Indicators, Technical}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Technical-indicator queries over the `events` series (user_id = series
+  * key, ts = time axis, value = price): the EMA-recurrence family plus the
+  * window-frame indicators the reference's data model implies
+  * (technical.py ships SMA/returns; these are the standard next tier).
+  *
+  * Oracle notes:
+  *  - EMA/MACD recurrences replay in DuckDB as recursive CTEs stepping
+  *    rn → rn+1 per series; both sides compute α as CAST(2 AS DOUBLE)/(n+1)
+  *    and the identical `α·x + (1−α)·e` double arithmetic, so values match
+  *    bit-for-bit before the final ROUND (plain `2.0/21.0` would be DECIMAL
+  *    division in DuckDB — a different constant).
+  *  - Frame aggregates (avg/stddev/corr) drift at the last ulp between
+  *    engines (different frame-summation association); ROUND(…, 6) on
+  *    outputs — and 9 dp on RSI's inner averages — absorbs it.
+  */
+object IndicatorQueries {
+
+  private val keys = Seq("user_id")
+  private def order: Seq[Column] = Seq(col("ts"), col("event_id"))
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "events").select("event_id", "user_id", "ts", "value")
+
+  private val ordCte =
+    """WITH RECURSIVE ord AS (
+      |  SELECT event_id, user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events)""".stripMargin
+
+  /** I1: EMA(20) per series (recurrence kernel). */
+  val i1Ema: Q = (s, dir) =>
+    Indicators.ema(events(s, dir), 20)
+      .select(col("event_id"), col("user_id"), round(col("ema"), 6).as("ema"))
+      .orderBy("user_id", "event_id")
+
+  val i1EmaSql: String = {
+    val a = "(CAST(2 AS DOUBLE)/21)"
+    ordCte +
+      s""",
+        |ema AS (
+        |  SELECT user_id, rn, event_id, value AS e FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn, o.event_id,
+        |         $a * o.value + (1 - $a) * p.e
+        |  FROM ema p JOIN ord o ON o.user_id = p.user_id AND o.rn = p.rn + 1)
+        |SELECT event_id, user_id, ROUND(e, 6) AS ema
+        |FROM ema ORDER BY user_id, event_id""".stripMargin
+  }
+
+  /** I2: MACD(12, 26, 9) per series — three chained EMA recurrences in one
+    * kernel pass (fast, slow, and the signal EMA over their difference). */
+  val i2Macd: Q = (s, dir) =>
+    Indicators.macd(events(s, dir))
+      .select(col("event_id"), col("user_id"),
+        round(col("macd"), 6).as("macd"),
+        round(col("signal"), 6).as("signal"),
+        round(col("hist"), 6).as("hist"))
+      .orderBy("user_id", "event_id")
+
+  val i2MacdSql: String = {
+    val aF = "(CAST(2 AS DOUBLE)/13)"
+    val aS = "(CAST(2 AS DOUBLE)/27)"
+    val aG = "(CAST(2 AS DOUBLE)/10)"
+    val ef = s"$aF * o.value + (1 - $aF) * p.ef"
+    val es = s"$aS * o.value + (1 - $aS) * p.es"
+    ordCte +
+      s""",
+        |m AS (
+        |  SELECT user_id, rn, event_id,
+        |         value AS ef, value AS es, CAST(0 AS DOUBLE) AS sig
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn, o.event_id,
+        |         $ef AS ef,
+        |         $es AS es,
+        |         $aG * (($ef) - ($es)) + (1 - $aG) * p.sig AS sig
+        |  FROM m p JOIN ord o ON o.user_id = p.user_id AND o.rn = p.rn + 1)
+        |SELECT event_id, user_id,
+        |  ROUND(ef - es, 6) AS macd,
+        |  ROUND(sig, 6) AS signal,
+        |  ROUND((ef - es) - sig, 6) AS hist
+        |FROM m ORDER BY user_id, event_id""".stripMargin
+  }
+
+  /** I3: Bollinger(20, 2) bands, null warm-up like SMA. */
+  val i3Bollinger: Q = (s, dir) => {
+    val (mid, up, lo) = Indicators.bollinger(col("value"), 20, 2.0, keys, order)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        round(mid, 6).as("mid"), round(up, 6).as("upper"), round(lo, 6).as("lower"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val i3BollingerSql: String = ordCte.replace("WITH RECURSIVE ", "WITH ") +
+    """,
+      |b AS (
+      |  SELECT event_id, user_id, rn,
+      |    AVG(value) OVER w AS mid,
+      |    STDDEV_SAMP(value) OVER w AS sd
+      |  FROM ord
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY rn
+      |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id,
+      |  CASE WHEN rn >= 20 THEN ROUND(mid, 6) END AS mid,
+      |  CASE WHEN rn >= 20 THEN ROUND(mid + 2 * sd, 6) END AS upper,
+      |  CASE WHEN rn >= 20 THEN ROUND(mid - 2 * sd, 6) END AS lower
+      |FROM b ORDER BY user_id, event_id""".stripMargin
+
+  /** I4: Cutler RSI(14) — simple-average gains/losses over the last 14
+    * changes; 100 on zero average loss. */
+  val i4Rsi: Q = (s, dir) =>
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        round(Indicators.rsiCutler(col("value"), 14, keys, order), 6).as("rsi"))
+      .orderBy("user_id", "event_id")
+
+  val i4RsiSql: String = ordCte.replace("WITH RECURSIVE ", "WITH ") +
+    """,
+      |d AS (
+      |  SELECT event_id, user_id, rn,
+      |    value - lag(value) OVER (PARTITION BY user_id ORDER BY rn) AS diff
+      |  FROM ord),
+      |g AS (
+      |  SELECT event_id, user_id, rn,
+      |    CASE WHEN diff IS NULL THEN NULL
+      |         WHEN diff > 0 THEN diff ELSE CAST(0 AS DOUBLE) END AS gain,
+      |    CASE WHEN diff IS NULL THEN NULL
+      |         WHEN diff < 0 THEN -diff ELSE CAST(0 AS DOUBLE) END AS loss
+      |  FROM d),
+      |a AS (
+      |  SELECT event_id, user_id, rn,
+      |    ROUND(AVG(gain) OVER w, 9) AS ag,
+      |    ROUND(AVG(loss) OVER w, 9) AS al
+      |  FROM g
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY rn
+      |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id,
+      |  CASE WHEN rn >= 15 THEN
+      |    ROUND(CASE WHEN al = 0 THEN CAST(100 AS DOUBLE)
+      |               ELSE 100 - 100 / (1 + ag / al) END, 6)
+      |  END AS rsi
+      |FROM a ORDER BY user_id, event_id""".stripMargin
+
+  /** I5: maximum drawdown per series (min of value/running-peak − 1). */
+  val i5Drawdown: Q = (s, dir) =>
+    events(s, dir)
+      .withColumn("dd", Indicators.drawdown(col("value"), keys, order))
+      .groupBy("user_id")
+      .agg(round(min(col("dd")), 6).as("max_drawdown"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+
+  val i5DrawdownSql: String =
+    """WITH dd AS (
+      |  SELECT user_id,
+      |    value / MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - 1 AS dd
+      |  FROM events)
+      |SELECT user_id, ROUND(MIN(dd), 6) AS max_drawdown, COUNT(*) AS n
+      |FROM dd GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** I6: cumulative simple return from each series start. */
+  val i6CumReturn: Q = (s, dir) =>
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        round(Indicators.cumReturn(col("value"), keys, order), 6).as("cum_ret"))
+      .orderBy("user_id", "event_id")
+
+  val i6CumReturnSql: String =
+    """SELECT event_id, user_id,
+      |  ROUND(value / first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 6) AS cum_ret
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** I7: rolling lag-1 autocorrelation (30-row frame) per series. */
+  val i7RollingAutocorr: Q = (s, dir) => {
+    val ac = Indicators.withRollingAutocorr(
+      events(s, dir), "value", 30, keys, order, "autocorr")
+    ac.select(col("event_id"), col("user_id"),
+        round(when(isnan(col("autocorr")), lit(null)).otherwise(col("autocorr")), 6)
+          .as("autocorr"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val i7RollingAutocorrSql: String = ordCte.replace("WITH RECURSIVE ", "WITH ") +
+    """,
+      |p AS (
+      |  SELECT event_id, user_id, rn, value,
+      |    lag(value) OVER (PARTITION BY user_id ORDER BY rn) AS prev
+      |  FROM ord),
+      |c AS (
+      |  SELECT event_id, user_id, rn,
+      |    CORR(value, prev) OVER (PARTITION BY user_id ORDER BY rn
+      |                            ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS ac
+      |  FROM p)
+      |SELECT event_id, user_id,
+      |  CASE WHEN rn >= 31 THEN ROUND(ac, 6) END AS autocorr
+      |FROM c ORDER BY user_id, event_id""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "i1_ema" -> i1Ema,
+    "i2_macd" -> i2Macd,
+    "i3_bollinger" -> i3Bollinger,
+    "i4_rsi" -> i4Rsi,
+    "i5_drawdown" -> i5Drawdown,
+    "i6_cum_return" -> i6CumReturn,
+    "i7_rolling_autocorr" -> i7RollingAutocorr,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "i1_ema" -> i1EmaSql,
+    "i2_macd" -> i2MacdSql,
+    "i3_bollinger" -> i3BollingerSql,
+    "i4_rsi" -> i4RsiSql,
+    "i5_drawdown" -> i5DrawdownSql,
+    "i6_cum_return" -> i6CumReturnSql,
+    "i7_rolling_autocorr" -> i7RollingAutocorrSql,
+  )
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Graft.Q
-import graft.operators.{CleanQueries, CoreQueries, ExtendedQueries, IndicatorQueries, PatternQueries, SimilarityQueries, StreamQueries, TextQueries, TrainPrepQueries, TsQueries, VectorQueries}
+import graft.operators.{CleanQueries, CoreQueries, ExtendedQueries, IndicatorQueries, PatternQueries, QualityQueries, SimilarityQueries, StreamQueries, TextQueries, TrainPrepQueries, TsQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,6 +28,7 @@ object SparkEntry {
     (PatternQueries.queries, PatternQueries.oracle),
     (CleanQueries.queries, CleanQueries.oracle),
     (TextQueries.queries, TextQueries.oracle),
+    (QualityQueries.queries, QualityQueries.oracle),
     (VectorQueries.queries, VectorQueries.oracle),
     (StreamQueries.queries, StreamQueries.oracle),
   )

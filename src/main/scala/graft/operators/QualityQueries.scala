@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.Graft
+import graft.Graft.Q
+import graft.sketch.Sketches
+import graft.text.QualitySignals
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene + sketch queries for the training-data pipeline:
+  * repetition-based quality filtering (the Gopher/C4 signal family), PII
+  * redaction, TF-IDF term scoring, and the KMV distinct sketch.
+  *
+  * The documents table carries no PII, so t12 injects deterministic
+  * emails/phones for doc_id % 7 = 0 (same corpus-building pattern as
+  * TextQueries' dedup corpora) and the oracle builds the identical corpus
+  * in SQL. */
+object QualityQueries {
+
+  /** T11: per-doc repetition signals (dup-word ratio, top-bigram mass). */
+  val t11Repetition: Q = (s, dir) =>
+    QualitySignals.repetition(
+        Graft.table(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "n_words", "dup_word_ratio", "top_bigram_ratio", "repetitive")
+      .orderBy("doc_id")
+
+  val t11RepetitionSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ws) = 1 AND ws[1] = '' THEN CAST([] AS VARCHAR[]) ELSE ws END AS ws
+      |  FROM w),
+      |stats AS (
+      |  SELECT doc_id, len(ws) AS n_words,
+      |    CASE WHEN len(ws) > 0
+      |         THEN ROUND(1 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+      |         ELSE CAST(0 AS DOUBLE) END AS dup_word_ratio
+      |  FROM base),
+      |bg AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+      |  FROM base, UNNEST(range(1, len(ws))) AS t(i)
+      |  WHERE len(ws) >= 2),
+      |cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |tbr AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS tbr
+      |        FROM cnt GROUP BY 1)
+      |SELECT s.doc_id, s.n_words, s.dup_word_ratio,
+      |  COALESCE(t.tbr, CAST(0 AS DOUBLE)) AS top_bigram_ratio,
+      |  (s.dup_word_ratio > 0.3 OR COALESCE(t.tbr, CAST(0 AS DOUBLE)) > 0.2) AS repetitive
+      |FROM stats s LEFT JOIN tbr t USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** The PII-injected corpus shared by the Spark query and the oracle. */
+  private def piiCorpus(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "documents").select("doc_id", "text")
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" Contact: user"), col("doc_id").cast("string"),
+            lit("@example.com or call +1-555-"), col("doc_id").cast("string"), lit(".")))
+          .otherwise(col("text")))
+
+  private val piiCorpusCte =
+    """WITH pii AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN text || ' Contact: user' || CAST(doc_id AS VARCHAR) ||
+      |              '@example.com or call +1-555-' || CAST(doc_id AS VARCHAR) || '.'
+      |         ELSE text END AS text
+      |  FROM documents)""".stripMargin
+
+  /** T12: PII counting + redaction (emails, phones) over the corpus. */
+  val t12PiiRedact: Q = (s, dir) =>
+    QualitySignals.redactPii(piiCorpus(s, dir), "text")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("redacted")).as("red_fp"))
+      .orderBy("doc_id")
+
+  val t12PiiRedactSql: String = piiCorpusCte +
+    s"""
+      |SELECT doc_id,
+      |  len(regexp_extract_all(text, '${QualitySignals.EmailPattern}')) AS n_emails,
+      |  len(regexp_extract_all(text, '${QualitySignals.PhonePattern}')) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(text, '${QualitySignals.EmailPattern}', '<EMAIL>', 'g'),
+      |      '${QualitySignals.PhonePattern}', '<PHONE>', 'g')) AS red_fp
+      |FROM pii ORDER BY doc_id""".stripMargin
+
+  /** T13: KMV distinct sketch over lineitem part keys vs the exact count. */
+  val t13KmvDistinct: Q = (s, dir) => {
+    val li = Graft.table(s, dir, "lineitem").select("l_partkey")
+    Sketches.kmvEstimate(li, col("l_partkey"), 64)
+      .crossJoin(li.agg(countDistinct(col("l_partkey")).as("n_exact")))
+      .select(col("k"), col("n_exact"), col("est"),
+        round(abs(col("est") - col("n_exact")) / col("n_exact"), 6).as("rel_err"))
+  }
+
+  val t13KmvDistinctSql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT
+      |    CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM lineitem),
+      |kmin AS (SELECT h FROM h ORDER BY h LIMIT 64),
+      |agg AS (SELECT COUNT(*) AS kk, MAX(h) AS hk FROM kmin),
+      |ex AS (SELECT COUNT(DISTINCT l_partkey) AS n_exact FROM lineitem),
+      |est AS (
+      |  SELECT CAST(64 AS BIGINT) AS k, n_exact,
+      |    ROUND(CASE WHEN kk < 64 THEN CAST(kk AS DOUBLE)
+      |          ELSE CAST(kk - 1 AS DOUBLE) /
+      |               (hk / CAST(1152921504606846976 AS DOUBLE)) END, 6) AS est
+      |  FROM agg CROSS JOIN ex)
+      |SELECT k, n_exact, est, ROUND(ABS(est - n_exact) / n_exact, 6) AS rel_err
+      |FROM est""".stripMargin
+
+  /** T14: TF-IDF — top-3 terms per document, ranked on the ROUNDED score
+    * (cross-engine float policy) with a word tiebreak. */
+  val t14Tfidf: Q = (s, dir) => {
+    val docs = Graft.table(s, dir, "documents").select("doc_id", "text")
+    val n = broadcast(docs.agg(count(lit(1)).cast("double").as("n_docs")))
+    val tf = docs
+      .select(col("doc_id"), explode(QualitySignals.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    tf.join(dfreq, "word").crossJoin(n)
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("word"), col("score"), col("rk").cast("long").as("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val t14TfidfSql: String =
+    """WITH wd AS (
+      |  SELECT doc_id, UNNEST(
+      |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+      |  FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf
+      |       FROM wd WHERE length(word) > 0 GROUP BY 1, 2),
+      |dfq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+      |sc AS (
+      |  SELECT doc_id, word, ROUND(tf * ln(n_docs / df), 6) AS score
+      |  FROM tf JOIN dfq USING (word) CROSS JOIN n),
+      |rk AS (
+      |  SELECT doc_id, word, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk
+      |  FROM sc)
+      |SELECT doc_id, word, score, rk FROM rk
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "t11_repetition" -> t11Repetition,
+    "t12_pii_redact" -> t12PiiRedact,
+    "t13_kmv_distinct" -> t13KmvDistinct,
+    "t14_tfidf" -> t14Tfidf,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "t11_repetition" -> t11RepetitionSql,
+    "t12_pii_redact" -> t12PiiRedactSql,
+    "t13_kmv_distinct" -> t13KmvDistinctSql,
+    "t14_tfidf" -> t14TfidfSql,
+  )
+}

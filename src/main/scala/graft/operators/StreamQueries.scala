@@ -83,15 +83,42 @@ object StreamQueries {
       |FROM red GROUP BY user_id, tsu
       |ORDER BY user_id, tsu""".stripMargin
 
+  /** S-W4: view→purchase attribution (batch form of the stream-stream
+    * interval join — StreamingSpec proves the incremental run emits the
+    * same pairs). Per purchase: views of the same user in the preceding
+    * hour, rolled up to first-touch. Runs on µs-truncated time like s2
+    * (the oracle's TIMESTAMP comparisons are µs). */
+  val s4Attribution: Q = (s, dir) =>
+    EventStream.attributionBatch(
+        Graft.table(s, dir, "events").withColumn("ts", expr("ts div 1000")),
+        3600L * 1000 * 1000)
+      .select(col("purchase_id"), col("user_id"), col("n_views"),
+        col("first_view_ts").as("first_view_us"))
+      .orderBy("user_id", "purchase_id")
+
+  val s4AttributionSql: String =
+    """WITH v AS (SELECT user_id, epoch_us(ts) AS tsu, event_id
+      |           FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, epoch_us(ts) AS tsu, event_id
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id AS purchase_id, p.user_id AS user_id, COUNT(*) AS n_views,
+      |  MIN(v.tsu) AS first_view_us
+      |FROM p JOIN v ON v.user_id = p.user_id
+      |  AND v.tsu < p.tsu AND v.tsu >= p.tsu - 3600000000
+      |GROUP BY 1, 2
+      |ORDER BY 2, 1""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "s1_window_agg" -> s1WindowAgg,
     "s2_sessionize" -> s2Sessionize,
     "s3_event_dedup" -> s3EventDedup,
+    "s4_attribution" -> s4Attribution,
   )
 
   def oracle: Map[String, String] = Map(
     "s1_window_agg" -> s1WindowAggSql,
     "s2_sessionize" -> s2SessionizeSql,
     "s3_event_dedup" -> s3EventDedupSql,
+    "s4_attribution" -> s4AttributionSql,
   )
 }

@@ -63,6 +63,48 @@ object EventStream {
     events.withWatermark("tsm", lateness)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Batch view→purchase attribution pairs: every (view, purchase) of the
+    * same user where the view precedes the purchase by ≤ windowNs. The
+    * scale shape is an equi-join on user_id (one keyed shuffle) with the
+    * time band as a post-join filter — never a cross product. */
+  def attributionPairs(events: DataFrame, windowNs: Long): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") < col("p_ts") && col("v_ts") >= col("p_ts") - windowNs)
+      .select("purchase_id", "user_id", "p_ts", "view_id", "v_ts")
+  }
+
+  /** Roll-up of [[attributionPairs]]: per purchase, how many views led to
+    * it and the first of them (first-touch attribution). */
+  def attributionBatch(events: DataFrame, windowNs: Long): DataFrame =
+    attributionPairs(events, windowNs)
+      .groupBy("purchase_id", "user_id")
+      .agg(count(lit(1)).as("n_views"), min(col("v_ts")).as("first_view_ts"))
+
+  /** Streaming form: a stream-stream inner join under watermarks. The
+    * event-time band (v_tsm in [p_tsm − window, p_tsm)) bounds how long
+    * view state must be retained, so state stays proportional to the
+    * attribution window, not the stream length. Both inputs need an
+    * event-time column `tsm`. */
+  def attributionStream(views: DataFrame, purchases: DataFrame,
+      windowSpec: String = "1 hour", lateness: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("tsm", lateness)
+      .select(col("user_id").as("v_user"), col("tsm").as("v_tsm"),
+        col("event_id").as("view_id"))
+    val p = purchases.withWatermark("tsm", lateness)
+      .select(col("user_id"), col("tsm").as("p_tsm"),
+        col("event_id").as("purchase_id"))
+    p.join(v, col("user_id") === col("v_user") &&
+      col("v_tsm") < col("p_tsm") &&
+      col("v_tsm") >= col("p_tsm") - expr(s"INTERVAL $windowSpec"))
+      .select("purchase_id", "user_id", "view_id")
+  }
+
   // ---- streaming sessionization (custom state, flatMapGroupsWithState) ----
 
   case class Ev(user_id: Long, ts: Long, value: Double)

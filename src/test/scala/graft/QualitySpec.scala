@@ -1,0 +1,70 @@
+package graft
+
+import graft.sketch.Sketches
+import graft.text.QualitySignals
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene signals (text.QualitySignals) + KMV sketch (sketch.Sketches). */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition: distinct text scores low, repeated text scores high") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spam spam spam spam spam spam spam spam"),
+      (3L, "ok"),
+      (4L, ""),
+    ).toDF("doc_id", "text")
+    val got = QualitySignals.repetition(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_words", "dup_word_ratio", "top_bigram_ratio", "repetitive")
+      .as[(Long, Double, Double, Boolean)].collect()
+
+    val (n1, dwr1, tbr1, rep1) = got(0)
+    assert(n1 == 9 && approx(dwr1, 1.0 - 8.0 / 9, 1e-6) && !rep1)
+    assert(approx(tbr1, 1.0 / 8, 1e-6)) // 8 bigrams, all distinct
+
+    val (n2, dwr2, tbr2, rep2) = got(1)
+    assert(n2 == 8 && approx(dwr2, 1.0 - 1.0 / 8, 1e-6))
+    assert(approx(tbr2, 1.0, 1e-6) && rep2) // single bigram repeated
+
+    val (n3, dwr3, tbr3, rep3) = got(2)
+    assert(n3 == 1 && dwr3 == 0.0 && tbr3 == 0.0 && !rep3)
+
+    val (n4, dwr4, _, rep4) = got(3)
+    assert(n4 == 0 && dwr4 == 0.0 && !rep4)
+  }
+
+  test("redactPii counts and strips emails + phones") {
+    val docs = Seq(
+      (1L, "reach me at jo.doe+spam@mail.example.org or +44-207-9460000 thanks"),
+      (2L, "no pii here"),
+    ).toDF("doc_id", "text")
+    val got = QualitySignals.redactPii(docs, "text")
+      .orderBy("doc_id")
+      .select("n_emails", "n_phones", "redacted")
+      .as[(Long, Long, String)].collect()
+    assert(got(0) == ((1L, 1L, "reach me at <EMAIL> or <PHONE> thanks")))
+    assert(got(1) == ((0L, 0L, "no pii here")))
+  }
+
+  test("kmv: exact when distinct < k, within 30% when distinct >> k") {
+    val small = (1 to 10).map(i => i % 5).toDF("x")
+    val (kS, estS) = Sketches.kmvEstimate(small, col("x"), 64)
+      .as[(Long, Double)].head()
+    assert(kS == 64 && estS == 5.0)
+
+    val big = (1 to 20000).map(_ % 4000).toDF("x").repartition(8)
+    val (_, estB) = Sketches.kmvEstimate(big, col("x"), 64)
+      .as[(Long, Double)].head()
+    assert(math.abs(estB - 4000) / 4000.0 < 0.3, s"est $estB too far from 4000")
+  }
+
+  test("kmv estimate is invariant to partitioning and duplication") {
+    val a = (1 to 5000).map(_ % 1000).toDF("x")
+    val e1 = Sketches.kmvEstimate(a.repartition(2), col("x"), 32).as[(Long, Double)].head()._2
+    val e2 = Sketches.kmvEstimate(a.repartition(13), col("x"), 32).as[(Long, Double)].head()._2
+    val e3 = Sketches.kmvEstimate(a.union(a), col("x"), 32).as[(Long, Double)].head()._2
+    assert(e1 == e2 && e2 == e3)
+  }
+}

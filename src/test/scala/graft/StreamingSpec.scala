@@ -98,6 +98,44 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("stream-stream attribution join emits the same pairs as batch") {
+    implicit val sc = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(minOff: Int) = new java.sql.Timestamp(t0.getTime + minOff * 60000L)
+    // views for users 1 and 2; purchases inside/outside the 1h window
+    val views = Seq((1L, ts(0), 100L), (1L, ts(30), 101L), (2L, ts(0), 102L))
+    val purchases = Seq(
+      (1L, ts(45), 200L),  // attributes to views 100 and 101
+      (2L, ts(90), 201L),  // view 102 is 90min earlier — outside 1h
+      (3L, ts(50), 202L))  // no views at all
+
+    val vStream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val pStream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = EventStream.attributionStream(
+        vStream.toDF().toDF("user_id", "tsm", "event_id"),
+        pStream.toDF().toDF("user_id", "tsm", "event_id"))
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    vStream.addData(views)
+    q.processAllAvailable()
+    pStream.addData(purchases)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("attr")
+      .select("purchase_id", "user_id", "view_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((200L, 1L, 100L), (200L, 1L, 101L)))
+
+    // batch form over the union of both sides agrees pair-for-pair
+    val events = (views.map { case (u, t, id) => (id, u, t.getTime * 1000000L, "view") }
+      ++ purchases.map { case (u, t, id) => (id, u, t.getTime * 1000000L, "purchase") })
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val batch = EventStream.attributionPairs(events, 3600L * 1000 * 1000 * 1000)
+      .select("purchase_id", "user_id", "view_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch == got)
+  }
+
   test("stateful sessionizer closes sessions across micro-batches like batch") {
     implicit val sc = spark.sqlContext
     val M = 60L * 1000 * 1000 * 1000 // one minute in ns

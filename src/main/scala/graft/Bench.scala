@@ -15,6 +15,20 @@ object Bench {
       spark.range(1 << 20).selectExpr("sum(id)").collect()
       Seq("lineitem", "orders", "events", "documents", "embeddings")
         .foreach(t => Graft.table(spark, sfDir, t).limit(1).count())
+      // touch the heavyweight operator paths (window exec, typed
+      // groupByKey codegen, generators, joins) so their one-time JIT
+      // doesn't land on whichever query alphabetically runs them first
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val tiny = spark.range(64).select(col("id"), (col("id") % 4).as("k"))
+      tiny.withColumn("r", row_number().over(
+          Window.partitionBy("k").orderBy("id")))
+        .select(explode(array(col("r"), col("r")))).count()
+      tiny.as[(Long, Long)].groupByKey(_._2)
+        .flatMapGroups((_, it) => it.map(_._1)).count()
+      tiny.join(tiny.select(col("id").as("id2")), col("id") === col("id2"))
+        .count()
     } catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -26,19 +26,28 @@ object QualitySignals {
     * Docs with < 2 words get 0.0 ratios (nothing to repeat). */
   def repetition(df: DataFrame, idCol: String, textCol: String,
                  dupWordMax: Double = 0.3, topBigramMax: Double = 0.2): DataFrame = {
-    val ws = words(col(textCol))
-    val base = df.select(col(idCol),
-        when(size(ws) === 1 && element_at(ws, 1) === "", array().cast("array<string>"))
-          .otherwise(ws).as("ws"))
+    // Materialize the split as a real column FIRST (same trap as
+    // Dedup.shingles): anything referenced inside the transform lambda
+    // must be an attribute, or it re-evaluates per array element — and a
+    // multiply-referenced inline split also balloons the generated code
+    // (measured ~16 s of first-run Janino/JIT on 5k docs).
+    val base = df
+      .withColumn("__ws", words(col(textCol)))
+      .select(col(idCol), col("__ws").as("ws"),
+        // empty text normalizes to [""] — count it as 0 words
+        when(size(col("__ws")) === 1 && element_at(col("__ws"), 1) === "", lit(0))
+          .otherwise(size(col("__ws"))).as("nw"))
     val wordStats = base.select(col(idCol),
-      size(col("ws")).cast("long").as("n_words"),
-      when(size(col("ws")) > 0,
-        round(lit(1.0) - size(array_distinct(col("ws"))).cast("double") / size(col("ws")), 6))
+      col("nw").cast("long").as("n_words"),
+      when(col("nw") > 0,
+        round(lit(1.0) - size(array_distinct(col("ws"))).cast("double") / col("nw"), 6))
         .otherwise(lit(0.0)).as("dup_word_ratio"))
+    val idxs = when(col("nw") >= 2, sequence(lit(1), col("nw") - 1))
+      .otherwise(array().cast("array<int>"))
     val bigrams = base.select(col(idCol),
-        explode(when(size(col("ws")) >= 2,
-          expr("transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))"))
-          .otherwise(array().cast("array<string>"))).as("bg"))
+        explode(transform(idxs, i =>
+          concat(element_at(col("ws"), i), lit(" "), element_at(col("ws"), i + 1))))
+          .as("bg"))
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
       .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_bigram_ratio"))

@@ -19,7 +19,7 @@ def type_cat(t):
     (e.g. DuckDB HUGEINT -> pandas float64), so value equality alone is
     not enough."""
     if pt.is_integer(t):
-        return "int"
+        return f"int{t.bit_width}"
     if pt.is_floating(t):
         return "float"
     if pt.is_decimal(t):

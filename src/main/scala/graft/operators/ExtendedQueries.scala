@@ -204,7 +204,7 @@ object ExtendedQueries {
       |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
       |  GROUP BY e.user_id)
       |SELECT stage, stage_name, COUNT(*) AS n_users FROM (
-      |  SELECT 1 AS stage, 'view' AS stage_name, user_id FROM views
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name, user_id FROM views
       |  UNION ALL SELECT 2, 'click', user_id FROM clicks
       |  UNION ALL SELECT 3, 'purchase', user_id FROM buys)
       |GROUP BY stage, stage_name ORDER BY stage""".stripMargin

@@ -24,13 +24,17 @@ object TrainPrepQueries {
 
   /** T7: overlapping token-window chunking (size 50, stride 40). Chunk
     * identity is pinned by an md5 of the chunk text, so the oracle
-    * proves contents — not just counts — match. */
+    * proves contents — not just counts — match. Empty/whitespace-only
+    * docs count 0 tokens (same emptiness gate as [[t8Pack]]) and emit
+    * no chunks — `split` alone would yield `[""]` (n=1 phantom chunk). */
   val t7Chunk: Q = (s, dir) => {
     val chunkSize = 50
     val stride = 40
     Graft.table(s, dir, "documents")
       .withColumn("__words", words(col("text")))
-      .withColumn("n", size(col("__words")))
+      .withColumn("n",
+        when(length(trim(col("text"))) === 0, 0)
+          .otherwise(size(col("__words"))))
       .filter(col("n") >= 1)
       .withColumn("start", explode(sequence(lit(1), col("n"), lit(stride))))
       .select(col("doc_id"),
@@ -43,9 +47,12 @@ object TrainPrepQueries {
   val t7ChunkSql: String =
     """WITH w AS (
       |  SELECT doc_id,
-      |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws,
+      |    length(trim(text)) = 0 AS is_empty
       |  FROM documents),
-      |n AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) >= 1)
+      |n AS (SELECT doc_id, ws,
+      |        CASE WHEN is_empty THEN 0 ELSE len(ws) END AS n
+      |      FROM w)
       |SELECT doc_id,
       |  (start - 1) // 40 AS chunk_idx,
       |  LEAST(50, n - start + 1) AS chunk_tokens,
@@ -71,7 +78,8 @@ object TrainPrepQueries {
       .select(col("lang"), col("doc_id"),
         col("n_tokens").cast("long").as("n_tokens"),
         floor(col("start_offset") / budget).cast("long").as("pack_id"),
-        (floor(col("start_offset") / budget) =!=
+        (col("n_tokens") > 0 &&
+          floor(col("start_offset") / budget) =!=
           floor((col("end_offset") - 1) / budget)).as("straddles"))
       .orderBy("lang", "doc_id")
   }
@@ -90,7 +98,8 @@ object TrainPrepQueries {
       |  FROM t)
       |SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
       |  CAST((end_offset - n_tokens) // 2048 AS BIGINT) AS pack_id,
-      |  (end_offset - n_tokens) // 2048 <> (end_offset - 1) // 2048 AS straddles
+      |  (n_tokens > 0 AND
+      |   (end_offset - n_tokens) // 2048 <> (end_offset - 1) // 2048) AS straddles
       |FROM o
       |ORDER BY lang, doc_id""".stripMargin
 

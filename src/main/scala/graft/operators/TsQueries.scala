@@ -128,7 +128,7 @@ object TsQueries {
   val a6RiskClassify: Q = (s, dir) =>
     Volatility.classify(volsDf(s, dir), Seq(col("user_id")))
       .select(col("user_id"), col("vol"), col("risk_class"),
-        col("rank").as("risk_rank"))
+        col("rank").cast("long").as("risk_rank"))
       .orderBy("risk_rank")
 
   val a6RiskClassifySql: String = volsCte +
@@ -190,7 +190,8 @@ object TsQueries {
         org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
       .withColumn("step", greatest(lit(1), ceil(col("n") / 200).cast("int")))
     posed.filter((col("pos") - 1) % col("step") === 0)
-      .select(col("user_id"), col("pos"), round(col("value"), 6).as("value"))
+      .select(col("user_id"), col("pos").cast("long").as("pos"),
+        round(col("value"), 6).as("value"))
       .orderBy("user_id", "pos")
   }
 

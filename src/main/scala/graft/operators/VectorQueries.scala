@@ -109,7 +109,7 @@ object VectorQueries {
       |SELECT doc_id, n AS n_bytes,
       |  64 + n % 512 AS width,
       |  64 + (n * 7) % 512 AS height,
-      |  3 AS channels,
+      |  CAST(3 AS BIGINT) AS channels,
       |  CASE WHEN n % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
       |FROM t ORDER BY doc_id""".stripMargin
 

@@ -48,7 +48,14 @@ object EventStream {
 
   /** Exact dedup of re-delivered events on a content key (batch form):
     * keeps the lowest event_id per key and reports how often the key was
-    * seen. One keyed shuffle — the same shape at any scale. */
+    * seen. One keyed shuffle — the same shape at any scale.
+    *
+    * Equivalence caveat: [[dedupStream]] keeps the FIRST ARRIVAL per key,
+    * while this keeps min(event_id). The two agree only when redelivered
+    * events carry larger event_ids than the original (true for the
+    * synthesized events corpus, and typical of log-structured sources,
+    * but not guaranteed in general). To dedup by arrival order in batch,
+    * key the keeper on an explicit arrival column instead of event_id. */
   def dedupBatch(events: DataFrame, keys: Seq[String]): DataFrame =
     events.groupBy(keys.map(col): _*)
       .agg(min(col("event_id")).as("event_id"), count(lit(1)).as("n_seen"))

@@ -60,7 +60,8 @@ object VectorOps {
       Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** IVF coarse quantization: assign each vector to its nearest centroid
@@ -103,7 +104,8 @@ object VectorOps {
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** All-pairs cosine near-dup pairs (a < b, rounded cos ≥ threshold).

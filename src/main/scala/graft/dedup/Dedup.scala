@@ -217,19 +217,29 @@ object Dedup {
         .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    var changed = 1L
-    while (changed > 0) {
+    // Convergence test: per-node min-labels are monotonically
+    // non-increasing, so Σlabel strictly decreases iff any node changed —
+    // one decimal aggregate per round instead of a join-with-previous +
+    // count (decimal so the test cannot overflow at any id scale).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var rounds = 0
+    var done = false
+    while (!done) {
       val prop = labels.join(sym, col("node") === col("src"))
         .select(col("dst").as("node"), col("label"))
       val next = graft.Graft.materialize(
         labels.unionByName(prop)
           .groupBy("node").agg(min(col("label")).as("label")))
-      changed = next.as("n")
-        .join(labels.as("o"), "node")
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
+      val s = labelSum(next)
+      done = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
+      rounds += 1
     }
+    if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+      System.err.println(s"[cc] converged after $rounds rounds")
     labels
   }
 

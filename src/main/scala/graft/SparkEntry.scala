@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Graft.Q
-import graft.operators.{CleanQueries, CoreQueries, ExtendedQueries, IndicatorQueries, PatternQueries, QualityQueries, SimilarityQueries, StreamQueries, TextQueries, TrainPrepQueries, TsQueries, VectorQueries}
+import graft.operators.{CleanQueries, CoreQueries, CorpusQueries, ExtendedQueries, IndicatorQueries, MarketQueries, PatternQueries, QualityQueries, SimilarityQueries, StreamQueries, TextQueries, TrainPrepQueries, TsQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,6 +24,8 @@ object SparkEntry {
     (TrainPrepQueries.queries, TrainPrepQueries.oracle),
     (TsQueries.queries, TsQueries.oracle),
     (IndicatorQueries.queries, IndicatorQueries.oracle),
+    (MarketQueries.queries, MarketQueries.oracle),
+    (CorpusQueries.queries, CorpusQueries.oracle),
     (SimilarityQueries.queries, SimilarityQueries.oracle),
     (PatternQueries.queries, PatternQueries.oracle),
     (CleanQueries.queries, CleanQueries.oracle),

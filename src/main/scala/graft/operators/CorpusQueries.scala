@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.Graft
+import graft.Graft.Q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators over `documents` (driver north-star):
+  * balanced stratified sampling, boilerplate detection, and statistical
+  * language-model quality scoring — the selection/filtering layer of a
+  * training-data pipeline.
+  *
+  * Scale shapes: balanced sampling is one window by stratum plus a
+  * broadcast of the (tiny) per-stratum quota; boilerplate detection is a
+  * single hash-groupBy on a constant-size prefix fingerprint (never the
+  * full text); LM scoring is two keyed aggregations over the corpus
+  * bigram stream joined back to the per-document bigrams — all joins are
+  * keyed shuffles on the bigram/unigram, no pairwise blowup.
+  */
+object CorpusQueries {
+
+  private def words(c: org.apache.spark.sql.Column) =
+    split(regexp_replace(lower(trim(c)), "\\s+", " "), " ")
+
+  /** Emptiness gate shared with TrainPrepQueries: whitespace-only text
+    * counts zero tokens (`split` alone would yield `[""]`). */
+  private def tokenized(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Graft.table(s, dir, "documents")
+      .withColumn("ws", words(col("text")))
+      .withColumn("n",
+        when(length(trim(col("text"))) === 0, 0).otherwise(size(col("ws"))))
+
+  /** T15: balanced stratified sample — downsample every language to the
+    * size of the smallest one, keeping each stratum's md5-smallest doc
+    * ids (deterministic, engine-independent, no RNG state). The quota is
+    * a one-row broadcast; the per-stratum ranking is one window. */
+  val t15BalancedSample: Q = (s, dir) => {
+    val docs = Graft.table(s, dir, "documents")
+    val quota = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .agg(min(col("cnt")).as("k"))
+    docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .crossJoin(broadcast(quota))
+      .filter(col("rk") <= col("k"))
+      .select(col("lang"), col("doc_id"), col("rk").cast("long").as("rk"))
+      .orderBy("lang", "doc_id")
+  }
+
+  val t15BalancedSampleSql: String =
+    """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+      |k AS (SELECT MIN(cnt) AS k FROM c),
+      |r AS (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+      |FROM r, k WHERE rk <= k
+      |ORDER BY lang, doc_id""".stripMargin
+
+  /** T16: boilerplate-prefix detection — fingerprint each document's
+    * first 10 tokens and report prefixes shared by ≥ 2 documents (shared
+    * headers/templates are the classic boilerplate signal). Groups on a
+    * 32-byte fingerprint, so the shuffle payload is constant per doc
+    * regardless of document length. */
+  val t16BoilerplatePrefix: Q = (s, dir) =>
+    tokenized(s, dir)
+      .filter(col("n") >= 10)
+      .withColumn("prefix_fp", md5(concat_ws(" ", slice(col("ws"), 1, 10))))
+      .groupBy("prefix_fp")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("prefix_fp")
+
+  val t16BoilerplatePrefixSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws,
+      |    length(trim(text)) = 0 AS is_empty
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, md5(array_to_string(ws[1:10], ' ')) AS prefix_fp
+      |  FROM w WHERE NOT is_empty AND len(ws) >= 10)
+      |SELECT prefix_fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+      |FROM p GROUP BY 1 HAVING COUNT(*) >= 2
+      |ORDER BY prefix_fp""".stripMargin
+
+  /** T17: bigram language-model quality score — the mean add-one-smoothed
+    * conditional log-probability ln((c(w1,w2)+1)/(c(w1,·)+V)) of each
+    * document's bigrams under the corpus's own counts. Low scores flag
+    * incoherent/outlier documents (statistical quality filtering à la
+    * CCNet). Per-doc mean runs as an exact decimal sum / count so group
+    * aggregation order cannot move the 6-dp round. */
+  val t17LmScore: Q = (s, dir) => {
+    val toks = tokenized(s, dir).filter(col("n") >= 2)
+    val bi = toks
+      .select(col("doc_id"), col("ws"), explode(sequence(lit(1), col("n") - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("ws"), col("i")).as("w1"),
+        element_at(col("ws"), col("i") + 1).as("w2"))
+    val biM = Graft.materialize(bi) // feeds bigram counts, unigram counts, and the per-doc score join
+    val c12 = biM.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = biM.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = tokenized(s, dir).filter(col("n") >= 1)
+      .select(explode(col("ws")).as("w")).agg(countDistinct(col("w")).as("v"))
+    biM
+      .join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  val t17LmScoreSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws,
+      |    length(trim(text)) = 0 AS is_empty
+      |  FROM documents),
+      |t AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE NOT is_empty),
+      |bi AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM t, UNNEST(range(1, n)) AS u(i) WHERE n >= 2),
+      |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+      |vocab AS (
+      |  SELECT COUNT(DISTINCT word) AS v
+      |  FROM (SELECT unnest(ws) AS word FROM t WHERE n >= 1)),
+      |lp AS (
+      |  SELECT doc_id,
+      |    LN(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + vocab.v)) AS lp
+      |  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1), vocab)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(CAST(CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS lm_score
+      |FROM lp GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "t15_balanced_sample" -> t15BalancedSample,
+    "t16_boilerplate_prefix" -> t16BoilerplatePrefix,
+    "t17_lm_score" -> t17LmScore,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "t15_balanced_sample" -> t15BalancedSampleSql,
+    "t16_boilerplate_prefix" -> t16BoilerplatePrefixSql,
+    "t17_lm_score" -> t17LmScoreSql,
+  )
+}

@@ -209,7 +209,66 @@ object ExtendedQueries {
       |  UNION ALL SELECT 3, 'purchase', user_id FROM buys)
       |GROUP BY stage, stage_name ORDER BY stage""".stripMargin
 
+  /** TPC-H Q17 shape: revenue locked in small-quantity orders — join each
+    * lineitem to its part's average quantity and keep rows under 20 % of
+    * it. The per-part average is a self-aggregation of lineitem (exact
+    * decimal, so the filter threshold is engine-identical); at scale AQE
+    * broadcasts it when small and the compare is a post-join filter, never
+    * a correlated per-row subquery. */
+  val q17SmallQty: Q = (s, dir) => {
+    val li = Graft.table(s, dir, "lineitem")
+    val avgQty = li.groupBy("l_partkey")
+      .agg((sum(col("l_quantity").cast("decimal(18,4)")) / count(lit(1)))
+        .cast("double").as("aq"))
+    li.join(avgQty, "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("aq"))
+      .agg(
+        round((sum(col("l_extendedprice").cast("decimal(18,4)")) / 7.0)
+          .cast("double"), 2).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q17SmallQtySql: String =
+    """WITH aq AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) / COUNT(*) AS DOUBLE) AS aq
+      |  FROM lineitem GROUP BY 1)
+      |SELECT
+      |  CAST(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) / 7.0 AS DOUBLE) AS DECIMAL(38,2)) AS DOUBLE) AS avg_yearly,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l JOIN aq USING (l_partkey)
+      |WHERE l.l_quantity < 0.2 * aq.aq""".stripMargin
+
+  /** Incremental-aggregation merge (materialized-view maintenance): the
+    * partial (sum, count) states computed per ingest batch merge into the
+    * exact global average without touching raw history — the algebraic-
+    * aggregate contract that makes incremental rollup possible at any
+    * scale. Batches are simulated by l_orderkey parity. */
+  val qIncrementalAgg: Q = (s, dir) => {
+    val partials = Graft.table(s, dir, "lineitem")
+      .withColumn("batch", col("l_orderkey") % 2)
+      .groupBy("batch", "l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sq"),
+        count(lit(1)).as("c"))
+    partials.groupBy("l_returnflag")
+      .agg(round((sum(col("sq")) / sum(col("c"))).cast("double"), 6).as("avg_qty"),
+        sum(col("c")).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val qIncrementalAggSql: String =
+    """WITH p AS (
+      |  SELECT l_orderkey % 2 AS batch, l_returnflag,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq, COUNT(*) AS c
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag,
+      |  CAST(CAST(CAST(SUM(sq) / SUM(c) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS avg_qty,
+      |  CAST(SUM(c) AS BIGINT) AS n
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q17_small_qty" -> q17SmallQty,
+    "q_incremental_agg" -> qIncrementalAgg,
     "f1_funnel" -> f1Funnel,
     "q_semi_join" -> qSemiJoin,
     "q13_custdist" -> q13Custdist,
@@ -220,6 +279,8 @@ object ExtendedQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q17_small_qty" -> q17SmallQtySql,
+    "q_incremental_agg" -> qIncrementalAggSql,
     "f1_funnel" -> f1FunnelSql,
     "q_semi_join" -> qSemiJoinSql,
     "q13_custdist" -> q13CustdistSql,

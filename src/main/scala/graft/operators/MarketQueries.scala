@@ -1,0 +1,261 @@
+package graft.operators
+
+import graft.Graft
+import graft.Graft.Q
+import graft.ta.Indicators
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bar-level market analytics: OHLC-bar indicators (ATR, stochastic
+  * oscillator, on-balance volume) over the per-(user, day) bars that
+  * [[PatternQueries.dailyBars]] synthesizes, running VWAP over lineitem,
+  * cross-sectional momentum deciles, and rolling pair correlation —
+  * the natural extension of the reference's indicator surface
+  * (algorithms/technical.py, algorithms/similarity.py:100-193) to
+  * bar/portfolio granularity.
+  *
+  * Scale shapes: every bar indicator is ONE shuffle (the groupBy building
+  * bars) plus a per-series window — no additional exchange because the
+  * window partitions by the same user_id key AQE already co-located.
+  * VWAP is a single window over the lineitem scan. The momentum ranking
+  * is two chained windows (per-series lag, then per-day ntile) — exactly
+  * two shuffles at any scale. Rolling correlation joins two filtered
+  * series on row position (broadcast-sized after the user filter).
+  */
+object MarketQueries {
+
+  private val barKeys = Seq("user_id")
+  private def barOrder: Seq[Column] = Seq(col("day"))
+  private def barsW = Window.partitionBy("user_id").orderBy("day")
+
+  /** I8: ATR(14) (SMA-of-true-range) over daily bars. The frame average
+    * runs as an exact decimal sum / 14 (window sums are segment-tree
+    * reassociated in some engines — float policy, CoreQueries); the
+    * plain-double production form is [[Indicators.atr]]. */
+  val i8Atr: Q = (s, dir) =>
+    PatternQueries.dailyBars(s, dir)
+      .withColumn("tr",
+        Indicators.trueRange(col("high"), col("low"), col("close"), barKeys, barOrder))
+      .withColumn("atr", when(row_number().over(barsW) >= 14, round(
+        sum(col("tr").cast("decimal(28,12)")).over(barsW.rowsBetween(-13, 0))
+          .cast("double") / 14, 6)))
+      .select("user_id", "day", "atr")
+      .orderBy("user_id", "day")
+
+  val i8AtrSql: String = PatternQueries.barsCte +
+    """,
+      |t AS (
+      |  SELECT user_id, day, high, low,
+      |    lag(close) OVER w AS prev, row_number() OVER w AS rn
+      |  FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |tr AS (
+      |  SELECT user_id, day, rn,
+      |    CASE WHEN prev IS NULL THEN high - low
+      |         ELSE GREATEST(high - low, ABS(high - prev), ABS(low - prev))
+      |    END AS tr
+      |  FROM t)
+      |SELECT user_id, day,
+      |  CASE WHEN rn >= 14 THEN
+      |    CAST(CAST(CAST(SUM(CAST(tr AS DECIMAL(28,12)))
+      |                 OVER (PARTITION BY user_id ORDER BY rn
+      |                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+      |               AS DOUBLE) / 14 AS DECIMAL(38,6)) AS DOUBLE)
+      |  END AS atr
+      |FROM tr ORDER BY user_id, day""".stripMargin
+
+  /** I9: stochastic oscillator — %K(14) and %D = SMA(3) of %K.
+    *
+    * Numeric policy (IEEE-grid, see [[i11Vwap]]): the raw %K double is
+    * already bit-identical cross-engine (min/max are exact, one multiply
+    * + one divide in fixed order), so %K is snapped to a 9-dp integer
+    * grid with `floor(k·1e9 + 0.5)` and %D averages those exact scaled
+    * integers; displays quantize via `floor(x·1e6 + 0.5)/1e6`.
+    * [[Indicators.stochasticK]] is the plain production form. */
+  val i9Stochastic: Q = (s, dir) => {
+    val frame = barsW.rowsBetween(-13, 0)
+    val hh = max(col("high")).over(frame)
+    val ll = min(col("low")).over(frame)
+    val rn = row_number().over(barsW)
+    val w3 = barsW.rowsBetween(-2, 0)
+    def q6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    PatternQueries.dailyBars(s, dir)
+      .withColumn("k", when(rn >= 14 && hh =!= ll,
+        lit(100.0) * (col("close") - ll) / (hh - ll)))
+      .withColumn("k9", floor(col("k") * lit(1e9) + lit(0.5)))
+      .withColumn("d", when(rn >= 16,
+        sum(col("k9")).over(w3).cast("double") / count(col("k9")).over(w3) / lit(1e9)))
+      .select(col("user_id"), col("day"),
+        q6(col("k")).as("pct_k"), q6(col("d")).as("pct_d"))
+      .orderBy("user_id", "day")
+  }
+
+  val i9StochasticSql: String = PatternQueries.barsCte +
+    """,
+      |r AS (
+      |  SELECT user_id, day, close, row_number() OVER w AS rn,
+      |    MAX(high) OVER (PARTITION BY user_id ORDER BY day
+      |                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS hh,
+      |    MIN(low) OVER (PARTITION BY user_id ORDER BY day
+      |                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS ll
+      |  FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |k AS (
+      |  SELECT user_id, day, rn,
+      |    CASE WHEN rn >= 14 AND hh <> ll
+      |         THEN 100 * (close - ll) / (hh - ll) END AS k
+      |  FROM r),
+      |k9 AS (SELECT user_id, day, rn, k, FLOOR(k * 1e9 + 0.5) AS k9 FROM k)
+      |SELECT user_id, day,
+      |  FLOOR(k * 1e6 + 0.5) / 1e6 AS pct_k,
+      |  CASE WHEN rn >= 16 THEN
+      |    FLOOR((SUM(k9) OVER w3 / COUNT(k9) OVER w3 / 1e9) * 1e6 + 0.5) / 1e6
+      |  END AS pct_d
+      |FROM k9
+      |WINDOW w3 AS (PARTITION BY user_id ORDER BY rn
+      |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, day""".stripMargin
+
+  /** I10: on-balance volume over daily bars, volume = ticks per bar.
+    * Integer math throughout — exact on both engines. */
+  val i10Obv: Q = (s, dir) =>
+    PatternQueries.dailyBars(s, dir)
+      .withColumn("obv",
+        Indicators.obv(col("close"), col("n_ticks"), barKeys, barOrder).cast("long"))
+      .select("user_id", "day", "obv")
+      .orderBy("user_id", "day")
+
+  val i10ObvSql: String = PatternQueries.barsCte +
+    """,
+      |t AS (
+      |  SELECT user_id, day, n_ticks,
+      |    lag(close) OVER w AS prev, close
+      |  FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day))
+      |SELECT user_id, day,
+      |  CAST(SUM(CASE WHEN prev IS NULL THEN 0
+      |                WHEN close > prev THEN n_ticks
+      |                WHEN close < prev THEN -n_ticks ELSE 0 END)
+      |       OVER (PARTITION BY user_id ORDER BY day
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |       AS BIGINT) AS obv
+      |FROM t ORDER BY user_id, day""".stripMargin
+
+  /** I11: running VWAP per part over lineitem (price = extendedprice,
+    * qty = quantity), ordered by ship date.
+    *
+    * Numeric policy (IEEE-grid, not decimal): price·qty is an exact
+    * 4-dp rational, so `floor(p·q·1e4 + 0.5)` recovers its exact scaled
+    * integer from the double product — integer window sums are exact and
+    * reassociation-proof on any engine. Quantities are integral, so
+    * their double sum is exact too. The final 6-dp quantization is
+    * `floor(x·1e6 + 0.5)/1e6` — pure IEEE arithmetic, bit-identical
+    * cross-engine (decimal/round casts are NOT: Spark rounds the
+    * shortest-string repr of a double, DuckDB its exact binary
+    * expansion, and they disagree on virtual ties like x.xxxxxx5). */
+  val i11Vwap: Q = (s, dir) => {
+    val w = Window.partitionBy("l_partkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val raw =
+      (sum(floor(col("l_extendedprice") * col("l_quantity") * lit(1e4) + lit(0.5)))
+        .over(w).cast("double") / lit(1e4)) /
+      sum(col("l_quantity")).over(w)
+    Graft.table(s, dir, "lineitem")
+      .withColumn("vwap", floor(raw * lit(1e6) + lit(0.5)) / lit(1e6))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "vwap")
+      .orderBy("l_partkey", "l_orderkey", "l_linenumber")
+  }
+
+  val i11VwapSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey,
+      |  FLOOR((CAST(SUM(FLOOR(l_extendedprice * l_quantity * 1e4 + 0.5)) OVER w AS DOUBLE)
+      |           / 1e4 / SUM(l_quantity) OVER w) * 1e6 + 0.5) / 1e6 AS vwap
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_partkey
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** X5: cross-sectional momentum deciles — each day, rank every series
+    * by its daily close-to-close return and bucket into ntile(10); emit
+    * per-(day, decile) membership and mean return. Ranking is on the
+    * 9-dp-rounded return with a user_id tiebreak (deterministic ntile). */
+  val x5MomentumDecile: Q = (s, dir) =>
+    PatternQueries.dailyBars(s, dir)
+      .withColumn("ret",
+        round(col("close") / lag(col("close"), 1).over(barsW) - 1.0, 9))
+      .filter(col("ret").isNotNull)
+      .withColumn("decile", ntile(10).over(
+        Window.partitionBy("day").orderBy(col("ret").desc, col("user_id"))).cast("long"))
+      .groupBy("day", "decile")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("ret").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("avg_ret"))
+      .orderBy("day", "decile")
+
+  val x5MomentumDecileSql: String = PatternQueries.barsCte +
+    """,
+      |r AS (
+      |  SELECT user_id, day,
+      |    CAST(CAST(close / lag(close) OVER (PARTITION BY user_id ORDER BY day) - 1 AS DECIMAL(28,9)) AS DOUBLE) AS ret
+      |  FROM bars),
+      |d AS (
+      |  SELECT day, ret,
+      |    ntile(10) OVER (PARTITION BY day ORDER BY ret DESC, user_id) AS decile
+      |  FROM r WHERE ret IS NOT NULL)
+      |SELECT day, CAST(decile AS BIGINT) AS decile,
+      |  COUNT(*) AS n,
+      |  CAST(CAST(CAST(SUM(CAST(ret AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS avg_ret
+      |FROM d GROUP BY day, decile ORDER BY day, decile""".stripMargin
+
+  /** W10: rolling 30-point correlation between two series (users 1 and 2)
+    * aligned by row position — the rolling form of the reference's pairwise
+    * Pearson (similarity.py:100-193). */
+  val w10RollingCorr: Q = (s, dir) => {
+    def series(uid: Int): DataFrame =
+      Graft.events(s, dir).filter(col("user_id") === uid)
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        .select(col("pos"), col("value"))
+    val joined = series(1).withColumnRenamed("value", "a")
+      .join(series(2).withColumnRenamed("value", "b"), "pos")
+    val w = Window.orderBy("pos")
+    joined
+      .withColumn("c", when(row_number().over(w) >= 30,
+        round(corr(col("a"), col("b")).over(w.rowsBetween(-29, 0)), 6)))
+      .select(col("pos").cast("long").as("pos"), col("c").as("roll_corr"))
+      .orderBy("pos")
+  }
+
+  val w10RollingCorrSql: String =
+    """WITH s AS (
+      |  SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      |  FROM events WHERE user_id IN (1, 2)),
+      |j AS (
+      |  SELECT a.pos, a.value AS a, b.value AS b
+      |  FROM s a JOIN s b ON a.pos = b.pos AND a.user_id = 1 AND b.user_id = 2)
+      |SELECT CAST(pos AS BIGINT) AS pos,
+      |  CASE WHEN row_number() OVER (ORDER BY pos) >= 30 THEN
+      |    CAST(CAST(CORR(a, b) OVER (ORDER BY pos
+      |                           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS DOUBLE)
+      |  END AS roll_corr
+      |FROM j ORDER BY pos""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "i8_atr" -> i8Atr,
+    "i9_stochastic" -> i9Stochastic,
+    "i10_obv" -> i10Obv,
+    "i11_vwap" -> i11Vwap,
+    "x5_momentum_decile" -> x5MomentumDecile,
+    "w10_rolling_corr" -> w10RollingCorr,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "i8_atr" -> i8AtrSql,
+    "i9_stochastic" -> i9StochasticSql,
+    "i10_obv" -> i10ObvSql,
+    "i11_vwap" -> i11VwapSql,
+    "x5_momentum_decile" -> x5MomentumDecileSql,
+    "w10_rolling_corr" -> w10RollingCorrSql,
+  )
+}

@@ -26,13 +26,15 @@ object PatternQueries {
         min_by(col("value"), col("ts")).as("open"),
         max(col("value")).as("high"),
         min(col("value")).as("low"),
-        max_by(col("value"), col("ts")).as("close"))
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("n_ticks"))
 
-  private val barsCte =
+  private[operators] val barsCte =
     """WITH bars AS (
       |  SELECT user_id, CAST(ts AS DATE) AS day,
       |    arg_min(value, ts) AS open, max(value) AS high,
-      |    min(value) AS low, arg_max(value, ts) AS close
+      |    min(value) AS low, arg_max(value, ts) AS close,
+      |    count(*) AS n_ticks
       |  FROM events GROUP BY 1, 2)""".stripMargin
 
   private val upsCte =

@@ -219,7 +219,111 @@ object VectorQueries {
       |FROM f, UNNEST(range(0, n_frames, 2)) AS u(i)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** V6: int8 scalar quantization — per-dimension min/max over the corpus,
+    * quantize to [−128, 127], report each vector's worst reconstruction
+    * error. The per-dim stats frame is 64 rows (broadcast); quantization
+    * itself is stateless row math, and max-abs-err is order-independent,
+    * so the whole op is exact on both engines (no float policy needed
+    * beyond the final display round). */
+  val v6Quantize: Q = (s, dir) => {
+    val dims = Graft.table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+    val stats = dims.groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    dims.join(broadcast(stats), "pos")
+      .withColumn("q", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(round(lit(255.0) * (col("x") - col("mn")) / (col("mx") - col("mn")))
+          .cast("long") - 128))
+      .withColumn("deq", when(col("mx") === col("mn"), col("mn"))
+        .otherwise(col("mn") +
+          (col("q") + 128).cast("double") * (col("mx") - col("mn")) / 255.0))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dims"),
+        round(max(abs(col("x") - col("deq"))), 9).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
+  val v6QuantizeSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |d AS (SELECT vec_id, i - 1 AS pos, e[i] AS x
+      |      FROM v, UNNEST(range(1, len(e) + 1)) AS t(i)),
+      |st AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY 1),
+      |q AS (
+      |  SELECT vec_id, x, mn, mx,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE CAST(ROUND(255 * (x - mn) / (mx - mn)) AS BIGINT) - 128 END AS qv
+      |  FROM d JOIN st USING (pos)),
+      |deq AS (
+      |  SELECT vec_id, x,
+      |    CASE WHEN mx = mn THEN mn
+      |         ELSE mn + (qv + 128) * (mx - mn) / 255.0 END AS dq
+      |  FROM q)
+      |SELECT vec_id, COUNT(*) AS n_dims,
+      |  CAST(CAST(MAX(ABS(x - dq)) AS DECIMAL(38,9)) AS DOUBLE) AS max_abs_err
+      |FROM deq GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** V7: two full k-means iterations (assign → decimal-exact centroid
+    * update, means rounded to 6 dp as the deterministic hand-off → assign
+    * again), reporting final cluster sizes and mean member cosine. The
+    * iterative shape every Lloyd's-style fit has at scale: per-round cost
+    * is one broadcast-join assign plus one (k·d)-cell aggregation; nothing
+    * per-pair, nothing collected. */
+  val v7Kmeans2: Q = (s, dir) => {
+    val emb = Graft.table(s, dir, "embeddings")
+    val points = emb.filter(col("vec_id") >= 8)
+    val a1 = VectorOps.ivfAssign(points, emb.filter(col("vec_id") < 8))
+    val c1 = a1.select(col("vec_id"), col("centroid_id")).join(emb, "vec_id")
+      .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("centroid_id", "pos")
+      .agg(round((sum(col("v").cast("decimal(28,10)")) / count(lit(1)))
+        .cast("double"), 6).as("m"))
+      .groupBy("centroid_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("embedding"))
+      .select(col("centroid_id").as("vec_id"), col("embedding"))
+    VectorOps.ivfAssign(points, c1)
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("cos").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("avg_cos"))
+      .orderBy("centroid_id")
+  }
+
+  val v7Kmeans2Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |c0 AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, centroid_id FROM (
+      |    SELECT v.vec_id, c0.centroid_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ROUND(list_cosine_similarity(v.e, c0.ce), 6) DESC, c0.centroid_id) AS rk
+      |    FROM v CROSS JOIN c0 WHERE v.vec_id >= 8)
+      |  WHERE rk = 1),
+      |cells AS (
+      |  SELECT a1.centroid_id, i - 1 AS pos, v.e[i] AS val
+      |  FROM a1 JOIN v USING (vec_id),
+      |       UNNEST(range(1, len(v.e) + 1)) AS t(i)),
+      |c1 AS (
+      |  SELECT centroid_id, list(m ORDER BY pos) AS ce FROM (
+      |    SELECT centroid_id, pos,
+      |      ROUND(CAST(SUM(CAST(val AS DECIMAL(28,10))) / COUNT(*) AS DOUBLE), 6) AS m
+      |    FROM cells GROUP BY centroid_id, pos)
+      |  GROUP BY centroid_id),
+      |a2 AS (
+      |  SELECT vec_id, centroid_id, cos FROM (
+      |    SELECT v.vec_id, c1.centroid_id,
+      |      ROUND(list_cosine_similarity(v.e, c1.ce), 6) AS cos,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ROUND(list_cosine_similarity(v.e, c1.ce), 6) DESC, c1.centroid_id) AS rk
+      |    FROM v CROSS JOIN c1 WHERE v.vec_id >= 8)
+      |  WHERE rk = 1)
+      |SELECT centroid_id, COUNT(*) AS n_members,
+      |  CAST(CAST(CAST(SUM(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS avg_cos
+      |FROM a2 GROUP BY centroid_id ORDER BY centroid_id""".stripMargin
+
   def queries: Map[String, Graft.Q] = Map(
+    "v6_quantize" -> v6Quantize,
+    "v7_kmeans2" -> v7Kmeans2,
     "m2_frame_sample" -> m2FrameSample,
     "v5_centroid_update" -> v5CentroidUpdate,
     "v4_ivf_search" -> v4IvfSearch,
@@ -231,6 +335,8 @@ object VectorQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "v6_quantize" -> v6QuantizeSql,
+    "v7_kmeans2" -> v7Kmeans2Sql,
     "m2_frame_sample" -> m2FrameSampleSql,
     "v5_centroid_update" -> v5CentroidUpdateSql,
     "v4_ivf_search" -> v4IvfSearchSql,

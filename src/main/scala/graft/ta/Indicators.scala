@@ -147,6 +147,62 @@ object Indicators {
     price / start - 1.0
   }
 
+  /** True range of an OHLC bar: max(high−low, |high−prevClose|,
+    * |low−prevClose|); collapses to high−low on the first bar (no
+    * previous close), Wilder's convention. */
+  def trueRange(high: Column, low: Column, close: Column,
+                keys: Seq[String], order: Seq[Column]): Column = {
+    val prev = lag(close, 1).over(Technical.seriesWindow(keys, order))
+    when(prev.isNull, high - low)
+      .otherwise(greatest(high - low, abs(high - prev), abs(low - prev)))
+  }
+
+  /** ATR(n), SMA-of-true-range variant (the window-expressible form;
+    * Wilder's smoothing is an EMA recurrence — see [[ema]]). Null for the
+    * first n−1 warm-up bars. */
+  def atr(high: Column, low: Column, close: Column, n: Int,
+          keys: Seq[String], order: Seq[Column]): Column = {
+    val w = Technical.seriesWindow(keys, order)
+    when(row_number().over(w) >= n,
+      avg(trueRange(high, low, close, keys, order)).over(w.rowsBetween(-(n - 1), 0)))
+  }
+
+  /** Stochastic %K(n): 100·(close − minLow_n)/(maxHigh_n − minLow_n),
+    * null during warm-up or when the n-bar range is flat. Rounded to 9 dp
+    * so a downstream %D average starts from engine-identical inputs. */
+  def stochasticK(high: Column, low: Column, close: Column, n: Int,
+                  keys: Seq[String], order: Seq[Column]): Column = {
+    val w = Technical.seriesWindow(keys, order)
+    val frame = w.rowsBetween(-(n - 1), 0)
+    val hh = max(high).over(frame)
+    val ll = min(low).over(frame)
+    when(row_number().over(w) >= n && hh =!= ll,
+      round(lit(100.0) * (close - ll) / (hh - ll), 9))
+  }
+
+  /** On-balance volume: running Σ sign(close − prevClose)·volume, starting
+    * at 0 on the first bar. Exact when volume is integral (long math). */
+  def obv(close: Column, volume: Column,
+          keys: Seq[String], order: Seq[Column]): Column = {
+    val w = Technical.seriesWindow(keys, order)
+    val prev = lag(close, 1).over(w)
+    val signed = when(prev.isNull, lit(0L))
+      .when(close > prev, volume)
+      .when(close < prev, -volume)
+      .otherwise(lit(0L))
+    sum(signed).over(w.rowsBetween(Window.unboundedPreceding, 0))
+  }
+
+  /** Running VWAP: Σ(price·qty)/Σ(qty) from the series start. Frame-ordered
+    * running sums add in the same sequence on any engine, so the double
+    * accumulation is reproducible. */
+  def vwap(price: Column, qty: Column,
+           keys: Seq[String], order: Seq[Column]): Column = {
+    val frame = Technical.seriesWindow(keys, order)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sum(price * qty).over(frame) / sum(qty).over(frame)
+  }
+
   /** Rolling lag-1 autocorrelation over an n-row trailing frame — the
     * single-series stand-in for rolling pair correlation (no calendar
     * alignment needed). Null until the frame holds n (value, prev) pairs.

@@ -266,7 +266,69 @@ object ExtendedQueries {
       |  CAST(SUM(c) AS BIGINT) AS n
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Grouped exact percentiles (linear interpolation — the reference's
+    * A5 definition, volatility.py:193-200, applied per group instead of
+    * globally): median and p90 of event value per event_type. One keyed
+    * sort-based aggregation; percentile_approx is the drop-in at scales
+    * where exact per-group sort is too hot. */
+  val qGroupPercentile: Q = (s, dir) =>
+    Graft.table(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val qGroupPercentileSql: String =
+    """SELECT event_type,
+      |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** F11: JSON field extraction — pull the numeric `k` out of the events
+    * `props` JSON column and aggregate it per event type. Path extraction
+    * is stateless row math (codegen'd in Spark, no shuffle beyond the
+    * final aggregate); integer sums are exact. */
+  val f11JsonExtract: Q = (s, dir) =>
+    Graft.table(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val f11JsonExtractSql: String =
+    """WITH j AS (
+      |  SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** F12: calendar rollup — revenue and order count per month
+    * (date_trunc), the time-dimension grouping every warehouse query
+    * uses. Exact decimal revenue sums. */
+  val f12MonthRollup: Q = (s, dir) =>
+    Graft.table(s, dir, "orders")
+      .withColumn("month", to_date(date_trunc("month", col("o_orderdate"))))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("month")
+
+  val f12MonthRollupSql: String =
+    """SELECT date_trunc('month', o_orderdate) AS month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_group_percentile" -> qGroupPercentile,
+    "f11_json_extract" -> f11JsonExtract,
+    "f12_month_rollup" -> f12MonthRollup,
     "q17_small_qty" -> q17SmallQty,
     "q_incremental_agg" -> qIncrementalAgg,
     "f1_funnel" -> f1Funnel,
@@ -279,6 +341,9 @@ object ExtendedQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_group_percentile" -> qGroupPercentileSql,
+    "f11_json_extract" -> f11JsonExtractSql,
+    "f12_month_rollup" -> f12MonthRollupSql,
     "q17_small_qty" -> q17SmallQtySql,
     "q_incremental_agg" -> qIncrementalAggSql,
     "f1_funnel" -> f1FunnelSql,

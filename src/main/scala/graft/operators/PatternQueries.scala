@@ -17,10 +17,18 @@ object PatternQueries {
   private val keys = Seq("user_id")
   private def order: Seq[Column] = Seq(col("ts"), col("event_id"))
 
-  /** Daily OHLC bars per user (open/close = first/last value by ts). */
+  /** Daily OHLC bars per user (open/close = first/last value by ts).
+    *
+    * Partitioned by user_id ALONE (not the (user_id, day) grouping key):
+    * hash-partitioning on a subset of the grouping keys satisfies the
+    * aggregation's distribution, and every bars consumer (ATR,
+    * stochastic, OBV, gap scans, momentum returns) windows by user_id
+    * next — so the whole family runs on ONE shuffle instead of
+    * groupBy-shuffle + window-reshuffle. */
   def dailyBars(s: SparkSession, dir: String): DataFrame =
     Graft.events(s, dir)
       .withColumn("day", to_date(expr("timestamp_micros(ts div 1000)")))
+      .repartition(col("user_id"))
       .groupBy("user_id", "day")
       .agg(
         min_by(col("value"), col("ts")).as("open"),

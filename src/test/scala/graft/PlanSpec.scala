@@ -64,6 +64,34 @@ class PlanSpec extends SparkSpec {
       s"cube must not rescan the input:\n$p")
   }
 
+  test("i8_atr: bar build and bar windows share one user_id shuffle") {
+    val p = plan(operators.MarketQueries.i8Atr(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1, s"bars groupBy and the window must co-partition:\n$p")
+  }
+
+  test("i11_vwap: one window pass over the scan, pruned schema") {
+    val p = plan(operators.MarketQueries.i11Vwap(spark, sf))
+    assert("Window".r.findAllIn(p).nonEmpty)
+    assert(!p.contains("l_comment") && !p.contains("l_returnflag"),
+      "vwap reads only the 5 needed lineitem columns")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1, s"single keyed shuffle expected:\n$p")
+  }
+
+  test("t15 balanced sample: the per-stratum quota is broadcast") {
+    val p = plan(operators.CorpusQueries.t15BalancedSample(spark, sf))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"quota should broadcast, not shuffle:\n$p")
+  }
+
+  test("f11 json extract: stateless extraction, one aggregation shuffle") {
+    val p = plan(operators.ExtendedQueries.f11JsonExtract(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1, s"json path math must not add shuffles:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "partial+final agg")
+  }
+
   test("bucketed tables join without any exchange") {
     // writes to the default local warehouse (spark-warehouse/, gitignored)
     val li = spark.read.parquet(s"$sf/lineitem.parquet")

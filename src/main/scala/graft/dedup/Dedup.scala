@@ -243,6 +243,23 @@ object Dedup {
     labels
   }
 
+  /** Triangle count over an oriented edge list (aCol < bCol): the basic
+    * graph-cohesion statistic over a similarity graph. Two self-joins on
+    * edge endpoints — each a keyed shuffle of the (small relative to the
+    * corpus) edge list, never touching the underlying documents; the
+    * a<b orientation means each triangle is counted exactly once. */
+  def triangleCount(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val e = graft.Graft.materialize(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b")))
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.b") === col("bc.a"))
+      .join(e.as("ac"),
+        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+  }
+
   /** Exact n-gram Jaccard similarity for pairs above a threshold:
     * distinct-shingle join → per-pair intersection counts → |A∩B| /
     * (|A|+|B|−|A∩B|). */

@@ -157,7 +157,64 @@ object CleanQueries {
       |  ROUND(MAX(CASE WHEN user_id = 4 THEN close END), 6) AS u4
       |FROM bars GROUP BY day ORDER BY day""".stripMargin
 
+  /** C10: linear interpolation of missing values — each null gets
+    * prev + (next−prev)·(pos−prevPos)/(nextPos−prevPos) between its
+    * nearest non-null neighbors; leading/trailing nulls stay null (the
+    * interpolation counterpart of C3's forward fill). Two ignore-null
+    * window scans over the same series shuffle — no extra exchange.
+    * All arithmetic is IEEE-identical cross-engine; the display round is
+    * the floor-grid quantization (see MarketQueries.i11Vwap). */
+  val c10Interpolate: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val before = w.rowsBetween(Long.MinValue, 0)
+    val after = w.rowsBetween(0, Long.MaxValue)
+    val rn = row_number().over(w)
+    nulled(s, dir)
+      .withColumn("rn", rn)
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(before))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(after))
+      .withColumn("pr", last(when(col("v").isNotNull, col("rn")), ignoreNulls = true).over(before))
+      .withColumn("nr", first(when(col("v").isNotNull, col("rn")), ignoreNulls = true).over(after))
+      .withColumn("filled",
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull || col("nv").isNull, lit(null).cast("double"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("rn") - col("pr")).cast("double") / (col("nr") - col("pr")).cast("double"))))
+      .select(col("event_id"), col("user_id"),
+        (floor(col("filled") * lit(1e6) + lit(0.5)) / lit(1e6)).as("v"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val c10InterpolateSql: String = nulledCte +
+    """,
+      |r AS (
+      |  SELECT event_id, user_id, ts, v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM e),
+      |p AS (
+      |  SELECT event_id, user_id, v, rn,
+      |    last_value(v IGNORE NULLS) OVER wb AS pv,
+      |    first_value(v IGNORE NULLS) OVER wa AS nv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wb AS pr,
+      |    first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wa AS nr
+      |  FROM r
+      |  WINDOW
+      |    wb AS (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wa AS (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_id, user_id,
+      |  FLOOR((CASE WHEN v IS NOT NULL THEN v
+      |              WHEN pv IS NULL OR nv IS NULL THEN NULL
+      |              ELSE pv + (nv - pv) *
+      |                (CAST(rn - pr AS DOUBLE) / CAST(nr - pr AS DOUBLE))
+      |         END) * 1e6 + 0.5) / 1e6 AS v
+      |FROM p
+      |ORDER BY user_id, event_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "c10_interpolate" -> c10Interpolate,
     "c1_missing_report" -> c1MissingReport,
     "c2_anomalies" -> c2Anomalies,
     "c3_forward_fill" -> c3ForwardFill,
@@ -168,6 +225,7 @@ object CleanQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "c10_interpolate" -> c10InterpolateSql,
     "c1_missing_report" -> c1MissingReportSql,
     "c2_anomalies" -> c2AnomaliesSql,
     "c3_forward_fill" -> c3ForwardFillSql,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Graft
 import graft.Graft.Q
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-2 relational surface extensions: semi join, outer-join
@@ -325,7 +326,67 @@ object ExtendedQueries {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** W11: ratio-to-report — each (day, event_type)'s share of the day's
+    * total event value: a window aggregate over an aggregate (the classic
+    * percent-of-total report). Sums are exact decimal; the share ratio is
+    * one IEEE division of identical doubles, quantized on the 6-dp grid. */
+  val w11RatioToReport: Q = (s, dir) => {
+    val daily = Graft.table(s, dir, "events")
+      .withColumn("day", to_date(expr("timestamp_micros(ts div 1000)")))
+      .groupBy("day", "event_type")
+      .agg(sum(col("value").cast("decimal(18,4)")).as("sv"))
+    val wDay = Window.partitionBy("day")
+    daily
+      .withColumn("share",
+        floor(col("sv").cast("double") / sum(col("sv")).over(wDay).cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6))
+      .select(col("day"), col("event_type"),
+        col("sv").cast("double").as("sum_value"), col("share"))
+      .orderBy("day", "event_type")
+  }
+
+  val w11RatioToReportSql: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, event_type, CAST(sv AS DOUBLE) AS sum_value,
+      |  FLOOR(CAST(sv AS DOUBLE) / CAST(SUM(sv) OVER (PARTITION BY day) AS DOUBLE)
+      |        * 1e6 + 0.5) / 1e6 AS share
+      |FROM d ORDER BY day, event_type""".stripMargin
+
+  /** K7: top-K per time window — each hour's top-3 event types by count
+    * (count desc, name tiebreak). The grouped generalization of K4's
+    * global top-N: aggregate then rank-filter inside the window key; at
+    * scale the rank never sees more rows per partition than distinct
+    * group values. */
+  val k7WindowTopk: Q = (s, dir) => {
+    val hourly = Graft.table(s, dir, "events")
+      .withColumn("hour", expr("timestamp_micros((ts div 3600000000000) * 3600000000)"))
+      .groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n"))
+    hourly
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("hour").orderBy(col("n").desc, col("event_type"))).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("hour", "event_type", "n", "rk")
+      .orderBy("hour", "rk")
+  }
+
+  val k7WindowTopkSql: String =
+    """WITH h AS (
+      |  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT hour, event_type, n,
+      |    row_number() OVER (PARTITION BY hour ORDER BY n DESC, event_type) AS rk
+      |  FROM h)
+      |SELECT hour, event_type, n, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 3 ORDER BY hour, rk""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "w11_ratio_to_report" -> w11RatioToReport,
+    "k7_window_topk" -> k7WindowTopk,
     "q_group_percentile" -> qGroupPercentile,
     "f11_json_extract" -> f11JsonExtract,
     "f12_month_rollup" -> f12MonthRollup,
@@ -341,6 +402,8 @@ object ExtendedQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "w11_ratio_to_report" -> w11RatioToReportSql,
+    "k7_window_topk" -> k7WindowTopkSql,
     "q_group_percentile" -> qGroupPercentileSql,
     "f11_json_extract" -> f11JsonExtractSql,
     "f12_month_rollup" -> f12MonthRollupSql,

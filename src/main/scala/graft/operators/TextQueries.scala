@@ -301,6 +301,37 @@ object TextQueries {
       |WHERE rk <= 10
       |ORDER BY lang, rk""".stripMargin
 
+  /** G1: triangle count over the near-dup similarity graph — how cliquey
+    * the duplicate structure is (triangles = sets of three mutually
+    * similar docs). Edges are d4's Jaccard pairs; see
+    * [[graft.dedup.Dedup.triangleCount]] for the join shape. */
+  val g1TriangleCount: Q = (s, dir) =>
+    Dedup.triangleCount(Dedup.ngramJaccard(nearCorpus(s, dir), 3, 0.5))
+
+  val g1TriangleCountSql: String = nearCorpusCte +
+    """,
+      |w AS (SELECT doc_id,
+      |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |      FROM corpus),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+      |       WHERE len(ws) >= 3 AND length(ws[i] || ws[i+1] || ws[i+2]) > 0),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)
+      |SELECT (SELECT COUNT(*) FROM pairs) AS n_edges,
+      |       (SELECT COUNT(*)
+      |        FROM pairs ab
+      |        JOIN pairs bc ON ab.doc_b = bc.doc_a
+      |        JOIN pairs ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b) AS n_triangles""".stripMargin
+
   /** D6: near-dup pairs → duplicate clusters (connected components via
     * min-label propagation; the oracle replays the closure as a
     * recursive CTE). Every member maps to its cluster = the smallest
@@ -393,6 +424,7 @@ object TextQueries {
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d6_dup_clusters" -> d6DupClusters,
+    "g1_triangle_count" -> g1TriangleCount,
   )
 
   def oracle: Map[String, String] = Map(
@@ -408,5 +440,6 @@ object TextQueries {
     "d3_simhash" -> d3SimhashSql,
     "d4_ngram_jaccard" -> d4NgramJaccardSql,
     "d6_dup_clusters" -> d6DupClustersSql,
+    "g1_triangle_count" -> g1TriangleCountSql,
   )
 }

@@ -140,13 +140,36 @@ object CorpusQueries {
       |FROM lp GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** T18: training-sequence export — each user's events assembled into
+    * one ordered sequence (the per-example assembly step before packing);
+    * content is pinned by an md5 of the ordered type string so the oracle
+    * proves sequence CONTENT and ORDER, not just lengths. One groupBy
+    * with an in-group sort of that user's events — the state per group is
+    * one user's history, the same envelope as the sessionizer. */
+  val t18SeqExport: Q = (s, dir) =>
+    Graft.table(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("seq_len"),
+        md5(concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")))).as("seq_fp"))
+      .orderBy("user_id")
+
+  val t18SeqExportSql: String =
+    """SELECT user_id, COUNT(*) AS seq_len,
+      |  md5(string_agg(event_type, ',' ORDER BY ts, event_id)) AS seq_fp
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "t18_seq_export" -> t18SeqExport,
     "t15_balanced_sample" -> t15BalancedSample,
     "t16_boilerplate_prefix" -> t16BoilerplatePrefix,
     "t17_lm_score" -> t17LmScore,
   )
 
   def oracle: Map[String, String] = Map(
+    "t18_seq_export" -> t18SeqExportSql,
     "t15_balanced_sample" -> t15BalancedSampleSql,
     "t16_boilerplate_prefix" -> t16BoilerplatePrefixSql,
     "t17_lm_score" -> t17LmScoreSql,

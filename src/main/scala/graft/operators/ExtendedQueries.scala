@@ -384,7 +384,32 @@ object ExtendedQueries {
       |SELECT hour, event_type, n, CAST(rk AS BIGINT) AS rk
       |FROM r WHERE rk <= 3 ORDER BY hour, rk""".stripMargin
 
+  /** F13: equal-width histogram — 20 buckets over the global value range
+    * per event type (feature-distribution profiling). The min/max frame
+    * is a one-row broadcast; bucketing is stateless row math on exact
+    * doubles, so bucket edges are engine-identical. */
+  val f13Histogram: Q = (s, dir) => {
+    val ev = Graft.table(s, dir, "events")
+    val range = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    ev.crossJoin(broadcast(range))
+      .withColumn("bucket",
+        least(lit(19L), floor((col("value") - col("mn")) /
+          ((col("mx") - col("mn")) / 20.0))).cast("long"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket")
+  }
+
+  val f13HistogramSql: String =
+    """WITH r AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events)
+      |SELECT event_type,
+      |  CAST(LEAST(19, FLOOR((value - mn) / ((mx - mn) / 20.0))) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n
+      |FROM events, r
+      |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "f13_histogram" -> f13Histogram,
     "w11_ratio_to_report" -> w11RatioToReport,
     "k7_window_topk" -> k7WindowTopk,
     "q_group_percentile" -> qGroupPercentile,
@@ -402,6 +427,7 @@ object ExtendedQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "f13_histogram" -> f13HistogramSql,
     "w11_ratio_to_report" -> w11RatioToReportSql,
     "k7_window_topk" -> k7WindowTopkSql,
     "q_group_percentile" -> qGroupPercentileSql,

@@ -54,6 +54,38 @@ class InvariantsSpec extends SparkSpec {
     assert(seq.drop(firstDefined).forall(_.isDefined))
   }
 
+  test("linear interpolation stays within its bracketing neighbors and keeps edges null") {
+    val out = operators.CleanQueries.c10Interpolate(spark, "/root/testdata/sf0.001")
+      .orderBy("user_id", "event_id")
+      .select("user_id", "event_id", "v").as[(Long, Long, Option[Double])].collect()
+    // group by user, walk each series: any filled value of a null slot must
+    // lie between the previous and next observed values
+    out.groupBy(_._1).values.foreach { series =>
+      val ordered = series.sortBy(_._2)
+      ordered.zipWithIndex.foreach {
+        // event_id % 10 == 0 rows are the injected nulls (CleanQueries),
+        // i.e. the interpolated slots
+        case ((_, eid, Some(v)), i) if eid % 10 == 0 =>
+          val before = ordered.take(i).filter(_._2 % 10 != 0).flatMap(_._3).lastOption
+          val after = ordered.drop(i + 1).filter(_._2 % 10 != 0).flatMap(_._3).headOption
+          (before, after) match {
+            case (Some(b), Some(a)) =>
+              assert(v >= math.min(b, a) - 1e-6 && v <= math.max(b, a) + 1e-6,
+                s"interpolated $v outside [$b, $a]")
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+  }
+
+  test("triangle count is bounded by edges choose 3 and non-negative") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val r = graft.dedup.Dedup.triangleCount(edges)
+      .as[(Long, Long)].head()
+    assert(r == ((4L, 1L)), s"expected 4 edges / 1 triangle, got $r")
+  }
+
   test("SMA stays within the min/max of its window") {
     val prices = randSeries(3, 100).map(math.abs)
     val df = prices.zipWithIndex.map { case (p, i) => (i, "X", p) }

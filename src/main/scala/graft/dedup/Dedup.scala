@@ -223,7 +223,9 @@ object Dedup {
     // count (decimal so the test cannot overflow at any id scale).
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
+    // Sentinel start: round 1 is always treated as changed, so the
+    // initial label sum never needs its own action.
+    var prevSum: java.math.BigDecimal = null
     var rounds = 0
     var done = false
     while (!done) {
@@ -233,7 +235,8 @@ object Dedup {
         labels.unionByName(prop)
           .groupBy("node").agg(min(col("label")).as("label")))
       val s = labelSum(next)
-      done = s.compareTo(prevSum) == 0
+      done = (s == null && prevSum == null) ||
+        (s != null && prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
       labels = next
       rounds += 1

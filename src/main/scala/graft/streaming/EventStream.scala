@@ -28,6 +28,32 @@ object EventStream {
       lateness: String = "10 minutes"): DataFrame =
     windowedAgg(events.withWatermark("tsm", lateness), width)
 
+  /** Batch trending: top-k event types per tumbling window by count
+    * (count desc, name tiebreak). The batch twin of [[trendingStream]];
+    * the operator-catalog form over bucketed hours is
+    * ExtendedQueries.k7WindowTopk. */
+  def trendingBatch(events: DataFrame, k: Int, width: String = "1 hour"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("wstart").orderBy(col("n").desc, col("event_type"))
+    windowedAgg(events, width)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("wstart", "event_type", "n", "rk")
+  }
+
+  /** Streaming trending top-k: rank functions are not allowed on a
+    * streaming aggregate, but complete-mode `orderBy().limit(k)` is —
+    * each micro-batch re-emits the current global top-k rows. State is
+    * the windowed count table (bounded by the watermark horizon); the
+    * sort sees only the aggregate, never raw events. For per-window
+    * top-k at scale, run [[windowedAggStream]] and rank inside
+    * foreachBatch instead (each micro-batch output is a bounded frame). */
+  def trendingStream(events: DataFrame, k: Int, width: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    windowedAggStream(events, width, lateness)
+      .orderBy(col("n").desc, col("wstart"), col("event_type"))
+      .limit(k)
+
   /** Batch sessionization: a session breaks when the gap to the previous
     * event exceeds gapNs. Pure window functions — oracle-expressible. */
   def sessionizeBatch(events: DataFrame, gapNs: Long): DataFrame = {

@@ -40,6 +40,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(_._2 != "late") == batch)
   }
 
+  test("trending top-k: complete-mode stream equals the batch top-k heads") {
+    implicit val sc = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+    def ts(minOff: Int) = new java.sql.Timestamp(t0.getTime + minOff * 60000L)
+    // hour 10: click×3, view×1; hour 11: view×2, click×1
+    val rows = Seq(
+      (ts(0), "click", 1.0), (ts(5), "click", 1.0), (ts(10), "click", 1.0),
+      (ts(20), "view", 1.0),
+      (ts(60), "view", 1.0), (ts(70), "view", 1.0), (ts(80), "click", 1.0))
+
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = EventStream.trendingStream(
+        stream.toDF().toDF("tsm", "event_type", "value"), k = 2)
+      .writeStream.format("memory").queryName("trend").outputMode("complete").start()
+    stream.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("trend")
+      .select("event_type", "n").as[(String, Long)].collect().toSet
+    // global top-2 aggregates: click@10h (3) and view@11h (2)
+    assert(got == Set(("click", 3L), ("view", 2L)))
+
+    val batch = EventStream.trendingBatch(rows.toDF("tsm", "event_type", "value"), 1)
+      .select("event_type", "n").as[(String, Long)].collect().toSet
+    // per-window winners: click in hour 10, view in hour 11
+    assert(batch == Set(("click", 3L), ("view", 2L)))
+  }
+
   test("file-source stream over the real events parquet equals batch") {
     val dir = "/root/testdata/sf0.001"
     // the file stream source wants a directory: stage the single file

@@ -42,4 +42,33 @@ object BarsIO {
       .option("header", "true")
       .option("nullValue", "None")
       .csv(path)
+
+  /** Canonical long-table sink: parquet partitioned by series key, so a
+    * per-symbol read at any scale is a partition-pruned scan (ScaleSpec
+    * proves PartitionFilters reach the scan), and each symbol's files can
+    * be compacted/lifecycled independently. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCol: String = "symbol"): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** ORC interop (warehouses that standardize on ORC): same long table,
+    * same pushdown/pruning behavior as parquet under Spark's native ORC
+    * reader. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** JSON-lines interop (event feeds / data-exchange dumps): one JSON
+    * object per row. Schema-on-read stays explicit at the call site —
+    * pass the long-table schema to avoid an inference scan at scale. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonl(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.io.BarsIO
+import org.apache.spark.sql.functions._
+
+/** Source/sink interop: ORC, JSON-lines, and partitioned-parquet
+  * round-trips preserve the long table exactly; partitioned layout
+  * prunes at the scan. */
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def longDf = Seq(
+    ("2024-01-02", "AAA", 10.0, 12.0, 9.0, 11.0, 100L),
+    ("2024-01-03", "AAA", 11.0, 13.0, 10.0, 12.0, 200L),
+    ("2024-01-02", "BBB", 20.0, 22.0, 19.0, 21.0, 300L))
+    .toDF("date", "symbol", "open", "high", "low", "close", "volume")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("symbol", "date")
+      .as[(String, String, Double, Double, Double, Double, Long)].collect().toSeq
+
+  test("orc round-trip preserves the long table") {
+    val dir = java.nio.file.Files.createTempDirectory("graftorc").toString
+    BarsIO.writeOrc(longDf, dir)
+    assert(rows(BarsIO.readOrc(spark, dir).select(longDf.columns.map(col): _*))
+      == rows(longDf))
+  }
+
+  test("jsonl round-trip with explicit schema preserves values and types") {
+    val dir = java.nio.file.Files.createTempDirectory("graftjsonl").toString
+    BarsIO.writeJsonl(longDf, dir)
+    val back = BarsIO.readJsonl(spark, dir, Some(longDf.schema))
+      .select(longDf.columns.map(col): _*)
+    // JSON sources are always-nullable; compare names and types only
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      longDf.schema.map(f => (f.name, f.dataType)))
+    assert(rows(back) == rows(longDf))
+  }
+
+  test("partitioned parquet prunes to the selected symbol at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graftpart").toString
+    BarsIO.writePartitioned(longDf, dir)
+    val one = spark.read.parquet(dir).filter(col("symbol") === "AAA")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("symbol"),
+      s"expected partition pruning:\n$plan")
+    assert(one.count() == 2)
+  }
+}

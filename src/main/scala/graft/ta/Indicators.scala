@@ -77,6 +77,66 @@ object Indicators {
       .toDF("event_id", "user_id", "ema")
   }
 
+  /** EMA over ONE series too large for a single task: the recurrence
+    * e_t = α·x_t + (1−α)·e_{t−1} is a chain of affine maps
+    * f_t(e) = α·x_t + (1−α)·e, and affine maps compose associatively —
+    * so the series can be range-partitioned by time and scanned in TWO
+    * passes (the classic parallel-prefix treatment of linear
+    * recurrences):
+    *
+    *  1. each partition composes its rows into one (A, B) map — and also
+    *     records the exact "fresh-start" state for the case where it is
+    *     the global head;
+    *  2. the driver prefix-composes the per-partition summaries (k
+    *     numbers for k partitions — trivially collectable at any scale)
+    *     into each partition's entry state, and a second pass replays the
+    *     exact row recurrence from that entry.
+    *
+    * Entry states come through the composed maps, so they can differ from
+    * the serial recurrence in the last ulp; the deviation's influence
+    * decays by (1−α) per row (≈10⁻⁴⁴ after 1000 rows at span 20), which
+    * is why [[IndicatorsSpec]] checks 1e-9 agreement with [[emaKernel]].
+    * Use [[ema]] (one task per series) when series fit in memory; this is
+    * the unbounded-series path. */
+  def emaScan(df: DataFrame, n: Int): DataFrame = {
+    val alpha = 2.0 / (n + 1).toDouble
+    val s = df.sparkSession
+    import s.implicits._
+    val sorted = graft.Graft.materialize(
+      df.select(col("event_id").cast("long"), col("ts").cast("long"),
+          col("value").cast("double"))
+        .repartitionByRange(col("ts"), col("event_id"))
+        .sortWithinPartitions("ts", "event_id"))
+    val rdd = sorted.as[(Long, Long, Double)].rdd
+    val nParts = rdd.getNumPartitions
+    val summaries = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var a = 1.0; var b = 0.0
+      var seeded = 0.0; var cnt = 0L
+      it.foreach { case (_, _, x) =>
+        a = (1.0 - alpha) * a
+        b = (1.0 - alpha) * b + alpha * x
+        seeded = if (cnt == 0) x else alpha * x + (1.0 - alpha) * seeded
+        cnt += 1
+      }
+      Iterator.single((pid, a, b, seeded, cnt))
+    }.collect().sortBy(_._1)
+    val entries = Array.fill[Option[Double]](nParts)(None)
+    var state: Option[Double] = None
+    summaries.foreach { case (pid, a, b, seeded, cnt) =>
+      entries(pid) = state
+      if (cnt > 0) state = Some(state.fold(seeded)(e => a * e + b))
+    }
+    val bc = s.sparkContext.broadcast(entries)
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+      var st = bc.value(pid)
+      it.map { case (id, _, x) =>
+        val e = st.fold(x)(p => alpha * x + (1.0 - alpha) * p)
+        st = Some(e)
+        (id, e)
+      }
+    }.toDF("event_id", "ema")
+  }
+
   /** MACD(fast, slow, signal) over the events series shape →
     * (event_id, user_id, macd, signal, hist). */
   def macd(df: DataFrame, fast: Int = 12, slow: Int = 26, sig: Int = 9): DataFrame = {

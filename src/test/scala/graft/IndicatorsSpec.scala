@@ -43,6 +43,22 @@ class IndicatorsSpec extends SparkSpec {
     got.zip(exp).foreach { case (g, e) => assert(approx(g, e)) }
   }
 
+  test("emaScan: partitioned two-pass scan matches the serial kernel") {
+    val rnd = new scala.util.Random(17)
+    val xs = Array.fill(5000)(50.0 + rnd.nextDouble() * 100.0)
+    val df = xs.zipWithIndex
+      .map { case (x, i) => (i.toLong, i.toLong, x) }
+      .toSeq.toDF("event_id", "ts", "value")
+      .repartition(8) // scramble before the op re-range-partitions
+    val got = Indicators.emaScan(df, 20).orderBy("event_id")
+      .select("ema").as[Double].collect()
+    val exp = Indicators.emaKernel(xs, 2.0 / 21)
+    assert(got.length == exp.length)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(math.abs(g - e) <= 1e-9 * math.max(1.0, math.abs(e)), s"$g != $e")
+    }
+  }
+
   test("macd DataFrame op: fast EMA above slow EMA after a rise") {
     val rising = (1 to 40).map(i => (i.toLong, 1L, i.toLong, 100.0 + i))
       .toDF("event_id", "user_id", "ts", "value")

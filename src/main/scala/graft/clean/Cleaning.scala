@@ -59,4 +59,43 @@ object Cleaning {
     * (data_cleaner.py:194-220). */
   def dropInvalid(df: DataFrame, field: String = "close"): DataFrame =
     df.filter(col(field).isNotNull)
+
+  /** Forward fill for ONE series too large for a single task. The
+    * unbounded-preceding window of [[forwardFill]] puts a whole series in
+    * one task; but "carry the last non-null" is an associative fold, so
+    * the same two-pass parallel-prefix treatment as
+    * [[graft.ta.Indicators.emaScan]] applies — and here it is EXACT
+    * (values pass through untouched): each partition reports its last
+    * non-null value, the driver prefix gives each partition its carry-in,
+    * and a second pass fills locally. Expects (event_id, ts, v). */
+  def forwardFillScan(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val sorted = graft.Graft.materialize(
+      df.select(col("event_id").cast("long"), col("ts").cast("long"),
+          col("v").cast("double"))
+        .repartitionByRange(col("ts"), col("event_id"))
+        .sortWithinPartitions("ts", "event_id"))
+    val rdd = sorted.as[(Long, Long, Option[Double])].rdd
+    val nParts = rdd.getNumPartitions
+    val lasts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var lastNonNull: Option[Double] = None
+      it.foreach { case (_, _, v) => if (v.isDefined) lastNonNull = v }
+      Iterator.single((pid, lastNonNull))
+    }.collect().sortBy(_._1)
+    val entries = Array.fill[Option[Double]](nParts)(None)
+    var carry: Option[Double] = None
+    lasts.foreach { case (pid, l) =>
+      entries(pid) = carry
+      if (l.isDefined) carry = l
+    }
+    val bc = s.sparkContext.broadcast(entries)
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+      var st = bc.value(pid)
+      it.map { case (id, _, v) =>
+        if (v.isDefined) st = v
+        (id, st)
+      }
+    }.toDF("event_id", "v")
+  }
 }

@@ -96,4 +96,24 @@ class CleaningSpec extends SparkSpec {
     assert(rows(1).isNullAt(rows(1).fieldIndex("close"))) // padded to len(timestamp)
     assert(rows(1).getAs[Long]("volume") == 1200000L)
   }
+
+  test("forwardFillScan: partitioned scan equals the windowed forward fill") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vals = (0 until 4000).map { i =>
+      (i.toLong, i.toLong,
+        if (rnd.nextDouble() < 0.3) None else Some(rnd.nextDouble() * 100))
+    }
+    val df = vals.toDF("event_id", "ts", "v").repartition(7)
+    val scanned = Cleaning.forwardFillScan(df)
+      .orderBy("event_id").select("v").as[Option[Double]].collect().toSeq
+    val windowed = Cleaning.forwardFill(
+        df.withColumn("k", org.apache.spark.sql.functions.lit(1)),
+        "v", Seq("k"), Seq(col("ts"), col("event_id")))
+      .orderBy("event_id").select("v").as[Option[Double]].collect().toSeq
+    assert(scanned == windowed)
+    // leading nulls preserved
+    assert(vals.takeWhile(_._3.isEmpty).length ==
+      scanned.takeWhile(_.isEmpty).length)
+  }
 }

@@ -331,8 +331,12 @@ object ExtendedQueries {
     * percent-of-total report). Sums are exact decimal; the share ratio is
     * one IEEE division of identical doubles, quantized on the 6-dp grid. */
   val w11RatioToReport: Q = (s, dir) => {
+    // repartition by day alone: the (day, event_type) aggregation accepts
+    // the subset partitioning and the percent-of-total window partitions
+    // by day — one shuffle serves both (same trick as dailyBars).
     val daily = Graft.table(s, dir, "events")
       .withColumn("day", to_date(expr("timestamp_micros(ts div 1000)")))
+      .repartition(col("day"))
       .groupBy("day", "event_type")
       .agg(sum(col("value").cast("decimal(18,4)")).as("sv"))
     val wDay = Window.partitionBy("day")

@@ -91,7 +91,9 @@ object CorpusQueries {
     * conditional log-probability ln((c(w1,w2)+1)/(c(w1,·)+V)) of each
     * document's bigrams under the corpus's own counts. Low scores flag
     * incoherent/outlier documents (statistical quality filtering à la
-    * CCNet). Per-doc mean runs as an exact decimal sum / count so group
+    * CCNet). Documents with fewer than two tokens have no bigrams and are
+    * deliberately absent from the output (they carry no LM evidence).
+    * Per-doc mean runs as an exact decimal sum / count so group
     * aggregation order cannot move the 6-dp round. */
   val t17LmScore: Q = (s, dir) => {
     val toks = tokenized(s, dir).filter(col("n") >= 2)

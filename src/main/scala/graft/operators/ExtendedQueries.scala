@@ -397,8 +397,9 @@ object ExtendedQueries {
     val range = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
     ev.crossJoin(broadcast(range))
       .withColumn("bucket",
-        least(lit(19L), floor((col("value") - col("mn")) /
-          ((col("mx") - col("mn")) / 20.0))).cast("long"))
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(19L), floor((col("value") - col("mn")) /
+            ((col("mx") - col("mn")) / 20.0)))).cast("long"))
       .groupBy("event_type", "bucket")
       .agg(count(lit(1)).as("n"))
       .orderBy("event_type", "bucket")
@@ -407,12 +408,52 @@ object ExtendedQueries {
   val f13HistogramSql: String =
     """WITH r AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events)
       |SELECT event_type,
-      |  CAST(LEAST(19, FLOOR((value - mn) / ((mx - mn) / 20.0))) AS BIGINT) AS bucket,
+      |  CAST(CASE WHEN mx = mn THEN 0
+      |            ELSE LEAST(19, FLOOR((value - mn) / ((mx - mn) / 20.0)))
+      |       END AS BIGINT) AS bucket,
       |  COUNT(*) AS n
       |FROM events, r
       |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
 
+  /** F2: funnel latency — per converting user, the time from first view
+    * to the first purchase at-or-after it; reported as the user count
+    * plus exact median/p90 latency in seconds. Two keyed aggregations
+    * and one broadcast-sized join (one row per user after the first),
+    * then a global exact percentile over integral nanosecond latencies. */
+  val f2FunnelLatency: Q = (s, dir) => {
+    val ev = Graft.table(s, dir, "events")
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val firstBuy = ev.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("ts") >= col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_buy"), min(col("t_view")).as("t_view"))
+    firstBuy
+      .withColumn("latency_s", (col("t_buy") - col("t_view")).cast("double") / lit(1e9))
+      .agg(count(lit(1)).as("n_users"),
+        round(expr("percentile(latency_s, 0.5)"), 6).as("p50_s"),
+        round(expr("percentile(latency_s, 0.9)"), 6).as("p90_s"))
+  }
+
+  val f2FunnelLatencySql: String =
+    """WITH fv AS (
+      |  SELECT user_id, MIN(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |fb AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_buy, MIN(fv.t_view) AS t_view
+      |  FROM events e JOIN fv ON e.user_id = fv.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= fv.t_view
+      |  GROUP BY e.user_id),
+      |lat AS (
+      |  SELECT CAST(epoch_ns(t_buy) - epoch_ns(t_view) AS DOUBLE) / 1e9 AS latency_s
+      |  FROM fb)
+      |SELECT COUNT(*) AS n_users,
+      |  ROUND(quantile_cont(latency_s, 0.5), 6) AS p50_s,
+      |  ROUND(quantile_cont(latency_s, 0.9), 6) AS p90_s
+      |FROM lat""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "f2_funnel_latency" -> f2FunnelLatency,
     "f13_histogram" -> f13Histogram,
     "w11_ratio_to_report" -> w11RatioToReport,
     "k7_window_topk" -> k7WindowTopk,
@@ -431,6 +472,7 @@ object ExtendedQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "f2_funnel_latency" -> f2FunnelLatencySql,
     "f13_histogram" -> f13HistogramSql,
     "w11_ratio_to_report" -> w11RatioToReportSql,
     "k7_window_topk" -> k7WindowTopkSql,

@@ -64,7 +64,9 @@ object MarketQueries {
       |  END AS atr
       |FROM tr ORDER BY user_id, day""".stripMargin
 
-  /** I9: stochastic oscillator — %K(14) and %D = SMA(3) of %K.
+  /** I9: stochastic oscillator — %K(14) and %D = SMA(3) of %K. A
+    * flat 14-bar range yields null %K, and %D averages the non-null
+    * %K values in its 3-bar frame (both sides share the convention).
     *
     * Numeric policy (IEEE-grid, see [[i11Vwap]]): the raw %K double is
     * already bit-identical cross-engine (min/max are exact, one multiply
@@ -219,9 +221,12 @@ object MarketQueries {
     val joined = series(1).withColumnRenamed("value", "a")
       .join(series(2).withColumnRenamed("value", "b"), "pos")
     val w = Window.orderBy("pos")
+    // Spark corr yields NaN on a zero-variance frame where SQL engines
+    // yield NULL — normalize to null (same guard as i7's autocorr).
+    val rawCorr = corr(col("a"), col("b")).over(w.rowsBetween(-29, 0))
     joined
       .withColumn("c", when(row_number().over(w) >= 30,
-        round(corr(col("a"), col("b")).over(w.rowsBetween(-29, 0)), 6)))
+        round(when(isnan(rawCorr), lit(null)).otherwise(rawCorr), 6)))
       .select(col("pos").cast("long").as("pos"), col("c").as("roll_corr"))
       .orderBy("pos")
   }
@@ -241,7 +246,54 @@ object MarketQueries {
       |  END AS roll_corr
       |FROM j ORDER BY pos""".stripMargin
 
+  /** Z1: pairs-trading spread z-score — align two series by position,
+    * spread = a − b, standardize against a rolling 30-point mean/stddev,
+    * and flag |z| > 2 as a divergence signal. Rolling stddev drifts at
+    * the last ulp across engines (i3/i7 precedent) — absorbed by the
+    * 6-dp round, and the signal flag derives from the ROUNDED z so both
+    * engines compare identical values. */
+  val z1ZscoreSpread: Q = (s, dir) => {
+    def series(uid: Int) =
+      Graft.events(s, dir).filter(col("user_id") === uid)
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        .select(col("pos"), col("value"))
+    val joined = series(1).withColumnRenamed("value", "a")
+      .join(series(2).withColumnRenamed("value", "b"), "pos")
+      .withColumn("spread", col("a") - col("b"))
+    val w = Window.orderBy("pos")
+    val frame = w.rowsBetween(-29, 0)
+    val z = (col("spread") - avg(col("spread")).over(frame)) /
+      stddev_samp(col("spread")).over(frame)
+    joined
+      .withColumn("z", when(row_number().over(w) >= 30, round(z, 6)))
+      .select(col("pos").cast("long").as("pos"),
+        round(col("spread"), 6).as("spread"), col("z"),
+        (col("z").isNotNull && abs(col("z")) > 2.0).as("signal"))
+      .orderBy("pos")
+  }
+
+  val z1ZscoreSpreadSql: String =
+    """WITH s AS (
+      |  SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      |  FROM events WHERE user_id IN (1, 2)),
+      |j AS (
+      |  SELECT a.pos, a.value - b.value AS spread
+      |  FROM s a JOIN s b ON a.pos = b.pos AND a.user_id = 1 AND b.user_id = 2),
+      |zc AS (
+      |  SELECT pos, spread,
+      |    CASE WHEN row_number() OVER (ORDER BY pos) >= 30 THEN
+      |      ROUND((spread - AVG(spread) OVER w30) / STDDEV_SAMP(spread) OVER w30, 6)
+      |    END AS z
+      |  FROM j
+      |  WINDOW w30 AS (ORDER BY pos ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+      |SELECT CAST(pos AS BIGINT) AS pos, ROUND(spread, 6) AS spread, z,
+      |  (z IS NOT NULL AND ABS(z) > 2.0) AS signal
+      |FROM zc ORDER BY pos""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "z1_zscore_spread" -> z1ZscoreSpread,
     "i8_atr" -> i8Atr,
     "i9_stochastic" -> i9Stochastic,
     "i10_obv" -> i10Obv,
@@ -251,6 +303,7 @@ object MarketQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "z1_zscore_spread" -> z1ZscoreSpreadSql,
     "i8_atr" -> i8AtrSql,
     "i9_stochastic" -> i9StochasticSql,
     "i10_obv" -> i10ObvSql,

@@ -163,7 +163,40 @@ object CorpusQueries {
       |  md5(string_agg(event_type, ',' ORDER BY ts, event_id)) AS seq_fp
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** T19: per-source corpus profile — document count, exact-duplicate
+    * share (docs whose normalized-text fingerprint repeats anywhere in
+    * the corpus), and mean length per ingestion source: the triage view
+    * that decides which feeds need dedup/cleaning attention. Duplicate
+    * detection joins on a 32-byte fingerprint; the mean is an exact
+    * integer sum / count on the IEEE display grid. */
+  val t19SourceProfile: Q = (s, dir) => {
+    val docs = Graft.table(s, dir, "documents")
+      .withColumn("fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+    val dupFps = docs.groupBy("fp").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("fp")
+    docs.join(dupFps.withColumn("is_dup", lit(1L)), Seq("fp"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"),
+        (floor(sum(col("n_chars")).cast("double") / count(lit(1)) * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("avg_chars"))
+      .orderBy("source")
+  }
+
+  val t19SourceProfileSql: String =
+    """WITH d AS (
+      |  SELECT source, n_chars,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents),
+      |dup AS (SELECT fp FROM d GROUP BY fp HAVING COUNT(*) > 1)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |  FLOOR(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_chars
+      |FROM d LEFT JOIN dup ON d.fp = dup.fp
+      |GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "t19_source_profile" -> t19SourceProfile,
     "t18_seq_export" -> t18SeqExport,
     "t15_balanced_sample" -> t15BalancedSample,
     "t16_boilerplate_prefix" -> t16BoilerplatePrefix,
@@ -171,6 +204,7 @@ object CorpusQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "t19_source_profile" -> t19SourceProfileSql,
     "t18_seq_export" -> t18SeqExportSql,
     "t15_balanced_sample" -> t15BalancedSampleSql,
     "t16_boilerplate_prefix" -> t16BoilerplatePrefixSql,

@@ -452,7 +452,40 @@ object ExtendedQueries {
       |  ROUND(quantile_cont(latency_s, 0.9), 6) AS p90_s
       |FROM lat""".stripMargin
 
+  /** TPC-H Q19 shape: disjunctive brand/size/quantity predicate across a
+    * lineitem ⋈ part join — the classic OR-of-ANDs case. The part-side
+    * conjuncts' common denominators (brand IN, size ≥ 1) push to the part
+    * scan, the dimension broadcasts, and the full disjunction evaluates
+    * post-join inside codegen — no per-branch rescan. */
+  val q19Disjunctive: Q = (s, dir) => {
+    val li = Graft.table(s, dir, "lineitem")
+    val part = Graft.table(s, dir, "part")
+    val cond =
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(20, 30))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,8)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q19DisjunctiveSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q19_disjunctive" -> q19Disjunctive,
     "f2_funnel_latency" -> f2FunnelLatency,
     "f13_histogram" -> f13Histogram,
     "w11_ratio_to_report" -> w11RatioToReport,
@@ -472,6 +505,7 @@ object ExtendedQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q19_disjunctive" -> q19DisjunctiveSql,
     "f2_funnel_latency" -> f2FunnelLatencySql,
     "f13_histogram" -> f13HistogramSql,
     "w11_ratio_to_report" -> w11RatioToReportSql,

@@ -118,6 +118,33 @@ object TextQueries {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** T20: language-ID evaluation — the confusion matrix of [[t3LangId]]'s
+    * heuristic against the labeled lang column, plus per-true-language
+    * accuracy. The model-evaluation shape every classifier pipeline
+    * needs: one keyed aggregation over (truth, prediction) cells. */
+  val t20LangidEval: Q = (s, dir) =>
+    TextOps.withLangId(Graft.table(s, dir, "documents"), "text", "lang_pred")
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lang_total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .withColumn("share",
+        floor(col("n").cast("double") / col("lang_total") * lit(1e6) + lit(0.5)) / lit(1e6))
+      .select("lang", "lang_pred", "n", "share")
+      .orderBy("lang", "lang_pred")
+
+  val t20LangidEvalSql: String = {
+    val pred = t3LangIdSql.replace("ORDER BY doc_id", "")
+    s"""WITH pred AS (
+       |$pred
+       |),
+       |cells AS (
+       |  SELECT lang, lang_pred, COUNT(*) AS n FROM pred GROUP BY 1, 2)
+       |SELECT lang, lang_pred, n,
+       |  FLOOR(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang) * 1e6 + 0.5) / 1e6 AS share
+       |FROM cells ORDER BY lang, lang_pred""".stripMargin
+  }
+
   /** T4: normalized-text fingerprint. */
   val t4Fingerprint: Q = (s, dir) =>
     Graft.table(s, dir, "documents")
@@ -417,6 +444,7 @@ object TextQueries {
     "t1_token_count" -> t1TokenCount,
     "t2_quality" -> t2Quality,
     "t3_langid" -> t3LangId,
+    "t20_langid_eval" -> t20LangidEval,
     "t4_fingerprint" -> t4Fingerprint,
     "d1_exact_dedup" -> d1ExactDedup,
     "d1b_dedup_apply" -> d1DedupApply,
@@ -433,6 +461,7 @@ object TextQueries {
     "t1_token_count" -> t1TokenCountSql,
     "t2_quality" -> t2QualitySql,
     "t3_langid" -> t3LangIdSql,
+    "t20_langid_eval" -> t20LangidEvalSql,
     "t4_fingerprint" -> t4FingerprintSql,
     "d1_exact_dedup" -> d1ExactDedupSql,
     "d1b_dedup_apply" -> d1DedupApplySql,

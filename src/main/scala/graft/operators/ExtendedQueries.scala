@@ -484,7 +484,40 @@ object ExtendedQueries {
       |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** TPC-H Q10 shape: revenue lost to returned items per customer, top 20.
+    * Fact-fact join shuffles on orderkey; the customer dimension
+    * broadcasts onto the aggregated (one-row-per-customer) side; the top
+    * 20 plans as TakeOrderedAndProject, never a global sort. */
+  val q10ReturnedCustomers: Q = (s, dir) => {
+    val li = Graft.table(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val ord = Graft.table(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp"))
+    val cust = Graft.table(s, dir, "customer")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(28,8)")).as("rev"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("rev").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnedCustomersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |GROUP BY c_custkey, c_name, c_mktsegment
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q10_returned_customers" -> q10ReturnedCustomers,
     "q19_disjunctive" -> q19Disjunctive,
     "f2_funnel_latency" -> f2FunnelLatency,
     "f13_histogram" -> f13Histogram,
@@ -505,6 +538,7 @@ object ExtendedQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q10_returned_customers" -> q10ReturnedCustomersSql,
     "q19_disjunctive" -> q19DisjunctiveSql,
     "f2_funnel_latency" -> f2FunnelLatencySql,
     "f13_histogram" -> f13HistogramSql,

@@ -516,7 +516,31 @@ object ExtendedQueries {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q6 shape: the pure scan-filter-aggregate forecast query —
+    * every predicate (ship-date year, discount band, quantity cap)
+    * pushes to the parquet scan, no join, one partial+final aggregate.
+    * The canonical pushdown/pruning showcase. */
+  val q6Forecast: Q = (s, dir) =>
+    Graft.table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(28,8)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q6ForecastSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q6_forecast" -> q6Forecast,
     "q10_returned_customers" -> q10ReturnedCustomers,
     "q19_disjunctive" -> q19Disjunctive,
     "f2_funnel_latency" -> f2FunnelLatency,
@@ -538,6 +562,7 @@ object ExtendedQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q6_forecast" -> q6ForecastSql,
     "q10_returned_customers" -> q10ReturnedCustomersSql,
     "q19_disjunctive" -> q19DisjunctiveSql,
     "f2_funnel_latency" -> f2FunnelLatencySql,

@@ -107,6 +107,35 @@ object SimilarityQueries {
       |UNION ALL SELECT DISTINCT user_id AS ka, user_id AS kb, 1.0 AS pearson FROM rets
       |ORDER BY ka, kb""".stripMargin
 
+  /** A11: covariance matrix over log returns (the σ input of portfolio
+    * optimization) — same symmetry-pruned pair shape as the A10 heatmap
+    * with covar_samp, diagonal = per-series variance via ka = kb. */
+  val a11CovMatrix: Q = (s, dir) => {
+    val posed = rets(s, dir, maxUser = 20)
+    val a = posed.select(col("user_id").as("ka"), col("pos"), col("v").as("va"))
+    val b = posed.select(col("user_id").as("kb"), col("pos"), col("v").as("vb"))
+    val upper = a.join(b, "pos").filter(col("ka") <= col("kb"))
+      .groupBy("ka", "kb")
+      .agg(round(coalesce(covar_samp(col("va"), col("vb")), lit(0.0)), 9).as("cov"))
+      .transform(Graft.materialize)
+    upper.unionByName(
+        upper.filter(col("ka") < col("kb"))
+          .select(col("kb").as("ka"), col("ka").as("kb"), col("cov")))
+      .orderBy("ka", "kb")
+  }
+
+  val a11CovMatrixSql: String = retsCte(maxUser = 20) +
+    """,
+      |pairs AS (
+      |  SELECT a.user_id AS ka, b.user_id AS kb,
+      |    ROUND(COALESCE(covar_samp(a.v, b.v), 0.0), 9) AS cov
+      |  FROM rets a JOIN rets b ON a.pos = b.pos
+      |  WHERE a.user_id <= b.user_id
+      |  GROUP BY a.user_id, b.user_id)
+      |SELECT ka, kb, cov FROM pairs
+      |UNION ALL SELECT kb AS ka, ka AS kb, cov FROM pairs WHERE ka < kb
+      |ORDER BY ka, kb""".stripMargin
+
   /** X1: banded DTW distance for every pair among users 0-9. Series are
     * collected per pair via a grouped array build, pairs fan out as tasks.
     * Oracle: the DP runs as a wavefront over anti-diagonals in a DuckDB
@@ -185,6 +214,7 @@ object SimilarityQueries {
   def queries: Map[String, Q] = Map(
     "a9_corr_pair" -> a9CorrPair,
     "a10_heatmap" -> a10Heatmap,
+    "a11_cov_matrix" -> a11CovMatrix,
     "x3_similarity_pair" -> x3SimilarityPair,
     "x1_dtw_pairs" -> x1DtwPairs,
   )
@@ -192,6 +222,7 @@ object SimilarityQueries {
   def oracle: Map[String, String] = Map(
     "a9_corr_pair" -> a9CorrPairSql,
     "a10_heatmap" -> a10HeatmapSql,
+    "a11_cov_matrix" -> a11CovMatrixSql,
     "x3_similarity_pair" -> x3SimilarityPairSql,
     "x1_dtw_pairs" -> x1DtwPairsSql,
   )

@@ -292,7 +292,47 @@ object MarketQueries {
       |  (z IS NOT NULL AND ABS(z) > 2.0) AS signal
       |FROM zc ORDER BY pos""".stripMargin
 
+  /** X6: lead-lag cross-correlation profile — corr(a_t, b_{t+l}) for
+    * lags −5…5 between two positionally aligned series: which series
+    * leads the other, and by how much. One aligned join, then each lag
+    * is a corr over the lag-shifted pair (the shift rides the existing
+    * position index — no re-sort, no extra shuffle per lag). */
+  val x6CrossCorr: Q = (s, dir) => {
+    def series(uid: Int) =
+      Graft.events(s, dir).filter(col("user_id") === uid)
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        .select(col("pos"), col("value"))
+    val a = Graft.materialize(series(1).withColumnRenamed("value", "a"))
+    val b = Graft.materialize(
+      series(2).withColumnRenamed("value", "b").withColumnRenamed("pos", "bpos"))
+    val lags = (-5 to 5).map { l =>
+      a.join(b, col("bpos") === col("pos") + l)
+        .agg(lit(l.toLong).as("lag"),
+          round(coalesce(corr(col("a"), col("b")), lit(0.0)), 6).as("xcorr"),
+          count(lit(1)).as("n"))
+    }
+    lags.reduce(_ unionByName _).orderBy("lag")
+  }
+
+  val x6CrossCorrSql: String =
+    """WITH s AS (
+      |  SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      |  FROM events WHERE user_id IN (1, 2)),
+      |a AS (SELECT pos, value AS a FROM s WHERE user_id = 1),
+      |b AS (SELECT pos AS bpos, value AS b FROM s WHERE user_id = 2)
+      |SELECT l.lag,
+      |  ROUND(COALESCE(corr(a.a, b.b), 0.0), 6) AS xcorr,
+      |  COUNT(*) AS n
+      |FROM UNNEST(range(-5, 6)) AS l(lag)
+      |JOIN a ON TRUE
+      |JOIN b ON b.bpos = a.pos + l.lag
+      |GROUP BY l.lag
+      |ORDER BY l.lag""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "x6_crosscorr" -> x6CrossCorr,
     "z1_zscore_spread" -> z1ZscoreSpread,
     "i8_atr" -> i8Atr,
     "i9_stochastic" -> i9Stochastic,
@@ -303,6 +343,7 @@ object MarketQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "x6_crosscorr" -> x6CrossCorrSql,
     "z1_zscore_spread" -> z1ZscoreSpreadSql,
     "i8_atr" -> i8AtrSql,
     "i9_stochastic" -> i9StochasticSql,

@@ -92,6 +92,17 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, "partial+final agg")
   }
 
+  test("q6: every predicate reaches the parquet scan, no join, no extra exchange") {
+    val p = plan(operators.ExtendedQueries.q6Forecast(spark, sf))
+    // the plan string elides long PushedFilters lists — assert the list
+    // is non-trivial and the schema is pruned to the four needed columns
+    assert(p.contains("PushedFilters: [IsNotNull"))
+    assert(p.contains("GreaterThanOrEqual(l_shipda"), s"predicates must push down:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp"), "column pruning to 4 columns")
+    assert(!p.contains("Join"), "Q6 has no join")
+  }
+
   test("bucketed tables join without any exchange") {
     // writes to the default local warehouse (spark-warehouse/, gitignored)
     val li = spark.read.parquet(s"$sf/lineitem.parquet")

@@ -206,7 +206,49 @@ object IndicatorQueries {
       |  CASE WHEN rn >= 31 THEN ROUND(ac, 6) END AS autocorr
       |FROM c ORDER BY user_id, event_id""".stripMargin
 
+  /** I12: RiskMetrics EWMA volatility — σ²_t = λ·σ²_{t−1} + (1−λ)·r²_t
+    * with λ = 0.94 over log returns, reported as √σ². The same
+    * recurrence family as EMA (ema over r² with α = 1−λ, seeded at the
+    * first r²), so it reuses the [[Indicators.ema]] kernel on a derived
+    * input; the oracle replays the recurrence as a recursive CTE like
+    * i1/i2. */
+  val i12EwmaVol: Q = (s, dir) => {
+    val rets = events(s, dir)
+      .withColumn("ret", Technical.logReturnStrict(col("value"), keys, order))
+      .filter(col("ret").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("ret") * col("ret")).as("value"))
+    Indicators.emaAlpha(rets, 1.0 - 0.94) // α = 1−λ over squared returns
+      .select(col("event_id"), col("user_id"),
+        round(sqrt(col("ema")), 9).as("ewma_vol"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val i12EwmaVolSql: String = {
+    val a = "(CAST(1 AS DOUBLE) - 0.94)"
+    """WITH RECURSIVE r AS (
+      |  SELECT event_id, user_id, value,
+      |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |    ts
+      |  FROM events),
+      |rr AS (
+      |  SELECT event_id, user_id,
+      |    LN(value / prev) * LN(value / prev) AS r2,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM r WHERE prev IS NOT NULL AND prev > 0 AND value > 0),
+      |ew AS (
+      |  SELECT user_id, rn, event_id, r2 AS e FROM rr WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.user_id, o.rn, o.event_id,
+      |         ALPHA * o.r2 + (1 - ALPHA) * p.e
+      |  FROM ew p JOIN rr o ON o.user_id = p.user_id AND o.rn = p.rn + 1)
+      |SELECT event_id, user_id, ROUND(SQRT(e), 9) AS ewma_vol
+      |FROM ew ORDER BY user_id, event_id""".stripMargin
+      .replace("ALPHA", a)
+  }
+
   def queries: Map[String, Q] = Map(
+    "i12_ewma_vol" -> i12EwmaVol,
     "i1_ema" -> i1Ema,
     "i2_macd" -> i2Macd,
     "i3_bollinger" -> i3Bollinger,
@@ -217,6 +259,7 @@ object IndicatorQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "i12_ewma_vol" -> i12EwmaVolSql,
     "i1_ema" -> i1EmaSql,
     "i2_macd" -> i2MacdSql,
     "i3_bollinger" -> i3BollingerSql,

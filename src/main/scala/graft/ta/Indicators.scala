@@ -61,8 +61,12 @@ object Indicators {
 
   /** EMA(n) over the events series shape (event_id, user_id, ts, value) →
     * (event_id, user_id, ema). One shuffle by user_id, per-series kernel. */
-  def ema(df: DataFrame, n: Int): DataFrame = {
-    val alpha = 2.0 / (n + 1).toDouble
+  def ema(df: DataFrame, n: Int): DataFrame =
+    emaAlpha(df, 2.0 / (n + 1).toDouble)
+
+  /** [[ema]] with a directly specified smoothing factor — e.g. RiskMetrics
+    * EWMA variance uses α = 1−λ = 0.06, which no integer span expresses. */
+  def emaAlpha(df: DataFrame, alpha: Double): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     df.select(col("user_id").cast("long"), col("event_id").cast("long"),

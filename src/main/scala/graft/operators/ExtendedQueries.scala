@@ -539,7 +539,41 @@ object ExtendedQueries {
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""".stripMargin
 
+  /** TPC-H Q14 shape: promotion effect — the share of each ship-month's
+    * revenue carried by PROMO-type parts. Conditional aggregation over
+    * one fact-dim join; both sums are exact decimal, the percentage is
+    * one IEEE division on the display grid. */
+  val q14PromoShare: Q = (s, dir) => {
+    val li = Graft.table(s, dir, "lineitem")
+    val part = Graft.table(s, dir, "part")
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(28,8)")
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .withColumn("month", to_date(date_trunc("month", col("l_shipdate"))))
+      .groupBy("month")
+      .agg(sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast("decimal(28,8)"))).as("promo"),
+        sum(rev).as("total"))
+      .select(col("month"),
+        (floor(col("promo").cast("double") / col("total").cast("double")
+          * lit(100.0) * lit(1e6) + lit(0.5)) / lit(1e6)).as("promo_share"),
+        col("total").cast("double").as("revenue"))
+      .orderBy("month")
+  }
+
+  val q14PromoShareSql: String =
+    """SELECT date_trunc('month', l_shipdate) AS month,
+      |  FLOOR(CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |                      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))
+      |                      ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
+      |          / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE)
+      |          * 100.0 * 1e6 + 0.5) / 1e6 AS promo_share,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q14_promo_share" -> q14PromoShare,
     "q6_forecast" -> q6Forecast,
     "q10_returned_customers" -> q10ReturnedCustomers,
     "q19_disjunctive" -> q19Disjunctive,
@@ -562,6 +596,7 @@ object ExtendedQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q14_promo_share" -> q14PromoShareSql,
     "q6_forecast" -> q6ForecastSql,
     "q10_returned_customers" -> q10ReturnedCustomersSql,
     "q19_disjunctive" -> q19DisjunctiveSql,

@@ -177,6 +177,67 @@ object MarketQueries {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin
 
+  /** I13: Commodity Channel Index CCI(20) over daily bars:
+    * cci = (tp − SMA₂₀(tp)) / (0.015 · MD) with tp = (high+low+close)/3
+    * and MD = mean |tp_i − SMA₂₀(tp_t)| over the same frame — the mean
+    * deviation is taken from the CURRENT row's SMA, so it cannot be a
+    * frame sum of precomputed deviations; the frame's tp values are
+    * collected and folded per row instead.
+    *
+    * Numeric policy: SMA comes from exact scaled-integer frame sums; the
+    * per-term deviations are snapped to the 1e-9 grid BEFORE summation,
+    * so the fold is an integer sum — order-independent and bit-identical
+    * on any engine regardless of how it folds the list. */
+  val i13Cci: Q = (s, dir) => {
+    val frame = barsW.rowsBetween(-19, 0)
+    val rn = row_number().over(barsW)
+    PatternQueries.dailyBars(s, dir)
+      .withColumn("tp", (col("high") + col("low") + col("close")) / 3.0)
+      .withColumn("tp9", floor(col("tp") * lit(1e9) + lit(0.5)))
+      .withColumn("rn", rn)
+      .withColumn("sma",
+        sum(col("tp9")).over(frame).cast("double") / 20.0 / lit(1e9))
+      .withColumn("arr", collect_list(col("tp")).over(frame))
+      .withColumn("md",
+        aggregate(col("arr"),
+          lit(0L),
+          (acc, x) => acc + floor(abs(x - col("sma")) * lit(1e9) + lit(0.5)))
+          .cast("double") / 20.0 / lit(1e9))
+      .withColumn("cci",
+        when(col("rn") >= 20 && col("md") =!= 0.0,
+          floor((col("tp") - col("sma")) / (lit(0.015) * col("md"))
+            * lit(1e6) + lit(0.5)) / lit(1e6)))
+      .select("user_id", "day", "cci")
+      .orderBy("user_id", "day")
+  }
+
+  val i13CciSql: String = PatternQueries.barsCte +
+    """,
+      |t AS (
+      |  SELECT user_id, day, (high + low + close) / 3.0 AS tp
+      |  FROM bars),
+      |t9 AS (
+      |  SELECT user_id, day, tp, FLOOR(tp * 1e9 + 0.5) AS tp9,
+      |    row_number() OVER w AS rn
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |f AS (
+      |  SELECT user_id, day, tp, rn,
+      |    SUM(tp9) OVER w20 / 20.0 / 1e9 AS sma,
+      |    list(tp) OVER w20 AS arr
+      |  FROM t9
+      |  WINDOW w20 AS (PARTITION BY user_id ORDER BY day
+      |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+      |m AS (
+      |  SELECT user_id, day, tp, rn, sma,
+      |    list_sum(list_transform(arr, x -> FLOOR(ABS(x - sma) * 1e9 + 0.5)))
+      |      / 20.0 / 1e9 AS md
+      |  FROM f)
+      |SELECT user_id, day,
+      |  CASE WHEN rn >= 20 AND md <> 0
+      |       THEN FLOOR((tp - sma) / (0.015 * md) * 1e6 + 0.5) / 1e6
+      |  END AS cci
+      |FROM m ORDER BY user_id, day""".stripMargin
+
   /** X5: cross-sectional momentum deciles — each day, rank every series
     * by its daily close-to-close return and bucket into ntile(10); emit
     * per-(day, decile) membership and mean return. Ranking is on the
@@ -338,6 +399,7 @@ object MarketQueries {
     "i9_stochastic" -> i9Stochastic,
     "i10_obv" -> i10Obv,
     "i11_vwap" -> i11Vwap,
+    "i13_cci" -> i13Cci,
     "x5_momentum_decile" -> x5MomentumDecile,
     "w10_rolling_corr" -> w10RollingCorr,
   )
@@ -349,6 +411,7 @@ object MarketQueries {
     "i9_stochastic" -> i9StochasticSql,
     "i10_obv" -> i10ObvSql,
     "i11_vwap" -> i11VwapSql,
+    "i13_cci" -> i13CciSql,
     "x5_momentum_decile" -> x5MomentumDecileSql,
     "w10_rolling_corr" -> w10RollingCorrSql,
   )

@@ -195,7 +195,37 @@ object CorpusQueries {
       |FROM d LEFT JOIN dup ON d.fp = dup.fp
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** U3: snapshot set operations — content-fingerprint EXCEPT/INTERSECT
+    * between two halves of the corpus (sources 0-9 vs 10-19): what only
+    * the first half has, what only the second has, what both share. The
+    * set ops the reference never needed (SURVEY §2.7) but a diffing
+    * pipeline uses constantly; each side is a distinct-fingerprint
+    * aggregate, the set ops are keyed anti/semi joins underneath. */
+  val u3SetOps: Q = (s, dir) => {
+    val docs = Graft.table(s, dir, "documents")
+      .withColumn("fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .withColumn("src_n", substring(col("source"), 4, 10).cast("int"))
+    val a = docs.filter(col("src_n") < 10).select("fp").distinct()
+    val b = docs.filter(col("src_n") >= 10).select("fp").distinct()
+    a.except(b).agg(count(lit(1)).as("only_a"))
+      .crossJoin(b.except(a).agg(count(lit(1)).as("only_b")))
+      .crossJoin(a.intersect(b).agg(count(lit(1)).as("n_both")))
+  }
+
+  val u3SetOpsSql: String =
+    """WITH d AS (
+      |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |    CAST(substring(source, 4) AS INT) AS src_n
+      |  FROM documents),
+      |a AS (SELECT DISTINCT fp FROM d WHERE src_n < 10),
+      |b AS (SELECT DISTINCT fp FROM d WHERE src_n >= 10)
+      |SELECT
+      |  (SELECT COUNT(*) FROM (SELECT fp FROM a EXCEPT SELECT fp FROM b)) AS only_a,
+      |  (SELECT COUNT(*) FROM (SELECT fp FROM b EXCEPT SELECT fp FROM a)) AS only_b,
+      |  (SELECT COUNT(*) FROM (SELECT fp FROM a INTERSECT SELECT fp FROM b)) AS n_both""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "u3_set_ops" -> u3SetOps,
     "t19_source_profile" -> t19SourceProfile,
     "t18_seq_export" -> t18SeqExport,
     "t15_balanced_sample" -> t15BalancedSample,
@@ -204,6 +234,7 @@ object CorpusQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "u3_set_ops" -> u3SetOpsSql,
     "t19_source_profile" -> t19SourceProfileSql,
     "t18_seq_export" -> t18SeqExportSql,
     "t15_balanced_sample" -> t15BalancedSampleSql,

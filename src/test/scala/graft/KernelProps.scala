@@ -40,6 +40,19 @@ object KernelProps extends Properties("kernels") {
     Patterns.runLengths(ups).length == transitions
   }
 
+  // The cross-engine display quantization (operators/MarketQueries
+  // numeric policy): floor(x·1e6 + 0.5)/1e6 — pure IEEE arithmetic.
+  private def grid6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  private val displayVals = Gen.chooseNum(-1e6, 1e6)
+
+  property("grid rounding stays within half a grid step and is idempotent") =
+    Prop.forAll(displayVals) { x =>
+      val g = grid6(x)
+      math.abs(g - x) <= 5.000001e-7 * math.max(1.0, math.abs(x) / 1e5) &&
+        grid6(g) == g
+    }
+
   private val words = Gen.listOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))
 
   property("simhash is deterministic and order-insensitive for multisets") =

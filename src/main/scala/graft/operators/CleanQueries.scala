@@ -213,7 +213,48 @@ object CleanQueries {
       |FROM p
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** C11: IQR outlier detection per series — Tukey fences at
+    * q1 − 1.5·IQR / q3 + 1.5·IQR from exact per-series quartiles,
+    * reporting each series' outlier count and fence values. The
+    * statistical sibling of C2's rule-based anomaly scan: one grouped
+    * percentile aggregation, fences joined back (one row per series —
+    * broadcast-sized), a conditional count. */
+  val c11OutlierIqr: Q = (s, dir) => {
+    val ev = Graft.events(s, dir)
+    val bounds = ev.groupBy("user_id").agg(
+        expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      .select("user_id", "lo", "hi")
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    ev.join(broadcast(bounds), "user_id")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        q6(min(col("lo"))).as("lo"), q6(max(col("hi"))).as("hi"))
+      .orderBy("user_id")
+  }
+
+  val c11OutlierIqrSql: String =
+    """WITH b AS (
+      |  SELECT user_id,
+      |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+      |  FROM events GROUP BY user_id),
+      |f AS (
+      |  SELECT user_id,
+      |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+      |  FROM b)
+      |SELECT e.user_id, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  FLOOR(MIN(f.lo) * 1e6 + 0.5) / 1e6 AS lo,
+      |  FLOOR(MAX(f.hi) * 1e6 + 0.5) / 1e6 AS hi
+      |FROM events e JOIN f ON e.user_id = f.user_id
+      |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "c11_outlier_iqr" -> c11OutlierIqr,
     "c10_interpolate" -> c10Interpolate,
     "c1_missing_report" -> c1MissingReport,
     "c2_anomalies" -> c2Anomalies,
@@ -225,6 +266,7 @@ object CleanQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "c11_outlier_iqr" -> c11OutlierIqrSql,
     "c10_interpolate" -> c10InterpolateSql,
     "c1_missing_report" -> c1MissingReportSql,
     "c2_anomalies" -> c2AnomaliesSql,

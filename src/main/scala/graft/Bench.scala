@@ -1,14 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Runs every `SparkEntry.queries` entry `SPARK_GRAFT_REPS`
+  * times (default 3) after an untimed warmup and reports the per-query
+  * MEDIAN (plus min, for noise diagnosis). Single-shot numbers on this
+  * host are unadjudicable — co-tenant load spikes wall-times 2-4x — so the
+  * median across reps is the only number the JSON line headlines.
+  * `/proc/loadavg` is sampled before and after the run and emitted so a
+  * noisy-host run is visible in the artifact itself.
+  */
 object Bench {
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
+    catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = Graft.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadBefore = loadavg()
     // Untimed warmup: JIT/codegen/first-read costs land here, not on
     // whichever query happens to run first.
     try {
@@ -31,22 +46,36 @@ object Bench {
         .count()
     } catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: materializes every column of every row (count() would let
-      // Catalyst prune the plan down to a row count).
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name: ${e.getMessage}")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val ts = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: materializes every column of every row (count() would
+        // let Catalyst prune the plan down to a row count).
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          if (!failed.contains(name)) {
+            failed += name
+            System.err.println(s"[bench] $name: ${e.getMessage}")
+          }
+          None
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+      name -> ts
+    }
+    val med = timings.map { case (n, ts) => n -> (if (ts.nonEmpty) median(ts) else -1.0) }.toMap
+    val mins = timings.map { case (n, ts) => n -> (if (ts.nonEmpty) ts.min else -1.0) }.toMap
+    def obj(m: Map[String, Double]) =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    val total = med.values.filter(_ >= 0).sum
+    val loadAfter = loadavg()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${obj(med)},"queries_min":${obj(mins)},"failed":$fs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir"}""")
     spark.stop()
   }
 }

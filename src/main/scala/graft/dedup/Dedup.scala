@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *  - SimHash: 64-bit signature → 4×16-bit band keys, same bucketing;
   *  - n-gram Jaccard: shingle-level join with distinct-shingle
   *    pre-aggregation; hot shingles (stopword trigrams) are the skew
-  *    risk — AQE skew-join handles it, and a document-frequency cap can
-  *    drop degenerate shingles at extreme scale.
+  *    risk — the `maxDf` document-frequency cap drops degenerate
+  *    shingles before the pair join (see [[ngramJaccard]]), with AQE
+  *    skew-join as the residual backstop.
   */
 object Dedup {
 
@@ -265,14 +266,33 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for pairs above a threshold:
     * distinct-shingle join → per-pair intersection counts → |A∩B| /
-    * (|A|+|B|−|A∩B|). */
+    * (|A|+|B|−|A∩B|).
+    *
+    * `maxDf` is the hot-shingle skew guard: shingles appearing in more
+    * than `maxDf` documents (stopword runs like "the end of") are
+    * dropped from the shingle universe BEFORE the pair self-join — on a
+    * skewed corpus the hottest shingle's bucket otherwise dominates the
+    * join (its pair count grows as df², and a df-10⁶ shingle alone
+    * yields ~5·10¹¹ candidate pairs). Sizes and intersections are both
+    * computed over the capped universe, so the Jaccard stays a
+    * consistent set similarity; a df-capped shingle carries ~zero
+    * near-dup signal by definition (it fails the inverse-document-
+    * frequency test). Default Int.MaxValue = uncapped. */
   def ngramJaccard(docs: DataFrame, k: Int, threshold: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDf: Int = Int.MaxValue): DataFrame = {
     // join on the 64-bit shingle hash, not the string: same counts
     // (collisions at ~1e-10 for realistic shingle cardinalities) with a
     // far smaller shuffle payload.
-    val sh = graft.Graft.materialize(shingles(docs, k, idCol, textCol)
+    val shAll = graft.Graft.materialize(shingles(docs, k, idCol, textCol)
       .select(col(idCol), xxhash64(col("shingle")).as("sh"))) // feeds 2 join sides + sizes
+    val sh = if (maxDf == Int.MaxValue) shAll else
+      // one aggregation on the shingle key (already the join key, so the
+      // df filter and the pair join share a partitioning) + a semi-join
+      graft.Graft.materialize(shAll.join(
+        shAll.groupBy("sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select("sh"),
+        "sh"))
 
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col(idCol).as("doc_a"), col("sh"))

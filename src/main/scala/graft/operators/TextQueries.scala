@@ -171,9 +171,13 @@ object TextQueries {
       |GROUP BY 1 HAVING COUNT(*) > 1
       |ORDER BY keeper""".stripMargin
 
-  /** D4: exact 3-gram Jaccard near-dup pairs (threshold 0.5). */
+  /** D4: exact 3-gram Jaccard near-dup pairs (threshold 0.5), with the
+    * hot-shingle document-frequency cap ACTIVE (maxDf=50): shingles in
+    * more than 50 docs are dropped before the pair self-join — the skew
+    * guard that keeps the join bounded on a stopword-heavy corpus (see
+    * Dedup.ngramJaccard). The oracle applies the identical cap. */
   val d4NgramJaccard: Q = (s, dir) =>
-    Dedup.ngramJaccard(nearCorpus(s, dir), 3, 0.5)
+    Dedup.ngramJaccard(nearCorpus(s, dir), 3, 0.5, maxDf = 50)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
@@ -182,9 +186,11 @@ object TextQueries {
       |w AS (SELECT doc_id,
       |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
       |      FROM corpus),
-      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
       |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
       |       WHERE len(ws) >= 3 AND length(ws[i] || ws[i+1] || ws[i+2]) > 0),
+      |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 50),
+      |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i

@@ -78,18 +78,41 @@ object VectorQueries {
       |  FROM v CROSS JOIN planes p GROUP BY v.vec_id)
       |SELECT bucket, COUNT(*) AS n FROM bits GROUP BY bucket ORDER BY bucket""".stripMargin
 
-  /** D5: embedding-cosine near-dup pairs (cos ≥ 0.3, a < b) via the
-    * broadcast tight-loop sweep (see VectorOps.allPairsCosine). */
-  val d5EmbeddingNeardup: Q = (s, dir) =>
-    VectorOps.allPairsCosine(Graft.table(s, dir, "embeddings"), 0.3)
+  /** D5: embedding-cosine near-dup pairs (cos ≥ 0.4, a < b) via the
+    * DEFAULT scale path: banded LSH candidate generation (16 bands ×
+    * 4 sign bits, planes = embeddings vec_id 8–71) + exact per-candidate
+    * rerank — pairs only ever materialize within a bucket, never the n²
+    * cross join (VectorOps.lshNearDupPairs; the all-pairs sweep is the
+    * small-input fallback behind VectorOps.nearDupPairs). Deterministic
+    * given the plane set, so the oracle replays the identical banding. */
+  val d5EmbeddingNeardup: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Graft.table(s, dir, "embeddings")
+    val planes = emb.filter(col("vec_id") >= 8 && col("vec_id") < 72)
+      .select(col("vec_id") - 8, col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    VectorOps.lshNearDupPairs(emb, planes, bands = 16, rowsPerBand = 4,
+        threshold = 0.4)
       .orderBy("vec_a", "vec_b")
+  }
 
   val d5EmbeddingNeardupSql: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |planes AS (SELECT vec_id - 8 AS pid, e AS pe FROM v
+      |           WHERE vec_id >= 8 AND vec_id < 72),
+      |bits AS (
+      |  SELECT v.vec_id, p.pid // 4 AS band,
+      |    CAST(SUM(CASE WHEN list_dot_product(v.e, p.pe) > 0
+      |        THEN 1 << (p.pid % 4) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.pid // 4),
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      |  FROM bits x JOIN bits y
+      |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+      |SELECT c.vec_a, c.vec_b,
       |  ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
-      |FROM v a JOIN v b ON a.vec_id < b.vec_id
-      |WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.3
+      |FROM cand c JOIN v a ON a.vec_id = c.vec_a JOIN v b ON b.vec_id = c.vec_b
+      |WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** M1: multimodal payload plumbing — binary column → mapPartitions

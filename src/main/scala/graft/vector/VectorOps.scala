@@ -110,6 +110,12 @@ object VectorOps {
 
   /** All-pairs cosine near-dup pairs (a < b, rounded cos ≥ threshold).
     *
+    * SMALL-INPUT FALLBACK ONLY — the default near-dup path is the
+    * bucketed [[lshNearDupPairs]]; use this exact sweep when the vector
+    * set is small enough that O(n²) is cheaper than bucketing (see
+    * [[nearDupPairs]] for the dispatcher), or as the recall oracle in
+    * tests.
+    *
     * Implementation note: Catalyst higher-order functions (zip_with +
     * aggregate) are interpreted per element, which makes an O(n²·d)
     * pair sweep ~100× slower than a JIT'd loop. The vector set is
@@ -117,8 +123,7 @@ object VectorOps {
     * partition runs a tight dot-product loop against it — the classic
     * broadcast-small-side pattern. Works while the vector set fits in
     * executor memory (64-dim floats: ~3 GB per 10M vectors); beyond
-    * that, bucket candidates first with lshBucket/ivfAssign and run the
-    * exact sweep per bucket.
+    * that it is off the table, which is why it is not the default.
     *
     * Numerics match the expression form exactly: left-to-right double
     * folds, cos = dot/(‖a‖·‖b‖), HALF_UP rounding to 6 dp; pairs with
@@ -172,4 +177,61 @@ object VectorOps {
     }
     vectors.select(col(idCol), bits.reduce(_ + _).as("bucket"))
   }
+
+  /** Banded-LSH near-dup pairs — the DEFAULT scale path for embedding
+    * near-duplicate detection (a < b, rounded cos ≥ threshold).
+    *
+    * Plan shape (never O(n²) over the corpus):
+    *  1. one narrow map per vector computes `bands` bucket keys, each the
+    *     sign-bit code of `rowsPerBand` hyperplane dot products (planes
+    *     broadcast as literals — `bands·rowsPerBand` dots/vector total);
+    *  2. a (band, bucket)-keyed self-join materializes candidate pairs
+    *     only WITHIN buckets;
+    *  3. exact cosine rerank over the candidates, threshold filter.
+    *
+    * Recall follows the classic banding curve 1 − (1 − p^r)^b with
+    * p = 1 − θ/π: for true near-dups (cos ≥ 0.9, r=4, b=16) it is
+    * ≈ 0.9999; it degrades gracefully toward weaker thresholds
+    * (VectorSpec measures it against [[allPairsCosine]] on planted
+    * near-dups). Fully deterministic given the plane set, so a SQL
+    * oracle replays it exactly. */
+  def lshNearDupPairs(vectors: DataFrame, planes: Seq[(Long, Seq[Float])],
+      bands: Int, rowsPerBand: Int, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(planes.size >= bands * rowsPerBand,
+      s"need ${bands * rowsPerBand} planes, got ${planes.size}")
+    val sorted = planes.sortBy(_._1).take(bands * rowsPerBand)
+    // all band keys in ONE pass over the vectors (an array of bucket
+    // codes, unpivoted), not one scan per band
+    val bucketCols = (0 until bands).map { b =>
+      (0 until rowsPerBand).map { r =>
+        val planeCol = array(sorted(b * rowsPerBand + r)._2.map(v => lit(v)): _*)
+        when(dot(col(vecCol), planeCol) > 0, 1L << r).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    val banded = vectors.select(col(idCol).cast("long").as("id"),
+      posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("vec_a"), col("y.id").as("vec_b"))
+      .distinct()
+    val va = vectors.select(col(idCol).cast("long").as("vec_a"), col(vecCol).as("__va"))
+    val vb = vectors.select(col(idCol).cast("long").as("vec_b"), col(vecCol).as("__vb"))
+    cand.join(va, "vec_a").join(vb, "vec_b")
+      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** Near-dup dispatcher: the exact O(n²) sweep only under
+    * `bruteForceLimit` vectors (where it is cheaper than bucketing);
+    * banded LSH + rerank — the scale path — otherwise. */
+  def nearDupPairs(vectors: DataFrame, threshold: Double,
+      planes: Seq[(Long, Seq[Float])], bands: Int, rowsPerBand: Int,
+      bruteForceLimit: Long = 10000L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    if (vectors.count() <= bruteForceLimit)
+      allPairsCosine(vectors, threshold, idCol, vecCol)
+    else
+      lshNearDupPairs(vectors, planes, bands, rowsPerBand, threshold, idCol, vecCol)
 }

@@ -119,4 +119,31 @@ class TextDedupSpec extends SparkSpec {
     assert(got.length == 1)
     assert(approx(got.head._3, 0.5))
   }
+
+  test("ngram jaccard maxDf cap drops hot shingles from the pair join") {
+    // every doc shares the stopword shingle "the end of" (df = 12 > cap);
+    // only docs 1/2 share real content beyond it
+    val hot = "the end of"
+    val docs = (Seq(
+      (1L, s"alpha beta gamma delta $hot"),
+      (2L, s"alpha beta gamma delta epsilon $hot")) ++
+      (3L to 12L).map(i => (i, s"unique$i words$i here$i $hot"))).toDF("doc_id", "text")
+    // uncapped: the shared hot shingle alone links every doc pair at a
+    // small-but-nonzero jaccard; capped at df<=10 those pairs vanish and
+    // only the true near-dup pair (1,2) survives the threshold
+    val uncapped = Dedup.ngramJaccard(docs, 3, 0.01)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccard(docs, 3, 0.01, maxDf = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 66, s"hot shingle should link all 12C2 pairs, got ${uncapped.size}")
+    assert(capped == Set((1L, 2L)), s"capped pairs: $capped")
+    // the surviving pair's jaccard is computed over the CAPPED universe:
+    // doc1 has 6 shingles, 3 hot-adjacent... verify against by-hand sets
+    // doc1 shingles (capped): {alpha beta gamma, beta gamma delta, gamma delta the, delta the end} minus df>10 = all df-1 except "the end of"
+    // doc2 adds epsilon: {alpha beta gamma, beta gamma delta, gamma delta epsilon, delta epsilon the, epsilon the end}
+    // inter = 2, union = 7 -> 2/7
+    val j = Dedup.ngramJaccard(docs, 3, 0.01, maxDf = 10)
+      .select("jaccard").as[Double].head()
+    assert(approx(j, 2.0 / 7.0), s"jaccard over capped universe: $j")
+  }
 }

@@ -85,6 +85,47 @@ class VectorSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("lshNearDupPairs: no false positives, high recall on planted near-dups") {
+    val rnd = new scala.util.Random(7)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val dim = 32
+    // 40 well-separated bases, each with a planted near-duplicate
+    // (small perturbation → cos ≥ ~0.95)
+    val bases = Seq.tabulate(40)(i => (i.toLong, unit(dim).toSeq))
+    val dups = bases.map { case (id, v) =>
+      (id + 1000L, v.zip(unit(dim)).map { case (x, e) => x + 0.1f * e }.toSeq)
+    }
+    val vectors = (bases ++ dups).toDF("vec_id", "embedding")
+    val planes = Seq.tabulate(64)(i => (i.toLong, unit(dim).toSeq))
+    val got = VectorOps.lshNearDupPairs(vectors, planes,
+        bands = 16, rowsPerBand = 4, threshold = 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val exact = VectorOps.allPairsCosine(vectors, 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // the rerank makes every emitted pair a true ≥-threshold pair
+    assert(got.subsetOf(exact), s"false positives: ${got.diff(exact)}")
+    assert(exact.size >= 35, s"planting failed: only ${exact.size} true pairs")
+    val recall = got.size.toDouble / exact.size
+    info(f"banded-LSH recall@0.9 (16 bands x 4 bits): $recall%.3f")
+    assert(recall >= 0.95, s"recall $recall below the banding-curve expectation")
+  }
+
+  test("nearDupPairs dispatches to the exact sweep only under the limit") {
+    val small = vecs
+    val planes = Seq.tabulate(8)(i =>
+      (i.toLong, Seq.fill(3)(scala.util.Random.nextGaussian().toFloat)))
+    val viaDispatch = VectorOps.nearDupPairs(small, 0.5, planes,
+        bands = 4, rowsPerBand = 2, bruteForceLimit = 100)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val exact = VectorOps.allPairsCosine(small, 0.5)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(viaDispatch == exact)
+  }
+
   test("multimodal stub decoder: deterministic metadata from payload bytes") {
     val docs = Seq((1L, "abcd"), (2L, "héllo")).toDF("doc_id", "text")
     val got = Multimodal.decodeStub(Multimodal.attachPayload(docs))

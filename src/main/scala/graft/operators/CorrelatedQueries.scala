@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.Graft.Q
+
+/** Correlated-subquery TPC-H shapes (Q2/Q18/Q21/Q22 re-expressed over
+  * the driver's star schema — there is no partsupp table, so Q2's
+  * correlated min runs over lineitem supply prices, and Q21/Q22 use
+  * `l_returnflag`/order recency in place of the receipt-date columns
+  * the synthetic schema lacks).
+  *
+  * These four are written as Spark SQL text on purpose: the engine
+  * surface under test is Catalyst's subquery DECORRELATION
+  * (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery turning
+  * correlated scalar/EXISTS/NOT EXISTS into aggregate-join, left-semi
+  * and left-anti joins). The DataFrame API cannot express a correlated
+  * subquery, so SQL is the idiomatic front door; the plans that come
+  * out are ordinary joins — PlanSpec pins the decorrelated shapes.
+  *
+  * Scale notes: every decorrelated subquery becomes a keyed shuffle on
+  * its correlation key (p_partkey / l_orderkey / o_custkey) — the same
+  * key the outer join uses, so partitionings are reused; nothing is
+  * ever re-executed per outer row. Numeric policy: decimal exact sums
+  * cast to double (CoreQueries scaladoc), ranking keys are parquet
+  * doubles compared raw (bit-identical cross-engine, no computation).
+  */
+object CorrelatedQueries {
+
+  /** Spark SQL over the raw parquet files (`parquet.`path`` relations —
+    * no temp-view state), with `TABLE` placeholders substituted. */
+  private def sql(s: org.apache.spark.sql.SparkSession, dir: String,
+      q: String): org.apache.spark.sql.DataFrame = {
+    val tables = Seq("lineitem", "orders", "customer", "supplier",
+      "part", "nation", "region")
+    s.sql(tables.foldLeft(q)((acc, t) =>
+      acc.replace(s"@$t", s"parquet.`$dir/$t.parquet`")))
+  }
+
+  /** Q2 shape: min-cost supplier per part — a correlated SCALAR subquery
+    * (the per-part minimum supply price within a region) that Catalyst
+    * decorrelates into an aggregate + join on p_partkey. */
+  val q2MinCost: Q = (s, dir) => sql(s, dir,
+    """SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+      |       l.l_extendedprice AS min_price
+      |FROM @part p, @lineitem l, @supplier s, @nation n, @region r
+      |WHERE l.l_partkey = p.p_partkey
+      |  AND s.s_suppkey = l.l_suppkey
+      |  AND s.s_nationkey = n.n_nationkey
+      |  AND n.n_regionkey = r.r_regionkey
+      |  AND r.r_name = 'ASIA'
+      |  AND p.p_size <= 5
+      |  AND l.l_extendedprice = (
+      |    SELECT MIN(l2.l_extendedprice)
+      |    FROM @lineitem l2, @supplier s2, @nation n2, @region r2
+      |    WHERE l2.l_partkey = p.p_partkey
+      |      AND s2.s_suppkey = l2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey)
+      |ORDER BY p.p_partkey, s.s_name""".stripMargin)
+
+  val q2MinCostSql: String =
+    """SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+      |       l.l_extendedprice AS min_price
+      |FROM part p, lineitem l, supplier s, nation n, region r
+      |WHERE l.l_partkey = p.p_partkey
+      |  AND s.s_suppkey = l.l_suppkey
+      |  AND s.s_nationkey = n.n_nationkey
+      |  AND n.n_regionkey = r.r_regionkey
+      |  AND r.r_name = 'ASIA'
+      |  AND p.p_size <= 5
+      |  AND l.l_extendedprice = (
+      |    SELECT MIN(l2.l_extendedprice)
+      |    FROM lineitem l2, supplier s2, nation n2, region r2
+      |    WHERE l2.l_partkey = p.p_partkey
+      |      AND s2.s_suppkey = l2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey)
+      |ORDER BY p.p_partkey, s.s_name""".stripMargin
+
+  /** Q18 shape: large-volume orders — HAVING over a grouped sum feeding
+    * an IN subquery (decorrelated to a left-semi join on l_orderkey),
+    * then the customer/order/lineitem re-aggregation. Quantity sums are
+    * integral-valued doubles; summed through decimal for exactness. */
+  val q18LargeOrders: Q = (s, dir) => sql(s, dir,
+    """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+      |       o.o_totalprice,
+      |       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      |FROM @customer c, @orders o, @lineitem l
+      |WHERE o.o_orderkey IN (
+      |    SELECT l_orderkey FROM @lineitem
+      |    GROUP BY l_orderkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250)
+      |  AND c.c_custkey = o.o_custkey
+      |  AND o.o_orderkey = l.l_orderkey
+      |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+      |ORDER BY o.o_totalprice DESC, o.o_orderkey
+      |LIMIT 100""".stripMargin)
+
+  val q18LargeOrdersSql: String =
+    """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+      |       o.o_totalprice,
+      |       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      |FROM customer c, orders o, lineitem l
+      |WHERE o.o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem
+      |    GROUP BY l_orderkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250)
+      |  AND c.c_custkey = o.o_custkey
+      |  AND o.o_orderkey = l.l_orderkey
+      |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+      |ORDER BY o.o_totalprice DESC, o.o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** Q21 shape: suppliers who alone returned items on finalized
+    * multi-supplier orders — a correlated EXISTS (another supplier
+    * participated: left-semi join) chained with a correlated NOT EXISTS
+    * (no other supplier returned: left-anti join), both on l_orderkey.
+    * The synthetic schema has no receipt/commit dates, so the "fault"
+    * marker is l_returnflag = 'R'. */
+  val q21WaitingSupplier: Q = (s, dir) => sql(s, dir,
+    """SELECT s.s_name, COUNT(*) AS numwait
+      |FROM @supplier s, @lineitem l1, @orders o
+      |WHERE s.s_suppkey = l1.l_suppkey
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (
+      |    SELECT 1 FROM @lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM @lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s.s_name
+      |LIMIT 100""".stripMargin)
+
+  val q21WaitingSupplierSql: String =
+    """SELECT s.s_name, COUNT(*) AS numwait
+      |FROM supplier s, lineitem l1, orders o
+      |WHERE s.s_suppkey = l1.l_suppkey
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s.s_name
+      |LIMIT 100""".stripMargin
+
+  /** Q22 shape: well-funded dormant customers per nation — an
+    * UNCORRELATED scalar subquery (global positive-balance average,
+    * computed decimal-exact so the comparison threshold is bit-identical
+    * cross-engine) plus a correlated NOT EXISTS (no order since
+    * 2000-06-01 → left-anti join on o_custkey). */
+  val q22DormantRich: Q = (s, dir) => sql(s, dir,
+    """SELECT n.n_name, COUNT(*) AS n_custs,
+      |       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      |FROM @customer c, @nation n
+      |WHERE n.n_nationkey = c.c_nationkey
+      |  AND c.c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) / COUNT(*) AS DOUBLE)
+      |    FROM @customer c2 WHERE c2.c_acctbal > 0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM @orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+      |GROUP BY n.n_name
+      |ORDER BY n.n_name""".stripMargin)
+
+  val q22DormantRichSql: String =
+    """SELECT n.n_name, COUNT(*) AS n_custs,
+      |       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      |FROM customer c, nation n
+      |WHERE n.n_nationkey = c.c_nationkey
+      |  AND c.c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) / COUNT(*) AS DOUBLE)
+      |    FROM customer c2 WHERE c2.c_acctbal > 0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+      |GROUP BY n.n_name
+      |ORDER BY n.n_name""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q2_mincost_supplier" -> q2MinCost,
+    "q18_large_orders" -> q18LargeOrders,
+    "q21_waiting_supplier" -> q21WaitingSupplier,
+    "q22_dormant_rich" -> q22DormantRich,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q2_mincost_supplier" -> q2MinCostSql,
+    "q18_large_orders" -> q18LargeOrdersSql,
+    "q21_waiting_supplier" -> q21WaitingSupplierSql,
+    "q22_dormant_rich" -> q22DormantRichSql,
+  )
+}

@@ -122,4 +122,23 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
   }
+
+  test("q2: correlated scalar subquery decorrelates to aggregate + join") {
+    val p = plan(graft.operators.CorrelatedQueries.q2MinCost(spark, sf))
+    // RewriteCorrelatedScalarSubquery: the per-part MIN becomes an
+    // aggregate joined on the correlation key — never a per-row replay
+    assert(!p.contains("Subquery"), s"subquery must be decorrelated:\n$p")
+    assert("HashAggregate".r.findAllIn(p).nonEmpty, "expect the decorrelated MIN aggregate")
+  }
+
+  test("q21: EXISTS/NOT EXISTS chain plans as semi + anti joins") {
+    val p = plan(graft.operators.CorrelatedQueries.q21WaitingSupplier(spark, sf))
+    assert(p.contains("LeftSemi"), s"EXISTS should plan as left-semi:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS should plan as left-anti:\n$p")
+  }
+
+  test("q22: NOT EXISTS anti join; global average is a one-row subquery, not a join explosion") {
+    val p = plan(graft.operators.CorrelatedQueries.q22DormantRich(spark, sf))
+    assert(p.contains("LeftAnti"), s"dormancy filter should plan as left-anti:\n$p")
+  }
 }

@@ -211,12 +211,110 @@ object SimilarityQueries {
       |FROM dp WHERE kind = 0 AND d = n + m - 2 AND i = n - 1
       |ORDER BY user_a, user_b""".stripMargin
 
+  /** X2: full-matrix DTW with the optimal warping path for every pair
+    * among users 0-3 (similarity.py:536-608): one row per path step
+    * (step, i, j) plus the pair's total distance. Path ties resolve
+    * diagonal > up > left under strict '<' — deterministic, so the
+    * oracle can replay the backtrack cell-for-cell. */
+  val x2DtwPath: Q = (s, dir) => {
+    import s.implicits._
+    val arrs = rets(s, dir, maxUser = 4)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pts"))
+      .select(col("user_id"), col("pts.v").as("series"))
+    val a = arrs.select(col("user_id").as("_1"), col("series").as("_2"))
+    val b = arrs.select(col("user_id").as("_3"), col("series").as("_4"))
+    a.crossJoin(broadcast(b)).filter(col("_1") < col("_3"))
+      .as[(Long, Seq[Double], Long, Seq[Double])]
+      .flatMap { case (ia, va, ib, vb) =>
+        val (dist, path) = Dtw.distanceWithPath(va.toArray, vb.toArray)
+        path.zipWithIndex.map { case ((i, j), step) =>
+          (ia, ib, step.toLong, i.toLong, j.toLong, dist) }
+      }
+      .toDF("user_a", "user_b", "step", "i", "j", "dtw")
+      .select(col("user_a"), col("user_b"), col("step"), col("i"), col("j"),
+        round(col("dtw"), 6).as("dtw"))
+      .orderBy("user_a", "user_b", "step")
+  }
+
+  /** Oracle for X2: the x1 wavefront with the band disabled
+    * (w = max(n, m) never clips) keeps EVERY cell of the full DP matrix,
+    * then a second recursive CTE backtracks from (n−1, m−1) using the
+    * kernel's exact tie order: choose left only when strictly smaller
+    * than min(diag, up), else up only when strictly smaller than diag,
+    * else diag. Additions happen in the same per-cell order as the
+    * kernel, so the '<' comparisons see bit-identical doubles. `cells`
+    * is MATERIALIZED — without the hint the backtrack recursion
+    * re-derives the whole wavefront per step (measured 370 s → 2.5 s).
+    * Steps renumber forward (0 at (0,0)) to match the kernel's reversed
+    * path. */
+  val x2DtwPathSql: String = retsCte(maxUser = 4).replace("WITH ", "WITH RECURSIVE ") +
+    """,
+      |av AS (SELECT user_id, pos - 1 AS i, v FROM rets),
+      |len AS (SELECT user_id, COUNT(*) AS n FROM rets GROUP BY user_id),
+      |pairs AS (
+      |  SELECT a.user_id AS ua, b.user_id AS ub, a.n AS n, b.n AS m,
+      |    GREATEST(a.n, b.n) AS w
+      |  FROM len a JOIN len b ON a.user_id < b.user_id),
+      |dp(ua, ub, n, m, w, kind, d, i, val) AS (
+      |  SELECT p.ua, p.ub, p.n, p.m, p.w, 0, 0, 0, ABS(a.v - b.v)
+      |  FROM pairs p
+      |  JOIN av a ON a.user_id = p.ua AND a.i = 0
+      |  JOIN av b ON b.user_id = p.ub AND b.i = 0
+      |  UNION ALL
+      |  (
+      |    SELECT s.ua, s.ub, s.n, s.m, s.w, 0, s.d, s.i2,
+      |      ABS(a.v - b.v) + s.cand
+      |    FROM (
+      |      SELECT ua, ub, n, m, w, d + 1 + kind AS d, i + delta AS i2,
+      |        MIN(val) AS cand
+      |      FROM dp, (VALUES (0, 0), (0, 1), (1, 1)) g(k, delta)
+      |      WHERE kind = g.k AND d + 1 + kind <= n + m - 2
+      |      GROUP BY ua, ub, n, m, w, d + 1 + kind, i + delta
+      |    ) s
+      |    JOIN av a ON a.user_id = s.ua AND a.i = s.i2
+      |    JOIN av b ON b.user_id = s.ub AND b.i = s.d - s.i2
+      |    WHERE s.d - s.i2 BETWEEN 0 AND s.m - 1
+      |      AND s.i2 BETWEEN 0 AND s.n - 1
+      |      AND ABS(s.i2 - (s.d - s.i2)) <= s.w
+      |    UNION ALL
+      |    SELECT ua, ub, n, m, w, 1, d, i, val
+      |    FROM dp WHERE kind = 0 AND d + 2 <= n + m - 2
+      |  )),
+      |cells AS MATERIALIZED (SELECT ua, ub, i, d - i AS j, val FROM dp WHERE kind = 0),
+      |bt(ua, ub, step, i, j) AS (
+      |  SELECT ua, ub, 0, n - 1, m - 1 FROM pairs
+      |  UNION ALL
+      |  SELECT bt.ua, bt.ub, bt.step + 1,
+      |    CASE WHEN bt.i = 0 THEN 0
+      |         WHEN bt.j = 0 THEN bt.i - 1
+      |         WHEN dl.val < (CASE WHEN du.val < dd.val THEN du.val ELSE dd.val END) THEN bt.i
+      |         ELSE bt.i - 1 END,
+      |    CASE WHEN bt.i = 0 THEN bt.j - 1
+      |         WHEN bt.j = 0 THEN bt.j
+      |         WHEN dl.val < (CASE WHEN du.val < dd.val THEN du.val ELSE dd.val END) THEN bt.j - 1
+      |         WHEN du.val < dd.val THEN bt.j
+      |         ELSE bt.j - 1 END
+      |  FROM bt
+      |  LEFT JOIN cells dd ON dd.ua = bt.ua AND dd.ub = bt.ub AND dd.i = bt.i - 1 AND dd.j = bt.j - 1
+      |  LEFT JOIN cells du ON du.ua = bt.ua AND du.ub = bt.ub AND du.i = bt.i - 1 AND du.j = bt.j
+      |  LEFT JOIN cells dl ON dl.ua = bt.ua AND dl.ub = bt.ub AND dl.i = bt.i AND dl.j = bt.j - 1
+      |  WHERE bt.i > 0 OR bt.j > 0),
+      |tot AS (SELECT ua, ub, ROUND(val, 6) AS dtw FROM dp
+      |        WHERE kind = 0 AND d = n + m - 2 AND i = n - 1)
+      |SELECT b.ua AS user_a, b.ub AS user_b,
+      |  CAST(MAX(b.step) OVER (PARTITION BY b.ua, b.ub) - b.step AS BIGINT) AS step,
+      |  CAST(b.i AS BIGINT) AS i, CAST(b.j AS BIGINT) AS j, t.dtw
+      |FROM bt b JOIN tot t ON t.ua = b.ua AND t.ub = b.ub
+      |ORDER BY user_a, user_b, step""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "a9_corr_pair" -> a9CorrPair,
     "a10_heatmap" -> a10Heatmap,
     "a11_cov_matrix" -> a11CovMatrix,
     "x3_similarity_pair" -> x3SimilarityPair,
     "x1_dtw_pairs" -> x1DtwPairs,
+    "x2_dtw_path" -> x2DtwPath,
   )
 
   def oracle: Map[String, String] = Map(
@@ -225,5 +323,6 @@ object SimilarityQueries {
     "a11_cov_matrix" -> a11CovMatrixSql,
     "x3_similarity_pair" -> x3SimilarityPairSql,
     "x1_dtw_pairs" -> x1DtwPairsSql,
+    "x2_dtw_path" -> x2DtwPathSql,
   )
 }

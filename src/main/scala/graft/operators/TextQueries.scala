@@ -223,7 +223,10 @@ object TextQueries {
     * estimated Jaccard ≥ 0.5. The query uses the md5-derived hash family
     * (engine-neutral) so the full pipeline is oracle-checkable; the
     * xxhash64 family stays the library default for scale. */
-  val d2MinhashLsh: Q = (s, dir) => {
+  /** Shared MinHash-LSH near-dup pair pipeline (md5 family, 16 hashes,
+    * 4×4 bands, est-Jaccard ≥ 0.5) — the candidate generator for both
+    * d2's pair listing and d6's cluster building. */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingles(nearCorpus(s, dir), 3)
     // the signature frame feeds four join branches — materialize it once
     // (S7 cache operator) instead of recomputing the shingle groupBy 4×;
@@ -232,9 +235,12 @@ object TextQueries {
     val cands = Dedup.minhashCandidates(sigs, 4, 4)
     Dedup.minhashJaccard(sigs, cands, 16)
       .filter(col("jaccard_est") >= 0.5)
+  }
+
+  val d2MinhashLsh: Q = (s, dir) =>
+    lshPairs(s, dir)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_est"), 6).as("jaccard_est"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Oracle for D2: same shingles as d4, 16 min-hashes from the
     * md5-derived 2-universal family (h1 + i·h2), band match = all 4
@@ -242,36 +248,43 @@ object TextQueries {
     * tuple equality here), estimate = agreeing fraction. The O(n²)
     * signature pair join is fine at oracle scale; the engine side only
     * ever joins within buckets. */
-  val d2MinhashLshSql: String = {
+  /** Shared oracle CTE chain for the MinHash-LSH pipeline: shingles →
+    * md5-family signatures → banded candidates → `lshp(doc_a, doc_b,
+    * est)` pairs with est-Jaccard ≥ 0.5 (mirrors [[lshPairs]]). */
+  private val lshPairsCte: String = {
     val agree = (1 to 16).map(i => s"CASE WHEN ha[$i]=hb[$i] THEN 1 ELSE 0 END")
       .mkString(" + ")
     val bands = (0 until 4).map { b =>
       (1 to 4).map(j => s"ha[${4 * b + j}]=hb[${4 * b + j}]").mkString("(", " AND ", ")")
     }.mkString("\n      |     OR ")
-    nearCorpusCte +
-      s""",
-        |w AS (SELECT doc_id,
-        |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
-        |      FROM corpus),
-        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-        |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
-        |       WHERE len(ws) >= 3 AND length(ws[i] || ws[i+1] || ws[i+2]) > 0),
-        |hb AS (SELECT doc_id,
-        |         CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h1,
-        |         CAST(('0x' || substring(md5(shingle), 17, 14)) AS BIGINT) AS h2
-        |       FROM sh),
-        |mh AS (SELECT doc_id, i, MIN(h1 + i * h2) AS h
-        |       FROM hb CROSS JOIN range(16) AS r(i) GROUP BY doc_id, i),
-        |sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM mh GROUP BY doc_id),
-        |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.hs AS ha, b.hs AS hb
-        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |  WHERE $bands)
-        |SELECT doc_a, doc_b, ROUND(($agree) / 16.0, 6) AS jaccard_est
-        |FROM cand
-        |WHERE ($agree) / 16.0 >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin
+    s""",
+      |w AS (SELECT doc_id,
+      |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+      |      FROM corpus),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+      |       WHERE len(ws) >= 3 AND length(ws[i] || ws[i+1] || ws[i+2]) > 0),
+      |hb AS (SELECT doc_id,
+      |         CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+      |         CAST(('0x' || substring(md5(shingle), 17, 14)) AS BIGINT) AS h2
+      |       FROM sh),
+      |mh AS (SELECT doc_id, i, MIN(h1 + i * h2) AS h
+      |       FROM hb CROSS JOIN range(16) AS r(i) GROUP BY doc_id, i),
+      |sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM mh GROUP BY doc_id),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.hs AS ha, b.hs AS hb
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |  WHERE $bands),
+      |lshp AS (
+      |  SELECT doc_a, doc_b, ($agree) / 16.0 AS est
+      |  FROM cand WHERE ($agree) / 16.0 >= 0.5)""".stripMargin
   }
+
+  val d2MinhashLshSql: String = nearCorpusCte + lshPairsCte +
+    """
+      |SELECT doc_a, doc_b, ROUND(est, 6) AS jaccard_est
+      |FROM lshp
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** D3: SimHash near-dup pairs (hamming ≤ 8) — md5-derived word hashes
     * (engine-neutral) so signatures, bands, and hamming distances are
@@ -368,33 +381,23 @@ object TextQueries {
   /** D6: near-dup pairs → duplicate clusters (connected components via
     * min-label propagation; the oracle replays the closure as a
     * recursive CTE). Every member maps to its cluster = the smallest
-    * doc_id transitively reachable. */
+    * doc_id transitively reachable.
+    *
+    * Edges come from the MinHash-LSH candidate pipeline ([[lshPairs]] =
+    * d2's pair set), NOT the exact shingle self-join: candidate
+    * generation is the dominant cost at corpus scale, and the banded
+    * signature join moves O(docs·bands) rows where the exact join moves
+    * O(docs·shingles) — the same dedup decision both stages serve. */
   val d6DupClusters: Q = (s, dir) =>
-    Dedup.connectedComponents(Dedup.ngramJaccard(nearCorpus(s, dir), 3, 0.5))
+    Dedup.connectedComponents(lshPairs(s, dir))
       .select(col("node").as("doc_id"), col("label").as("cluster"))
       .orderBy("doc_id")
 
   val d6DupClustersSql: String =
-    nearCorpusCte.replace("WITH ", "WITH RECURSIVE ") +
+    nearCorpusCte.replace("WITH ", "WITH RECURSIVE ") + lshPairsCte +
     """,
-      |w AS (SELECT doc_id,
-      |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
-      |      FROM corpus),
-      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-      |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
-      |       WHERE len(ws) >= 3 AND length(ws[i] || ws[i+1] || ws[i+2]) > 0),
-      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-      |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |pairs AS (
-      |  SELECT doc_a, doc_b FROM inter
-      |  JOIN sizes sa ON sa.doc_id = doc_a
-      |  JOIN sizes sb ON sb.doc_id = doc_b
-      |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
-      |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-      |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |sym AS (SELECT doc_a AS src, doc_b AS dst FROM lshp
+      |        UNION ALL SELECT doc_b, doc_a FROM lshp),
       |reach AS (
       |  SELECT src, dst FROM sym
       |  UNION

@@ -35,6 +35,54 @@ class EtlJobSpec extends SparkSpec {
     assert(a2.getAs[Double]("close") == 10.2)
   }
 
+  test("connector: retries timeouts only, gates on minSuccess, feeds the full pipeline") {
+    import graft.ingest.{ChartSource, Connector, FetchTimeout}
+    val fixtures = Map("AAA" -> jsonA, "BBB" -> jsonB)
+    // AAA times out twice then succeeds (within the 3-attempt budget);
+    // CCC always 404s (non-retryable: must fail after ONE attempt);
+    // DDD returns an empty payload (counts as failure per the gate)
+    val calls = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    val source = new ChartSource {
+      def fetch(symbol: String, p1: Long, p2: Long): String = {
+        calls(symbol) += 1
+        symbol match {
+          case "AAA" if calls("AAA") <= 2 => throw new FetchTimeout("timed out")
+          case "CCC" => throw new RuntimeException("HTTP error 404")
+          case "DDD" => ""
+          case s => fixtures(s)
+        }
+      }
+    }
+    val res = Connector.fetchAll(spark, source,
+      Seq("AAA", "BBB", "CCC", "DDD"), 0L, 1L, minSuccess = 2)
+    assert(res.report.succeeded == Seq("AAA", "BBB"))
+    assert(res.report.failed.map(_._1) == Seq("CCC", "DDD"))
+    assert(calls("AAA") == 3, "two timeouts then success")
+    assert(calls("CCC") == 1, "non-timeout errors must not be retried")
+    // the fetched frame drives the §3.1 lifecycle end-to-end offline
+    val (_, report) = EtlJob.run(res.payloads)
+    assert(report.symbols == 2 && report.alignedRows == 8)
+
+    // gate: raising minSuccess above the achievable count throws
+    val e = intercept[IllegalStateException] {
+      Connector.fetchAll(spark, source, Seq("CCC", "DDD"), 0L, 1L, minSuccess = 1)
+    }
+    assert(e.getMessage.contains("minSuccess"))
+
+    // a symbol that times out on EVERY attempt fails (and is skipped by
+    // the batch), after exactly maxAttempts tries
+    calls.clear()
+    val allTimeout = new ChartSource {
+      def fetch(symbol: String, p1: Long, p2: Long): String = {
+        calls(symbol) += 1; throw new FetchTimeout("timeout")
+      }
+    }
+    intercept[FetchTimeout] {
+      Connector.fetchWithRetry(allTimeout, "XXX", 0L, 1L, maxAttempts = 3)
+    }
+    assert(calls("XXX") == 3)
+  }
+
   test("sinks: parquet + wide CSV round-trip through the compat reader") {
     val payloads = Seq(("AAA", jsonA), ("BBB", jsonB)).toDF("symbol", "json")
     val dir = java.nio.file.Files.createTempDirectory("graftetl").toString

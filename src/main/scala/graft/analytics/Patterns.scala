@@ -76,6 +76,43 @@ object Patterns {
       .agg(count(lit(1)).as("freq"))
   }
 
+  /** [[streakHistogram]] for series too big for one task — the same
+    * histogram with NO per-row collect_list arrays.
+    *
+    * The frame version materializes an O(w) array per row (O(n·w)
+    * transient memory per series, one series per task — fine for
+    * calendar-bounded series, the reference's regime). This variant is
+    * the unbounded-series path: clipping a window can neither merge nor
+    * split a maximal 1-run, so every histogram entry is exactly the
+    * overlap of one global run [s, e] with one window [p, p+w−1].
+    * Gaps-and-islands run ids (one window pass), then each run explodes
+    * only its ≤ L+w−1 overlapping window starts — constant-size rows,
+    * same O(n·w) work, nothing collected per row. */
+  def streakHistogramRuns(df: DataFrame, value: Column, keys: Seq[String],
+      order: Seq[Column], windowSize: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val upped = df.withColumn("up", ups(value, keys, order))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+    val runs = upped.filter(col("up") === 1)
+      // island id: rn minus the rank among up-rows is constant per run
+      .withColumn("grp", col("rn") - row_number().over(w))
+      .groupBy(keys.map(col) :+ col("grp"): _*)
+      .agg(min(col("rn")).as("s"), max(col("rn")).as("e"),
+        first(col("n")).as("n"))
+    val lastWin = greatest(lit(1), col("n") - windowSize + 1)
+    runs
+      // ascending always: max(1, s−w+1) ≤ min(lastWin, e) for any run
+      .withColumn("p", explode(sequence(
+        greatest(lit(1), col("s") - (windowSize - 1)),
+        least(lastWin, col("e")))))
+      .withColumn("streak_len",
+        (least(col("e"), col("p") + (windowSize - 1)) -
+          greatest(col("s"), col("p")) + 1).cast("int")) // match the kernel's int lengths
+      .groupBy((keys :+ "streak_len").map(col): _*)
+      .agg(count(lit(1)).as("freq"))
+  }
+
   /** W4 scalars: max_streak / total_ups / total_windows per series. */
   def streakStats(df: DataFrame, value: Column, keys: Seq[String],
       order: Seq[Column], windowSize: Int): DataFrame = {

@@ -240,12 +240,16 @@ object MarketQueries {
 
   /** X5: cross-sectional momentum deciles — each day, rank every series
     * by its daily close-to-close return and bucket into ntile(10); emit
-    * per-(day, decile) membership and mean return. Ranking is on the
-    * 9-dp-rounded return with a user_id tiebreak (deterministic ntile). */
+    * per-(day, decile) membership and mean return. The ranking key is
+    * snapped to the 1e-9 IEEE grid (floor(x·1e9 + 0.5)/1e9, written
+    * identically on both engines — pure IEEE ops, bit-identical) with a
+    * user_id tiebreak: a round()/CAST(DECIMAL) pair would disagree on
+    * virtual ties (x.xxxxxxxxx5) and flip decile membership. */
   val x5MomentumDecile: Q = (s, dir) =>
     PatternQueries.dailyBars(s, dir)
       .withColumn("ret",
-        round(col("close") / lag(col("close"), 1).over(barsW) - 1.0, 9))
+        floor((col("close") / lag(col("close"), 1).over(barsW) - 1.0) * lit(1e9)
+          + lit(0.5)) / lit(1e9))
       .filter(col("ret").isNotNull)
       .withColumn("decile", ntile(10).over(
         Window.partitionBy("day").orderBy(col("ret").desc, col("user_id"))).cast("long"))
@@ -259,7 +263,7 @@ object MarketQueries {
     """,
       |r AS (
       |  SELECT user_id, day,
-      |    CAST(CAST(close / lag(close) OVER (PARTITION BY user_id ORDER BY day) - 1 AS DECIMAL(28,9)) AS DOUBLE) AS ret
+      |    FLOOR((close / lag(close) OVER (PARTITION BY user_id ORDER BY day) - 1) * 1e9 + 0.5) / 1e9 AS ret
       |  FROM bars),
       |d AS (
       |  SELECT day, ret,
@@ -376,20 +380,31 @@ object MarketQueries {
     lags.reduce(_ unionByName _).orderBy("lag")
   }
 
+  /** Both engines emit exactly 11 rows regardless of series length: the
+    * Spark side's per-lag global aggregate yields a row even when a lag
+    * has zero aligned pairs (n=0, xcorr=0.0), so the oracle LEFT JOINs
+    * the lag range against the grouped aggregate and COALESCEs — a bare
+    * GROUP BY would drop empty lags and row-count-mismatch on series
+    * shorter than ~6 points. */
   val x6CrossCorrSql: String =
     """WITH s AS (
       |  SELECT user_id, value,
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
       |  FROM events WHERE user_id IN (1, 2)),
       |a AS (SELECT pos, value AS a FROM s WHERE user_id = 1),
-      |b AS (SELECT pos AS bpos, value AS b FROM s WHERE user_id = 2)
-      |SELECT l.lag,
-      |  ROUND(COALESCE(corr(a.a, b.b), 0.0), 6) AS xcorr,
-      |  COUNT(*) AS n
+      |b AS (SELECT pos AS bpos, value AS b FROM s WHERE user_id = 2),
+      |g AS (
+      |  SELECT l.lag,
+      |    ROUND(COALESCE(corr(a.a, b.b), 0.0), 6) AS xcorr,
+      |    COUNT(*) AS n
+      |  FROM UNNEST(range(-5, 6)) AS l(lag)
+      |  JOIN a ON TRUE
+      |  JOIN b ON b.bpos = a.pos + l.lag
+      |  GROUP BY l.lag)
+      |SELECT l.lag, COALESCE(g.xcorr, 0.0) AS xcorr,
+      |  COALESCE(g.n, 0) AS n
       |FROM UNNEST(range(-5, 6)) AS l(lag)
-      |JOIN a ON TRUE
-      |JOIN b ON b.bpos = a.pos + l.lag
-      |GROUP BY l.lag
+      |LEFT JOIN g USING (lag)
       |ORDER BY l.lag""".stripMargin
 
   def queries: Map[String, Q] = Map(

@@ -99,7 +99,11 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("lang_pred"))
       .orderBy("doc_id")
 
-  val t3LangIdSql: String = {
+  /** Unordered body of the language-ID prediction — shared verbatim by
+    * [[t3LangIdSql]] (which appends the ORDER BY) and [[t20LangidEvalSql]]
+    * (which nests it as a CTE), so a rewording can never silently break
+    * the derived oracle. */
+  private val langIdBodySql: String = {
     val scores = TextOps.LangMarkers.map { case (lang, pat) =>
       s"len(regexp_extract_all(lower(text), '$pat')) AS s_$lang"
     }.mkString(",\n      |    ")
@@ -115,8 +119,10 @@ object TextQueries {
        |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
        |       WHEN s_fr >= s_de THEN 'fr'
        |       ELSE 'de' END AS lang_pred
-       |FROM t ORDER BY doc_id""".stripMargin
+       |FROM t""".stripMargin
   }
+
+  val t3LangIdSql: String = langIdBodySql + "\nORDER BY doc_id"
 
   /** T20: language-ID evaluation — the confusion matrix of [[t3LangId]]'s
     * heuristic against the labeled lang column, plus per-true-language
@@ -134,9 +140,8 @@ object TextQueries {
       .orderBy("lang", "lang_pred")
 
   val t20LangidEvalSql: String = {
-    val pred = t3LangIdSql.replace("ORDER BY doc_id", "")
     s"""WITH pred AS (
-       |$pred
+       |$langIdBodySql
        |),
        |cells AS (
        |  SELECT lang, lang_pred, COUNT(*) AS n FROM pred GROUP BY 1, 2)

@@ -6,8 +6,24 @@ import org.apache.spark.sql.functions._
 /** Source/sink interop: ORC, JSON-lines, and partitioned-parquet
   * round-trips preserve the long table exactly; partitioned layout
   * prunes at the scan. */
-class IoSpec extends SparkSpec {
+class IoSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  // per-suite temp root, removed in afterAll so repeated runs don't
+  // accumulate garbage in the system temp dir
+  private val tmpRoot = java.nio.file.Files.createTempDirectory("graftio")
+
+  private def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(tmpRoot, prefix).toString
+
+  override def afterAll(): Unit = {
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } finally super.afterAll()
+  }
 
   private def longDf = Seq(
     ("2024-01-02", "AAA", 10.0, 12.0, 9.0, 11.0, 100L),
@@ -20,14 +36,14 @@ class IoSpec extends SparkSpec {
       .as[(String, String, Double, Double, Double, Double, Long)].collect().toSeq
 
   test("orc round-trip preserves the long table") {
-    val dir = java.nio.file.Files.createTempDirectory("graftorc").toString
+    val dir = tempDir("graftorc")
     BarsIO.writeOrc(longDf, dir)
     assert(rows(BarsIO.readOrc(spark, dir).select(longDf.columns.map(col): _*))
       == rows(longDf))
   }
 
   test("jsonl round-trip with explicit schema preserves values and types") {
-    val dir = java.nio.file.Files.createTempDirectory("graftjsonl").toString
+    val dir = tempDir("graftjsonl")
     BarsIO.writeJsonl(longDf, dir)
     val back = BarsIO.readJsonl(spark, dir, Some(longDf.schema))
       .select(longDf.columns.map(col): _*)
@@ -38,7 +54,7 @@ class IoSpec extends SparkSpec {
   }
 
   test("partitioned parquet prunes to the selected symbol at the scan") {
-    val dir = java.nio.file.Files.createTempDirectory("graftpart").toString
+    val dir = tempDir("graftpart")
     BarsIO.writePartitioned(longDf, dir)
     val one = spark.read.parquet(dir).filter(col("symbol") === "AAA")
     val plan = one.queryExecution.executedPlan.toString

@@ -191,8 +191,42 @@ object CorrelatedQueries {
       |GROUP BY n.n_name
       |ORDER BY n.n_name""".stripMargin
 
+  /** Q15 shape: top supplier by quarterly revenue — aggregate over a
+    * join over an aggregate, with an uncorrelated scalar MAX over the
+    * inner aggregate (the "view + max over view" pattern). Revenue sums
+    * stay DECIMAL(28,8) end-to-end so the equality against the max
+    * compares exact decimals, never doubles. */
+  val q15TopSupplier: Q = (s, dir) => sql(s, dir,
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS total_rev
+      |  FROM @lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name,
+      |  CAST(r.total_rev AS DOUBLE) AS total_revenue
+      |FROM @supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+      |ORDER BY s.s_suppkey""".stripMargin)
+
+  val q15TopSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name,
+      |  CAST(r.total_rev AS DOUBLE) AS total_revenue
+      |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+      |ORDER BY s.s_suppkey""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q2_mincost_supplier" -> q2MinCost,
+    "q15_top_supplier" -> q15TopSupplier,
     "q18_large_orders" -> q18LargeOrders,
     "q21_waiting_supplier" -> q21WaitingSupplier,
     "q22_dormant_rich" -> q22DormantRich,
@@ -200,6 +234,7 @@ object CorrelatedQueries {
 
   def oracle: Map[String, String] = Map(
     "q2_mincost_supplier" -> q2MinCostSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
     "q18_large_orders" -> q18LargeOrdersSql,
     "q21_waiting_supplier" -> q21WaitingSupplierSql,
     "q22_dormant_rich" -> q22DormantRichSql,

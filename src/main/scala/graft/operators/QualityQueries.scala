@@ -151,11 +151,59 @@ object QualityQueries {
       |SELECT doc_id, word, score, rk FROM rk
       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** T21: Count-Min heavy hitters — the corpus's top-20 words with
+    * their exact counts AND the CMS point estimates (depth 4 × width
+    * 1024), demonstrating the sketch's ≥-exact guarantee. The sketch
+    * build never shuffles the key set (≤ depth·width cells cross the
+    * wire — see sketch.Sketches.countMinCells); the exact side exists
+    * only as the probe set and accuracy reference for this query. */
+  val t21CmsHeavyHitters: Q = (s, dir) => {
+    val words = Graft.materialize(
+      Graft.table(s, dir, "documents")
+        .select(explode(QualitySignals.words(col("text"))).as("key"))
+        .filter(length(col("key")) > 0))
+    val cells = Sketches.countMinCells(words, col("key"), 4, 1024)
+    val exact = words.groupBy("key").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("key")).limit(20)
+    Sketches.countMinEstimate(cells, exact.select("key"), 4, 1024)
+      .join(exact, "key")
+      .select(col("key").as("word"), col("exact_n"), col("cms_est"))
+      .orderBy(col("exact_n").desc, col("word"))
+  }
+
+  val t21CmsHeavyHittersSql: String =
+    """WITH wd AS (
+      |  SELECT UNNEST(
+      |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS key
+      |  FROM documents),
+      |w2 AS (SELECT key FROM wd WHERE length(key) > 0),
+      |h AS (SELECT key,
+      |        CAST(('0x' || substring(md5(key), 1, 15)) AS BIGINT) AS h1,
+      |        CAST(('0x' || substring(md5(key), 17, 14)) AS BIGINT) AS h2
+      |      FROM w2),
+      |cells AS (
+      |  SELECT i AS row, (h1 + i * h2) % 1024 AS col, COUNT(*) AS n
+      |  FROM h CROSS JOIN range(4) r(i) GROUP BY 1, 2),
+      |exact AS (
+      |  SELECT key, COUNT(*) AS exact_n FROM w2 GROUP BY 1
+      |  ORDER BY exact_n DESC, key LIMIT 20),
+      |est AS (
+      |  SELECT e.key, MIN(c.n) AS cms_est
+      |  FROM exact e CROSS JOIN range(4) r(i)
+      |  JOIN cells c ON c.row = r.i
+      |    AND c.col = (CAST(('0x' || substring(md5(e.key), 1, 15)) AS BIGINT)
+      |      + r.i * CAST(('0x' || substring(md5(e.key), 17, 14)) AS BIGINT)) % 1024
+      |  GROUP BY e.key)
+      |SELECT e.key AS word, e.exact_n, est.cms_est
+      |FROM exact e JOIN est USING (key)
+      |ORDER BY exact_n DESC, word""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "t11_repetition" -> t11Repetition,
     "t12_pii_redact" -> t12PiiRedact,
     "t13_kmv_distinct" -> t13KmvDistinct,
     "t14_tfidf" -> t14Tfidf,
+    "t21_cms_heavy_hitters" -> t21CmsHeavyHitters,
   )
 
   def oracle: Map[String, String] = Map(
@@ -163,5 +211,6 @@ object QualityQueries {
     "t12_pii_redact" -> t12PiiRedactSql,
     "t13_kmv_distinct" -> t13KmvDistinctSql,
     "t14_tfidf" -> t14TfidfSql,
+    "t21_cms_heavy_hitters" -> t21CmsHeavyHittersSql,
   )
 }

@@ -53,4 +53,50 @@ object Sketches {
           .otherwise((col("kk") - 1).cast("double") /
             (col("hk") / lit(math.pow(2, 60)))), 6).as("est"))
   }
+
+  /** Count-Min sketch cells for a key column: `depth` independent
+    * 2-universal hashes h_i(x) = (h1 + i·h2) mod width (the same
+    * md5-derived family as dedup.Dedup.minhashMd5, so any engine with
+    * md5 replays it), each key occurrence incrementing one cell per row.
+    *
+    * Scale shape: the aggregation key is (row, col) — at most
+    * depth·width cells EVER cross the wire regardless of key
+    * cardinality (map-side partial aggregation collapses each partition
+    * to ≤ depth·width rows before the shuffle). The sketch never holds
+    * the key set — that is the whole point versus an exact groupBy at
+    * 100 TB. Estimates are biased high only (Cormode & Muthukrishnan
+    * 2005): est(x) = min_i cells[i][h_i(x)] ≥ true count, within
+    * ε·N with probability 1−δ for width = e/ε, depth = ln(1/δ). */
+  def countMinCells(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
+    require(depth <= 112, s"depth=$depth overflows h1 + i*h2 (max 112)")
+    val based = df
+      .withColumn("__md5", md5(key.cast("string")))
+      .withColumn("__h1", conv(substring(col("__md5"), 1, 15), 16, 10).cast("long"))
+      .withColumn("__h2", conv(substring(col("__md5"), 17, 14), 16, 10).cast("long"))
+    val rows = (0 until depth).map(i =>
+      struct(lit(i).as("row"),
+        ((col("__h1") + lit(i.toLong) * col("__h2")) % width).as("col")))
+    based.select(explode(array(rows: _*)).as("cell"))
+      .groupBy(col("cell.row").as("row"), col("cell.col").as("col"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Count-Min point estimates for `probes` (a small keyed frame with a
+    * `key` column): est = min over sketch rows of the probed cell. The
+    * cells frame is tiny (≤ depth·width) and broadcasts. */
+  def countMinEstimate(cells: DataFrame, probes: DataFrame, depth: Int,
+      width: Int): DataFrame = {
+    val based = probes
+      .withColumn("__md5", md5(col("key").cast("string")))
+      .withColumn("__h1", conv(substring(col("__md5"), 1, 15), 16, 10).cast("long"))
+      .withColumn("__h2", conv(substring(col("__md5"), 17, 14), 16, 10).cast("long"))
+    val rows = (0 until depth).map(i =>
+      struct(lit(i).as("row"),
+        ((col("__h1") + lit(i.toLong) * col("__h2")) % width).as("col")))
+    based.select(col("key"), explode(array(rows: _*)).as("cell"))
+      .join(broadcast(cells),
+        col("cell.row") === cells("row") && col("cell.col") === cells("col"))
+      .groupBy("key")
+      .agg(min(col("n")).as("cms_est"))
+  }
 }

@@ -67,4 +67,29 @@ class QualitySpec extends SparkSpec {
     val e3 = Sketches.kmvEstimate(a.union(a), col("x"), 32).as[(Long, Double)].head()._2
     assert(e1 == e2 && e2 == e3)
   }
+
+  test("count-min: estimates are >= exact, exact at generous width, partition-invariant") {
+    // zipf-ish key mix: key k appears k times (1..60)
+    val data = (1 to 60).flatMap(k => Seq.fill(k)(s"key$k")).toDF("x")
+    val exact = data.groupBy("x").count().as[(String, Long)].collect().toMap
+    def estimates(df: org.apache.spark.sql.DataFrame, depth: Int, width: Int) = {
+      val cells = Sketches.countMinCells(df, col("x"), depth, width)
+      Sketches.countMinEstimate(cells,
+          df.select(col("x").as("key")).distinct(), depth, width)
+        .as[(String, Long)].collect().toMap
+    }
+    val est = estimates(data, 4, 1024)
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS must never underestimate: $k est ${est(k)} < $n")
+    }
+    // with width >> distinct keys and 4 rows, collisions are essentially
+    // impossible on 60 keys: every estimate is exact
+    assert(est == exact)
+    // cell build is a sum over occurrences -> partition-invariant
+    val est13 = estimates(data.repartition(13), 4, 1024)
+    assert(est13 == est)
+    // a tiny sketch must still satisfy the >= guarantee under collisions
+    val tiny = estimates(data, 2, 8)
+    exact.foreach { case (k, n) => assert(tiny(k) >= n) }
+  }
 }

@@ -85,19 +85,27 @@ object VectorQueries {
     * cross join (VectorOps.lshNearDupPairs; the all-pairs sweep is the
     * small-input fallback behind VectorOps.nearDupPairs). Deterministic
     * given the plane set, so the oracle replays the identical banding. */
-  val d5EmbeddingNeardup: Q = (s, dir) => {
+  /** Shared banded-LSH near-dup pair pipeline for d5/d7. */
+  private def nearDupLshPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val emb = Graft.table(s, dir, "embeddings")
     val planes = emb.filter(col("vec_id") >= 8 && col("vec_id") < 72)
       .select(col("vec_id") - 8, col("embedding"))
       .as[(Long, Seq[Float])].collect().toSeq
     VectorOps.lshNearDupPairs(emb, planes, bands = 16, rowsPerBand = 4,
-        threshold = 0.4)
-      .orderBy("vec_a", "vec_b")
+      threshold = 0.4)
   }
 
-  val d5EmbeddingNeardupSql: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+  val d5EmbeddingNeardup: Q = (s, dir) =>
+    nearDupLshPairs(s, dir).orderBy("vec_a", "vec_b")
+
+  /** Shared oracle CTE chain for the banded-LSH near-dup pipeline:
+    * vectors → per-band sign-bit buckets → within-bucket candidates →
+    * `ndp(vec_a, vec_b, cos)` reranked pairs ≥ 0.4 (mirrors
+    * [[nearDupLshPairs]]); composed by d5's listing and d7's closure. */
+  private val nearDupPairsCte: String =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |planes AS (SELECT vec_id - 8 AS pid, e AS pe FROM v
       |           WHERE vec_id >= 8 AND vec_id < 72),
       |bits AS (
@@ -108,11 +116,17 @@ object VectorQueries {
       |cand AS (
       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
       |  FROM bits x JOIN bits y
-      |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
-      |SELECT c.vec_a, c.vec_b,
-      |  ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
-      |FROM cand c JOIN v a ON a.vec_id = c.vec_a JOIN v b ON b.vec_id = c.vec_b
-      |WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+      |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      |ndp AS (
+      |  SELECT c.vec_a, c.vec_b,
+      |    ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
+      |  FROM cand c JOIN v a ON a.vec_id = c.vec_a JOIN v b ON b.vec_id = c.vec_b
+      |  WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.4)""".stripMargin
+
+  val d5EmbeddingNeardupSql: String =
+    "WITH " + nearDupPairsCte +
+    """
+      |SELECT vec_a, vec_b, cos FROM ndp
       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** M1: multimodal payload plumbing — binary column → mapPartitions
@@ -344,7 +358,35 @@ object VectorQueries {
       |  CAST(CAST(CAST(SUM(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS avg_cos
       |FROM a2 GROUP BY centroid_id ORDER BY centroid_id""".stripMargin
 
+  /** D7: semantic-dedup clusters — connected components over the d5
+    * banded-LSH near-dup pairs (the embedding-space analogue of d6's
+    * text clusters; same min-label propagation, same recursive-CTE
+    * closure oracle). Cluster id = smallest transitively reachable
+    * vec_id. */
+  val d7EmbeddingClusters: Q = (s, dir) =>
+    graft.dedup.Dedup.connectedComponents(nearDupLshPairs(s, dir), "vec_a", "vec_b")
+      .select(col("node").as("vec_id"), col("label").as("cluster"))
+      .orderBy("vec_id")
+
+  val d7EmbeddingClustersSql: String =
+    "WITH RECURSIVE " + nearDupPairsCte +
+      """,
+        |sym AS (SELECT vec_a AS src, vec_b AS dst FROM ndp
+        |        UNION ALL SELECT vec_b, vec_a FROM ndp),
+        |reach AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN sym e ON e.src = r.dst
+        |)
+        |SELECT node AS vec_id, MIN(lbl) AS cluster FROM (
+        |  SELECT src AS node, dst AS lbl FROM reach
+        |  UNION ALL
+        |  SELECT DISTINCT src AS node, src AS lbl FROM sym)
+        |GROUP BY node
+        |ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, Graft.Q] = Map(
+    "d7_embedding_clusters" -> d7EmbeddingClusters,
     "v6_quantize" -> v6Quantize,
     "v7_kmeans2" -> v7Kmeans2,
     "m2_frame_sample" -> m2FrameSample,
@@ -358,6 +400,7 @@ object VectorQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "d7_embedding_clusters" -> d7EmbeddingClustersSql,
     "v6_quantize" -> v6QuantizeSql,
     "v7_kmeans2" -> v7Kmeans2Sql,
     "m2_frame_sample" -> m2FrameSampleSql,

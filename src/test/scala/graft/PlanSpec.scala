@@ -141,4 +141,12 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.operators.CorrelatedQueries.q22DormantRich(spark, sf))
     assert(p.contains("LeftAnti"), s"dormancy filter should plan as left-anti:\n$p")
   }
+
+  test("d5 near-dup: banded candidate join is an equi-join, never a cross product") {
+    val p = plan(graft.operators.VectorQueries.d5EmbeddingNeardup(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"LSH bucketing must keep the pair join keyed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"candidate join must be hash-joinable on (band, bucket):\n$p")
+  }
 }

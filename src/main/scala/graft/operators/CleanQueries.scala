@@ -253,7 +253,49 @@ object CleanQueries {
       |FROM events e JOIN f ON e.user_id = f.user_id
       |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
 
+  // Fixture chart payloads shared verbatim by both engines: AAA has a
+  // null close (Jan 2); BBB's volume array is one short, exercising the
+  // arrays_zip null-padding (reference pad_to(len(timestamp))).
+  private val chartJsonA =
+    """{"chart":{"result":[{"timestamp":[1704067200,1704153600,1704240000],"indicators":{"quote":[{"open":[10.0,11.0,12.0],"high":[10.5,11.5,12.5],"low":[9.5,10.5,11.5],"close":[10.2,null,12.2],"volume":[100,200,300]}]}}]}}"""
+  private val chartJsonB =
+    """{"chart":{"result":[{"timestamp":[1704153600,1704240000],"indicators":{"quote":[{"open":[20.0,21.0],"high":[20.5,21.5],"low":[19.5,20.5],"close":[20.2,21.2],"volume":[400]}]}}]}}"""
+
+  /** S3: distributed chart-JSON parse (ingest.ChartJson) over inline
+    * fixture payloads — oracle-checks the parse itself: array zip with
+    * null padding, unix-seconds → UTC date, long volumes. The payload
+    * frame is inline because the parse, not a source, is the operator
+    * under test; at scale the same plan fans a (symbol, json) frame of
+    * thousands of payloads across tasks. */
+  val s3ChartParse: Q = (s, dir) => {
+    import s.implicits._
+    graft.ingest.ChartJson.parse(
+      Seq(("AAA", chartJsonA), ("BBB", chartJsonB)).toDF("symbol", "json"))
+      .orderBy("symbol", "date")
+  }
+
+  val s3ChartParseSql: String = {
+    val path = "$.chart.result[0]"
+    s"""WITH payloads(symbol, js) AS (VALUES
+       |  ('AAA', '$chartJsonA'),
+       |  ('BBB', '$chartJsonB')),
+       |j AS (
+       |  SELECT symbol,
+       |    json_transform(js->'$path.timestamp', '["BIGINT"]') AS ts,
+       |    json_transform(js->'$path.indicators.quote[0].open', '["DOUBLE"]') AS o,
+       |    json_transform(js->'$path.indicators.quote[0].high', '["DOUBLE"]') AS h,
+       |    json_transform(js->'$path.indicators.quote[0].low', '["DOUBLE"]') AS l,
+       |    json_transform(js->'$path.indicators.quote[0].close', '["DOUBLE"]') AS c,
+       |    json_transform(js->'$path.indicators.quote[0].volume', '["BIGINT"]') AS v
+       |  FROM payloads)
+       |SELECT symbol, CAST(make_timestamp(ts[i] * 1000000) AS DATE) AS date,
+       |  o[i] AS open, h[i] AS high, l[i] AS low, c[i] AS close, v[i] AS volume
+       |FROM j, UNNEST(range(1, len(ts) + 1)) t(i)
+       |ORDER BY symbol, date""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "s3_chart_parse" -> s3ChartParse,
     "c11_outlier_iqr" -> c11OutlierIqr,
     "c10_interpolate" -> c10Interpolate,
     "c1_missing_report" -> c1MissingReport,
@@ -266,6 +308,7 @@ object CleanQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "s3_chart_parse" -> s3ChartParseSql,
     "c11_outlier_iqr" -> c11OutlierIqrSql,
     "c10_interpolate" -> c10InterpolateSql,
     "c1_missing_report" -> c1MissingReportSql,

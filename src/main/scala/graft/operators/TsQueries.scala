@@ -5,6 +5,7 @@ import graft.Graft.Q
 import graft.analytics.{Similarity, Volatility}
 import graft.ta.Technical
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-series operator queries over the `events` table (user_id = series
@@ -221,7 +222,64 @@ object TsQueries {
       |      ORDER BY ts DESC, event_id DESC LIMIT 30)
       |ORDER BY event_id""".stripMargin
 
+  /** A18: maximum drawdown per series — the deepest peak-to-trough loss
+    * dd_t = value_t / runningMax(value) − 1 over the time order, the
+    * risk statistic volatility misses (it is path-dependent). One
+    * running-max window per series plus a keyed aggregation; per-row
+    * ratios are pure IEEE ops (bit-identical cross-engine) and MIN is
+    * order-independent, so only the output is rounded. */
+  val a18MaxDrawdown: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("dd", col("value") / max(col("value")).over(w) - 1.0)
+      .groupBy("user_id")
+      .agg(round(min(col("dd")), 6).as("max_drawdown"),
+        count(lit(1)).as("n_points"))
+      .orderBy("user_id")
+  }
+
+  val a18MaxDrawdownSql: String =
+    """WITH d AS (
+      |  SELECT user_id,
+      |    value / MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS dd
+      |  FROM events)
+      |SELECT user_id, ROUND(MIN(dd), 6) AS max_drawdown, COUNT(*) AS n_points
+      |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** C12: winsorization — clip each series' values into its own
+    * [p05, p95] percentile band (the gentler alternative to c11's
+    * outlier drop: extremes are pulled to the fence, not removed).
+    * Same shape as c11: one keyed percentile aggregation, bounds
+    * broadcast back, stateless row clip. */
+  val c12Winsorize: Q = (s, dir) => {
+    val ev = Graft.events(s, dir)
+    val bounds = ev.groupBy("user_id").agg(
+        expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    ev.join(broadcast(bounds), "user_id")
+      .select(col("event_id"), col("user_id"),
+        q6(greatest(col("lo"), least(col("hi"), col("value")))).as("winsorized"),
+        (col("value") < col("lo") || col("value") > col("hi")).as("clipped"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val c12WinsorizeSql: String =
+    """WITH b AS (
+      |  SELECT user_id,
+      |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+      |  FROM events GROUP BY user_id)
+      |SELECT e.event_id, e.user_id,
+      |  FLOOR(GREATEST(b.lo, LEAST(b.hi, e.value)) * 1e6 + 0.5) / 1e6 AS winsorized,
+      |  (e.value < b.lo OR e.value > b.hi) AS clipped
+      |FROM events e JOIN b USING (user_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "a18_max_drawdown" -> a18MaxDrawdown,
+    "c12_winsorize" -> c12Winsorize,
     "f10_regr_trend" -> f10RegrTrend,
     "c9_downsample" -> c9Downsample,
     "k6_tail_limit" -> k6TailLimit,
@@ -236,6 +294,8 @@ object TsQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "a18_max_drawdown" -> a18MaxDrawdownSql,
+    "c12_winsorize" -> c12WinsorizeSql,
     "f10_regr_trend" -> f10RegrTrendSql,
     "c9_downsample" -> c9DownsampleSql,
     "k6_tail_limit" -> k6TailLimitSql,

@@ -173,6 +173,35 @@ object ExtendedQueries {
     * at-or-after that; stage counts out. Three keyed aggregations chained
     * by broadcast-sized joins (one row per user after each stage) — the
     * standard product-analytics op at any scale. */
+  /** F3: daily retention cohorts — users grouped by first-seen day,
+    * counted on each later day they stayed active. The canonical
+    * event-pipeline rollup: two keyed aggregations (distinct user-days,
+    * per-user min day) and a count-distinct per (cohort, offset) cell.
+    * Days are epoch-µs integer division on BOTH engines (the events ns
+    * timestamps carry sub-µs parts that DuckDB truncates, so µs is the
+    * shared precision — README float/ts policy). */
+  val f3Retention: Q = (s, dir) => {
+    val days = Graft.events(s, dir)
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val cohorts = days.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    days.join(cohorts, "user_id")
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  val f3RetentionSql: String =
+    """WITH w AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort FROM w GROUP BY 1)
+      |SELECT c.cohort, w.day - c.cohort AS day_offset,
+      |  COUNT(DISTINCT w.user_id) AS n_users
+      |FROM w JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val f1Funnel: Q = (s, dir) => {
     val ev = Graft.table(s, dir, "events")
     val views = ev.filter(col("event_type") === "view")
@@ -587,6 +616,7 @@ object ExtendedQueries {
     "q17_small_qty" -> q17SmallQty,
     "q_incremental_agg" -> qIncrementalAgg,
     "f1_funnel" -> f1Funnel,
+    "f3_retention" -> f3Retention,
     "q_semi_join" -> qSemiJoin,
     "q13_custdist" -> q13Custdist,
     "q_cube" -> qCube,
@@ -610,6 +640,7 @@ object ExtendedQueries {
     "q17_small_qty" -> q17SmallQtySql,
     "q_incremental_agg" -> qIncrementalAggSql,
     "f1_funnel" -> f1FunnelSql,
+    "f3_retention" -> f3RetentionSql,
     "q_semi_join" -> qSemiJoinSql,
     "q13_custdist" -> q13CustdistSql,
     "q_cube" -> qCubeSql,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Graft.Q
-import graft.operators.{CleanQueries, CoreQueries, CorpusQueries, CorrelatedQueries, ExtendedQueries, IndicatorQueries, MarketQueries, PatternQueries, QualityQueries, SimilarityQueries, StreamQueries, TextQueries, TrainPrepQueries, TsQueries, VectorQueries}
+import graft.operators.{CleanQueries, CoreQueries, CorpusQueries, CorrelatedQueries, ExtendedQueries, IndicatorQueries, MarketQueries, PatternQueries, QualityQueries, SimilarityQueries, StreamQueries, TextQueries, TpchQueries, TrainPrepQueries, TsQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,6 +22,7 @@ object SparkEntry {
     (CoreQueries.queries, CoreQueries.oracle),
     (ExtendedQueries.queries, ExtendedQueries.oracle),
     (CorrelatedQueries.queries, CorrelatedQueries.oracle),
+    (TpchQueries.queries, TpchQueries.oracle),
     (TrainPrepQueries.queries, TrainPrepQueries.oracle),
     (TsQueries.queries, TsQueries.oracle),
     (IndicatorQueries.queries, IndicatorQueries.oracle),

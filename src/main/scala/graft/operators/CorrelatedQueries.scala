@@ -224,8 +224,99 @@ object CorrelatedQueries {
       |WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
       |ORDER BY s.s_suppkey""".stripMargin
 
+  /** Q11 shape: value concentration — grouped sums filtered by HAVING
+    * against an UNCORRELATED scalar subquery that re-aggregates the
+    * same filtered join (the "share of global total" pattern). Both the
+    * group sums and the global total are decimal-exact, cast to double
+    * before the one IEEE multiply + compare, so the threshold is
+    * bit-identical cross-engine. At scale both sides are one keyed
+    * shuffle over the same filtered fact; the scalar lands as a
+    * broadcast into the HAVING filter. */
+  val q11ValueConcentration: Q = (s, dir) => sql(s, dir,
+    """SELECT p.p_brand,
+      |  CAST(SUM(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+      |    AS total_value
+      |FROM @lineitem l, @part p, @supplier s, @nation n
+      |WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+      |  AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_5'
+      |GROUP BY p.p_brand
+      |HAVING CAST(SUM(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(28,8))) AS DOUBLE) >
+      |  (SELECT CAST(SUM(CAST(l2.l_extendedprice * l2.l_quantity AS DECIMAL(28,8))) AS DOUBLE) * 0.02
+      |   FROM @lineitem l2, @supplier s2, @nation n2
+      |   WHERE l2.l_suppkey = s2.s_suppkey AND s2.s_nationkey = n2.n_nationkey
+      |     AND n2.n_name = 'NATION_5')
+      |ORDER BY total_value DESC, p_brand""".stripMargin)
+
+  val q11ValueConcentrationSql: String =
+    """SELECT p.p_brand,
+      |  CAST(SUM(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+      |    AS total_value
+      |FROM lineitem l, part p, supplier s, nation n
+      |WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+      |  AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_5'
+      |GROUP BY p.p_brand
+      |HAVING CAST(SUM(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(28,8))) AS DOUBLE) >
+      |  (SELECT CAST(SUM(CAST(l2.l_extendedprice * l2.l_quantity AS DECIMAL(28,8))) AS DOUBLE) * 0.02
+      |   FROM lineitem l2, supplier s2, nation n2
+      |   WHERE l2.l_suppkey = s2.s_suppkey AND s2.s_nationkey = n2.n_nationkey
+      |     AND n2.n_name = 'NATION_5')
+      |ORDER BY total_value DESC, p_brand""".stripMargin
+
+  /** Q20 shape: part-promotion suppliers — a semi join (IN) whose inner
+    * is a grouped aggregate filtered by a CORRELATED scalar subquery on
+    * the group key (supplier-part shipped quantity > 30% of that part's
+    * total). The correlation is written in the WHERE of a derived table
+    * (not HAVING) so both engines decorrelate it the same way: Catalyst
+    * turns the inner scalar into an aggregate joined on l_partkey — the
+    * same key the outer grouping already shuffled on, so the
+    * partitioning is reused. Quantity sums go through decimal, compared
+    * as doubles (one IEEE multiply on the threshold side). */
+  val q20PartPromotion: Q = (s, dir) => sql(s, dir,
+    """SELECT s.s_name, s.s_acctbal
+      |FROM @supplier s, @nation n
+      |WHERE s.s_nationkey = n.n_nationkey
+      |  AND s.s_suppkey IN (
+      |    SELECT g.l_suppkey FROM (
+      |      SELECT l1.l_suppkey, l1.l_partkey,
+      |        CAST(SUM(CAST(l1.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      |      FROM @lineitem l1, @part p
+      |      WHERE p.p_partkey = l1.l_partkey AND p.p_name LIKE 'small%'
+      |        AND l1.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND l1.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |      GROUP BY l1.l_suppkey, l1.l_partkey) g
+      |    WHERE g.qty > 0.3 * (
+      |      SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+      |      FROM @lineitem l2
+      |      WHERE l2.l_partkey = g.l_partkey
+      |        AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND l2.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+      |ORDER BY s.s_name""".stripMargin)
+
+  val q20PartPromotionSql: String =
+    """SELECT s.s_name, s.s_acctbal
+      |FROM supplier s, nation n
+      |WHERE s.s_nationkey = n.n_nationkey
+      |  AND s.s_suppkey IN (
+      |    SELECT g.l_suppkey FROM (
+      |      SELECT l1.l_suppkey, l1.l_partkey,
+      |        CAST(SUM(CAST(l1.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      |      FROM lineitem l1, part p
+      |      WHERE p.p_partkey = l1.l_partkey AND p.p_name LIKE 'small%'
+      |        AND l1.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND l1.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |      GROUP BY l1.l_suppkey, l1.l_partkey) g
+      |    WHERE g.qty > 0.3 * (
+      |      SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+      |      FROM lineitem l2
+      |      WHERE l2.l_partkey = g.l_partkey
+      |        AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND l2.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+      |ORDER BY s.s_name""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q2_mincost_supplier" -> q2MinCost,
+    "q11_value_concentration" -> q11ValueConcentration,
+    "q20_part_promotion" -> q20PartPromotion,
     "q15_top_supplier" -> q15TopSupplier,
     "q18_large_orders" -> q18LargeOrders,
     "q21_waiting_supplier" -> q21WaitingSupplier,
@@ -234,6 +325,8 @@ object CorrelatedQueries {
 
   def oracle: Map[String, String] = Map(
     "q2_mincost_supplier" -> q2MinCostSql,
+    "q11_value_concentration" -> q11ValueConcentrationSql,
+    "q20_part_promotion" -> q20PartPromotionSql,
     "q15_top_supplier" -> q15TopSupplierSql,
     "q18_large_orders" -> q18LargeOrdersSql,
     "q21_waiting_supplier" -> q21WaitingSupplierSql,

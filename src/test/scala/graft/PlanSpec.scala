@@ -142,6 +142,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"dormancy filter should plan as left-anti:\n$p")
   }
 
+  test("q7: nation filters reach the 25-row dims pre-broadcast, no cartesian") {
+    val p = plan(graft.operators.TpchQueries.q7VolumeShipping(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"nation dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q16: supplier blocklist plans as a broadcast anti join") {
+    val p = plan(graft.operators.TpchQueries.q16SupplierCnt(spark, sf))
+    assert(p.contains("LeftAnti"), s"NOT IN blocklist should be anti join:\n$p")
+    assert(p.contains("PushedFilters"), "part filters must reach the scan")
+  }
+
+  test("q20: correlated per-part total decorrelates; IN plans as semi join") {
+    val p = plan(graft.operators.CorrelatedQueries.q20PartPromotion(spark, sf))
+    assert(p.contains("LeftSemi"), s"IN subquery should plan as left-semi:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expect both the group agg and the decorrelated per-part total agg")
+  }
+
   test("d5 near-dup: banded candidate join is an equi-join, never a cross product") {
     val p = plan(graft.operators.VectorQueries.d5EmbeddingNeardup(spark, sf))
     assert(!p.contains("CartesianProduct"),

@@ -307,4 +307,22 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Non-overlapping word segments of `segLen` words (the CCNet-style
+    * unit for bulk boilerplate removal — vs `shingles`' overlapping
+    * windows for pairwise similarity). The tail segment may be shorter.
+    * Keeps WITHIN-doc duplicates (a doc repeating its own segment counts
+    * toward duplication), one output row per segment occurrence. */
+  def segments(docs: DataFrame, segLen: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val withWords = docs.withColumn("__words",
+      split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " "))
+    val words = col("__words")
+    val n = when(length(trim(col(textCol))) === 0, 0).otherwise(size(words))
+    val idxs = when(n > 0, sequence(lit(0), floor((n - 1) / segLen).cast("int")))
+      .otherwise(array().cast("array<int>"))
+    withWords.select(withWords.columns.filter(_ != "__words").map(col) :+
+      explode(transform(idxs,
+        i => concat_ws(" ", slice(words, i * segLen + 1, lit(segLen))))).as("seg"): _*)
+  }
 }

@@ -146,4 +146,20 @@ class TextDedupSpec extends SparkSpec {
       .select("jaccard").as[Double].head()
     assert(approx(j, 2.0 / 7.0), s"jaccard over capped universe: $j")
   }
+
+  test("segments: non-overlapping, short tail kept, blank doc yields none") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),   // 7 words -> "a b c", "d e f", "g"
+      (2L, "one two three"),    // exactly one segment
+      (3L, "  "),               // blank -> no segments
+      (4L, "x y z x y z")       // repeats its own segment
+    ).toDF("doc_id", "text")
+    val got = Dedup.segments(docs, 3).select("doc_id", "seg")
+      .as[(Long, String)].collect().toSeq
+    assert(got.filter(_._1 == 1L).map(_._2) == Seq("a b c", "d e f", "g"))
+    assert(got.filter(_._1 == 2L).map(_._2) == Seq("one two three"))
+    assert(!got.exists(_._1 == 3L), "blank doc must produce no segments")
+    // within-doc duplicates are preserved (they count toward duplication)
+    assert(got.filter(_._1 == 4L).map(_._2) == Seq("x y z", "x y z"))
+  }
 }

@@ -224,7 +224,39 @@ object CorpusQueries {
       |  (SELECT COUNT(*) FROM (SELECT fp FROM b EXCEPT SELECT fp FROM a)) AS only_b,
       |  (SELECT COUNT(*) FROM (SELECT fp FROM a INTERSECT SELECT fp FROM b)) AS n_both""".stripMargin
 
+  /** T25: Zipf rank-frequency slope — fit ln(freq) ~ ln(rank) over the
+    * top-100 tokens, the one-number sanity check that a corpus has
+    * natural-language frequency structure (slope ≈ −1) rather than
+    * uniform noise. The top-k is a distributed TakeOrderedAndProject
+    * (never a global sort); the rank window then runs on 100 rows. */
+  val t25ZipfSlope: Q = (s, dir) => {
+    val toks = tokenized(s, dir).filter(col("n") > 0)
+      .select(explode(col("ws")).as("tok"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(100)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+      .agg(
+        round(regr_slope(log(col("c")), log(col("rank"))), 6).as("zipf_slope"),
+        round(regr_intercept(log(col("c")), log(col("rank"))), 6).as("zipf_intercept"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  val t25ZipfSlopeSql: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      |  FROM documents WHERE trim(text) <> ''),
+      |cnt AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY 1),
+      |top AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 100),
+      |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank FROM top)
+      |SELECT ROUND(regr_slope(ln(c), ln(rank)), 6) AS zipf_slope,
+      |       ROUND(regr_intercept(ln(c), ln(rank)), 6) AS zipf_intercept,
+      |       COUNT(*) AS n_tokens
+      |FROM r""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "t25_zipf_slope" -> t25ZipfSlope,
     "u3_set_ops" -> u3SetOps,
     "t19_source_profile" -> t19SourceProfile,
     "t18_seq_export" -> t18SeqExport,
@@ -234,6 +266,7 @@ object CorpusQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "t25_zipf_slope" -> t25ZipfSlopeSql,
     "u3_set_ops" -> u3SetOpsSql,
     "t19_source_profile" -> t19SourceProfileSql,
     "t18_seq_export" -> t18SeqExportSql,

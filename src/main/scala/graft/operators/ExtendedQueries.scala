@@ -601,7 +601,67 @@ object ExtendedQueries {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Explicit GROUPING SETS — the general form CUBE/ROLLUP specialize:
+    * ((flag, status), (flag), ()) in one Expand + one shuffle, with
+    * grouping_id() disambiguating which set produced each row (a NULL
+    * status could otherwise be data or subtotal). */
+  val qGroupingSets: Q = (s, dir) =>
+    Graft.table(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val qGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Time-band self-join via coarse buckets — THE scale pattern for
+    * range joins: bucket both sides on floor(ts/band) (integer `div`,
+    * never double division — ns epochs overflow a double's 53-bit
+    * mantissa), equi-join on (user, bucket) with one side expanded to
+    * its 3 neighbor buckets, then re-filter the exact |Δt| ≤ band
+    * predicate. Each qualifying pair matches exactly one bucket
+    * equality, so no dedup pass is needed. The join stays a keyed
+    * hash/sort-merge join — never a per-user cross product — so it
+    * survives users with millions of events. PlanSpec pins the shape. */
+  val j5TimeBandPairs: Q = (s, dir) => {
+    val band = 3600L * 1000000000L // 1 hour in ns
+    val e = Graft.events(s, dir)
+    val a = e.select(col("user_id"), col("event_id").as("id_a"),
+      col("ts").as("ts_a"), expr(s"ts div ${band}L").as("bk"))
+    val b = e.select(col("user_id"), col("event_id").as("id_b"),
+      col("ts").as("ts_b"), expr(s"ts div ${band}L").as("bk0"))
+      .select(col("user_id"), col("id_b"), col("ts_b"),
+        explode(array(col("bk0") - 1, col("bk0"), col("bk0") + 1)).as("bk"))
+    a.join(b, Seq("user_id", "bk"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("ts_a") - col("ts_b")) <= band)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  val j5TimeBandPairsSql: String =
+    """SELECT a.user_id, COUNT(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND abs(epoch_ns(a.ts) - epoch_ns(b.ts)) <= 3600000000000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_grouping_sets" -> qGroupingSets,
+    "j5_time_band_pairs" -> j5TimeBandPairs,
     "q14_promo_share" -> q14PromoShare,
     "q6_forecast" -> q6Forecast,
     "q10_returned_customers" -> q10ReturnedCustomers,
@@ -626,6 +686,8 @@ object ExtendedQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "j5_time_band_pairs" -> j5TimeBandPairsSql,
     "q14_promo_share" -> q14PromoShareSql,
     "q6_forecast" -> q6ForecastSql,
     "q10_returned_customers" -> q10ReturnedCustomersSql,

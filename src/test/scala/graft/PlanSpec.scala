@@ -142,6 +142,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"dormancy filter should plan as left-anti:\n$p")
   }
 
+  test("j5 time-band pairs: bucketed range join stays a keyed equi-join") {
+    val p = plan(ExtendedQueries.j5TimeBandPairs(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band join must equi-join on (user, bucket), not cross-product:\n$p")
+  }
+
   test("q7: nation filters reach the 25-row dims pre-broadcast, no cartesian") {
     val p = plan(graft.operators.TpchQueries.q7VolumeShipping(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"nation dims must broadcast:\n$p")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Graft.Q
-import graft.operators.{CleanQueries, CoreQueries, CorpusQueries, CorrelatedQueries, ExtendedQueries, IndicatorQueries, MarketQueries, PatternQueries, QualityQueries, SegmentQueries, SimilarityQueries, StreamQueries, TextQueries, TpchQueries, TrainPrepQueries, TsQueries, VectorQueries}
+import graft.operators.{CleanQueries, CoreQueries, CorpusQueries, CorrelatedQueries, ExtendedQueries, IndicatorQueries, MarketQueries, OpsQueries, PatternQueries, QualityQueries, SegmentQueries, SimilarityQueries, StreamQueries, TextQueries, TpchQueries, TrainPrepQueries, TsQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,6 +23,7 @@ object SparkEntry {
     (ExtendedQueries.queries, ExtendedQueries.oracle),
     (CorrelatedQueries.queries, CorrelatedQueries.oracle),
     (TpchQueries.queries, TpchQueries.oracle),
+    (OpsQueries.queries, OpsQueries.oracle),
     (SegmentQueries.queries, SegmentQueries.oracle),
     (TrainPrepQueries.queries, TrainPrepQueries.oracle),
     (TsQueries.queries, TsQueries.oracle),

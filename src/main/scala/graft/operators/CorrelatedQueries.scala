@@ -313,8 +313,43 @@ object CorrelatedQueries {
       |        AND l2.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
       |ORDER BY s.s_name""".stripMargin
 
+  /** Q4 shape: order-priority checking — a correlated EXISTS whose inner
+    * predicate compares an inner column against an OUTER column through
+    * an inequality (`l_shipdate > o_orderdate + 60 days`), not just a
+    * key equality: Catalyst must decorrelate it into a left-semi join
+    * with a non-equi residual condition on top of the l_orderkey equi
+    * key. The synthetic schema has no commit/receipt dates, so the
+    * reference's "committed late" marker becomes "shipped more than 60
+    * days after order placement" (same plan shape, same quarter window).
+    * At scale: one semi-join shuffle on the order key; the quarter
+    * filter is pushed to the orders scan before the join. */
+  val q4OrderPriority: Q = (s, dir) => sql(s, dir,
+    """SELECT o.o_orderpriority, COUNT(*) AS order_count
+      |FROM @orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM @lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin)
+
+  val q4OrderPrioritySql: String =
+    """SELECT o.o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q2_mincost_supplier" -> q2MinCost,
+    "q4_order_priority" -> q4OrderPriority,
     "q11_value_concentration" -> q11ValueConcentration,
     "q20_part_promotion" -> q20PartPromotion,
     "q15_top_supplier" -> q15TopSupplier,
@@ -325,6 +360,7 @@ object CorrelatedQueries {
 
   def oracle: Map[String, String] = Map(
     "q2_mincost_supplier" -> q2MinCostSql,
+    "q4_order_priority" -> q4OrderPrioritySql,
     "q11_value_concentration" -> q11ValueConcentrationSql,
     "q20_part_promotion" -> q20PartPromotionSql,
     "q15_top_supplier" -> q15TopSupplierSql,

@@ -147,15 +147,118 @@ object OpsQueries {
       |GROUP BY 1
       |ORDER BY zbucket""".stripMargin
 
+  /** G2: weighted PageRank (2 unrolled iterations, damping 0.85) over
+    * the international trade graph — nodes are nations, an edge
+    * src→dst with weight w means suppliers of `src` shipped w line
+    * items to customers of `dst`. The only iterative-graph shape the
+    * engine lacked beyond label propagation (d6): rank mass flows
+    * along WEIGHTED out-edges each round instead of a min-label
+    * broadcast.
+    *
+    * Scale: the expensive step is building the edge list (the q7-style
+    * fact join, one keyed shuffle per join) — each iteration is then
+    * two keyed shuffles over the EDGE LIST only (join ranks on src,
+    * aggregate contributions on dst), the same shape Pregel-style
+    * engines run per superstep; nothing is collected to the driver and
+    * the unrolled 2 iterations reuse the materialized edge frame.
+    *
+    * Float determinism: per-edge contributions are snapped to an
+    * integer 1e-12 grid — floor(r·w·1e12/outw + 0.5) is a fixed chain
+    * of IEEE ops on exact operands, so the per-edge longs are
+    * bit-identical cross-engine and their SUM is order-independent
+    * (pure integer adds). Each new rank is then one fixed IEEE chain
+    * over that exact integer — no decimal casts of doubles (those
+    * disagree on virtual ties; see MarketQueries numeric policy). */
+  val g2Pagerank: Q = (s, dir) => {
+    val nat = Graft.table(s, dir, "nation")
+    val edges = Graft.materialize(
+      Graft.table(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(Graft.table(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Graft.table(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Graft.table(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("sk"), col("n_name").as("src"))),
+          col("s_nationkey") === col("sk"))
+        .join(broadcast(nat.select(col("n_nationkey").as("ck"), col("n_name").as("dst"))),
+          col("c_nationkey") === col("ck"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w")))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct()
+    val cnt = nodes.agg(count(lit(1)).as("n"))
+    val outw = edges.groupBy(col("src").as("ow_src")).agg(sum("w").as("outw"))
+
+    def iterate(ranks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      // dangling nodes (no out-edges — nations with customers but no
+      // suppliers) redistribute their mass uniformly: each contributes
+      // the grid-snapped integer floor(r·1e12/n + 0.5) to EVERY node,
+      // summed exactly as longs — without this the danglers' mass
+      // simply vanishes and Σr decays per iteration
+      val dang = ranks
+        .join(outw, col("node") === col("ow_src"), "left_anti")
+        .crossJoin(broadcast(cnt))
+        .agg(coalesce(sum(
+          floor(col("r") * lit(1e12) / col("n").cast("double") + lit(0.5))
+            .cast("long")), lit(0L)).as("dmass"))
+      val contribs = edges
+        .join(broadcast(outw), col("src") === col("ow_src"))
+        .join(ranks.select(col("node").as("r_node"), col("r")), col("src") === col("r_node"))
+        .select(col("dst"),
+          floor(col("r") * col("w") * lit(1e12) / col("outw") + lit(0.5))
+            .cast("long").as("ci"))
+        .groupBy("dst").agg(sum("ci").as("mass"))
+      nodes.crossJoin(broadcast(cnt)).crossJoin(broadcast(dang))
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(0.15) / col("n").cast("double") +
+            lit(0.85) * ((coalesce(col("mass"), lit(0L)) + col("dmass")) / lit(1e12))).as("r"))
+    }
+
+    val r0 = nodes.crossJoin(broadcast(cnt))
+      .select(col("node"), (lit(1.0) / col("n").cast("double")).as("r"))
+    iterate(iterate(r0)).orderBy(col("r").desc, col("node"))
+  }
+
+  val g2PagerankSql: String =
+    """WITH edges AS (
+      |  SELECT n1.n_name AS src, n2.n_name AS dst, COUNT(*) AS w
+      |  FROM lineitem l, orders o, customer c, supplier s, nation n1, nation n2
+      |  WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+      |    AND l.l_suppkey = s.s_suppkey
+      |    AND s.s_nationkey = n1.n_nationkey AND c.c_nationkey = n2.n_nationkey
+      |  GROUP BY 1, 2),
+      |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |cnt AS (SELECT COUNT(*) AS n FROM nodes),
+      |ow AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+      |r0 AS (SELECT node, 1.0 / CAST(n AS DOUBLE) AS r FROM nodes CROSS JOIN cnt),
+      |d1 AS (SELECT COALESCE(CAST(SUM(CAST(FLOOR(r.r * 1e12 / CAST(n AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT), 0) AS dmass
+      |       FROM r0 r CROSS JOIN cnt WHERE r.node NOT IN (SELECT src FROM ow)),
+      |c1 AS (SELECT e.dst, CAST(SUM(CAST(FLOOR(r.r * e.w * 1e12 / o.outw + 0.5) AS BIGINT)) AS BIGINT) AS mass
+      |       FROM edges e JOIN ow o ON e.src = o.src JOIN r0 r ON r.node = e.src
+      |       GROUP BY e.dst),
+      |r1 AS (SELECT node, 0.15 / CAST(n AS DOUBLE) + 0.85 * ((COALESCE(mass, 0) + dmass) / 1e12) AS r
+      |       FROM nodes CROSS JOIN cnt CROSS JOIN d1 LEFT JOIN c1 ON node = c1.dst),
+      |d2 AS (SELECT COALESCE(CAST(SUM(CAST(FLOOR(r.r * 1e12 / CAST(n AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT), 0) AS dmass
+      |       FROM r1 r CROSS JOIN cnt WHERE r.node NOT IN (SELECT src FROM ow)),
+      |c2 AS (SELECT e.dst, CAST(SUM(CAST(FLOOR(r.r * e.w * 1e12 / o.outw + 0.5) AS BIGINT)) AS BIGINT) AS mass
+      |       FROM edges e JOIN ow o ON e.src = o.src JOIN r1 r ON r.node = e.src
+      |       GROUP BY e.dst),
+      |r2 AS (SELECT node, 0.15 / CAST(n AS DOUBLE) + 0.85 * ((COALESCE(mass, 0) + dmass) / 1e12) AS r
+      |       FROM nodes CROSS JOIN cnt CROSS JOIN d2 LEFT JOIN c2 ON node = c2.dst)
+      |SELECT node, r FROM r2 ORDER BY r DESC, node""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "e1_skew_profile" -> e1SkewProfile,
     "e2_hist_quantile" -> e2HistQuantile,
     "k8_zorder" -> k8Zorder,
+    "g2_pagerank" -> g2Pagerank,
   )
 
   def oracle: Map[String, String] = Map(
     "e1_skew_profile" -> e1SkewProfileSql,
     "e2_hist_quantile" -> e2HistQuantileSql,
     "k8_zorder" -> k8ZorderSql,
+    "g2_pagerank" -> g2PagerankSql,
   )
 }

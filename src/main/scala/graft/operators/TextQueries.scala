@@ -354,19 +354,23 @@ object TextQueries {
 
   /** G1: triangle count over the near-dup similarity graph — how cliquey
     * the duplicate structure is (triangles = sets of three mutually
-    * similar docs). Edges are d4's Jaccard pairs; see
+    * similar docs). Edges are d4's Jaccard pairs — including d4's
+    * maxDf=50 hot-shingle cap, so the graph is exactly d4's pair set
+    * and the pair-generating self-join stays skew-bounded; see
     * [[graft.dedup.Dedup.triangleCount]] for the join shape. */
   val g1TriangleCount: Q = (s, dir) =>
-    Dedup.triangleCount(Dedup.ngramJaccard(nearCorpus(s, dir), 3, 0.5))
+    Dedup.triangleCount(Dedup.ngramJaccard(nearCorpus(s, dir), 3, 0.5, maxDf = 50))
 
   val g1TriangleCountSql: String = nearCorpusCte +
     """,
       |w AS (SELECT doc_id,
       |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
       |      FROM corpus),
-      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
       |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
       |       WHERE len(ws) >= 3 AND length(ws[i] || ws[i+1] || ws[i+2]) > 0),
+      |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 50),
+      |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i

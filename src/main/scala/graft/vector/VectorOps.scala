@@ -209,8 +209,12 @@ object VectorOps {
         when(dot(col(vecCol), planeCol) > 0, 1L << r).otherwise(0L)
       }.reduce(_ + _)
     }
-    val banded = vectors.select(col(idCol).cast("long").as("id"),
-      posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+    // materialized once: the (id, band, bucket) frame feeds BOTH sides of
+    // the candidate self-join — without this the scan + bands·rowsPerBand
+    // dot products run twice
+    val banded = graft.Graft.materialize(
+      vectors.select(col(idCol).cast("long").as("id"),
+        posexplode(array(bucketCols: _*)).as(Seq("band", "bucket"))))
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("vec_a"), col("y.id").as("vec_b"))

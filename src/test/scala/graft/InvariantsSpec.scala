@@ -86,6 +86,31 @@ class InvariantsSpec extends SparkSpec {
     assert(r == ((4L, 1L)), s"expected 4 edges / 1 triangle, got $r")
   }
 
+  test("e2 histogram quantiles land within one bin width of the exact percentiles") {
+    val dir = "/root/testdata/sf0.001"
+    val est = graft.operators.OpsQueries.e2HistQuantile(spark, dir)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val v = graft.Graft.table(spark, dir, "events")
+    val row = v.agg(min("value"), max("value")).head()
+    val binw = (row.getDouble(1) - row.getDouble(0)) / 1000.0
+    val exact = v.stat.approxQuantile("value", Array(0.5, 0.9, 0.99), 0.0)
+    Seq(0.5, 0.9, 0.99).zip(exact).foreach { case (p, ex) =>
+      val e = est(p)
+      assert(math.abs(e - ex) <= binw + 1e-9,
+        s"p=$p estimate $e vs exact $ex exceeds one bin ($binw)")
+    }
+  }
+
+  test("g2 pagerank: ranks positive, mass conserved (no dangling nations)") {
+    val rs = graft.operators.OpsQueries.g2Pagerank(spark, "/root/testdata/sf0.001")
+      .select("r").as[Double].collect()
+    assert(rs.nonEmpty && rs.forall(_ > 0.0))
+    // every nation has out-edges, so total mass stays 1 up to the 1e-12
+    // contribution-grid truncation (|E| * 5e-13 worst case)
+    val sum = rs.sum
+    assert(math.abs(sum - 1.0) < 1e-6, s"rank mass $sum drifted from 1")
+  }
+
   test("SMA stays within the min/max of its window") {
     val prices = randSeries(3, 100).map(math.abs)
     val df = prices.zipWithIndex.map { case (p, i) => (i, "X", p) }

@@ -174,4 +174,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"candidate join must be hash-joinable on (band, bucket):\n$p")
   }
+
+  test("q4: correlated EXISTS with outer-column inequality decorrelates to a semi join") {
+    val p = plan(graft.operators.CorrelatedQueries.q4OrderPriority(spark, sf))
+    assert(p.contains("LeftSemi"), s"EXISTS should plan as left-semi:\n$p")
+    assert(p.contains("PushedFilters"), "quarter filter must reach the orders scan")
+  }
+
+  test("e1 skew profile: one-row stats broadcast, top-10 as TakeOrderedAndProject") {
+    val p = plan(graft.operators.OpsQueries.e1SkewProfile(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must not global-sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row stats frame must broadcast:\n$p")
+  }
+
+  test("k8 z-order: interleave is codegen'd arithmetic, no HOF lambda in the plan") {
+    val p = plan(graft.operators.OpsQueries.k8Zorder(spark, sf))
+    assert(!p.contains("lambdafunction"),
+      s"z-value must be unrolled shift/mask terms, not an interpreted HOF:\n$p")
+    assert(p.contains("shiftleft"), "expect the unrolled interleave in the plan")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "expect partial+final agg")
+  }
 }

@@ -247,8 +247,42 @@ object IndicatorQueries {
       .replace("ALPHA", a)
   }
 
+  /** I14: Holt double-exponential smoothing (α=0.3, β=0.1) per series —
+    * level + trend states and the one-step forecast (level + trend).
+    * The 2-state recurrence sibling of I1's EMA; same per-series kernel
+    * execution, same recursive-CTE oracle replay (the constants are
+    * written as CAST(k AS DOUBLE)/10 on both engines so the smoothing
+    * factors are the identical doubles). */
+  val i14Holt: Q = (s, dir) =>
+    Indicators.holt(events(s, dir), 3.0 / 10, 1.0 / 10)
+      .select(col("event_id"), col("user_id"),
+        round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"),
+        round(col("level") + col("trend"), 6).as("forecast"))
+      .orderBy("user_id", "event_id")
+
+  val i14HoltSql: String = {
+    val la = "(CAST(3 AS DOUBLE)/10)"
+    val bb = "(CAST(1 AS DOUBLE)/10)"
+    val lNew = s"$la * o.value + (1 - $la) * (p.l + p.b)"
+    ordCte +
+      s""",
+        |h AS (
+        |  SELECT user_id, rn, event_id, value AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn, o.event_id,
+        |         $lNew AS l,
+        |         $bb * (($lNew) - p.l) + (1 - $bb) * p.b AS b
+        |  FROM h p JOIN ord o ON o.user_id = p.user_id AND o.rn = p.rn + 1)
+        |SELECT event_id, user_id, ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+        |  ROUND(l + b, 6) AS forecast
+        |FROM h ORDER BY user_id, event_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "i12_ewma_vol" -> i12EwmaVol,
+    "i14_holt" -> i14Holt,
     "i1_ema" -> i1Ema,
     "i2_macd" -> i2Macd,
     "i3_bollinger" -> i3Bollinger,
@@ -260,6 +294,7 @@ object IndicatorQueries {
 
   def oracle: Map[String, String] = Map(
     "i12_ewma_vol" -> i12EwmaVolSql,
+    "i14_holt" -> i14HoltSql,
     "i1_ema" -> i1EmaSql,
     "i2_macd" -> i2MacdSql,
     "i3_bollinger" -> i3BollingerSql,

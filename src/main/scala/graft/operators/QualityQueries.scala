@@ -198,12 +198,70 @@ object QualityQueries {
       |FROM exact e JOIN est USING (key)
       |ORDER BY exact_n DESC, word""".stripMargin
 
+  /** T24: HyperLogLog distinct estimate over lineitem part keys, next to
+    * the exact count and the same column t13's KMV sketches — the
+    * register-based counter for the streaming/mergeable regime (256
+    * registers = 1.3 KB state at ANY cardinality, vs KMV's k values).
+    * Engine-neutral: registers derive from md5 hex text, so the oracle
+    * replays them exactly (see sketch.Sketches.hllRegisters). */
+  val t24HllDistinct: Q = (s, dir) => {
+    val li = Graft.table(s, dir, "lineitem").select("l_partkey")
+    Sketches.hllEstimate(li, col("l_partkey"), 8)
+      .crossJoin(li.agg(countDistinct(col("l_partkey")).as("n_exact")))
+      .select(col("m"), col("zeros"), col("n_exact"), col("est"),
+        round(abs(col("est") - col("n_exact")) / col("n_exact"), 6).as("rel_err"))
+  }
+
+  val t24HllDistinctSql: String =
+    """WITH h AS (
+      |  SELECT md5(CAST(l_partkey AS VARCHAR)) AS hx FROM lineitem),
+      |parts AS (
+      |  SELECT CAST(('0x' || substring(hx, 1, 2)) AS BIGINT) AS bucket,
+      |         substring(hx, 3, 15) AS h15
+      |  FROM h),
+      |rho AS (
+      |  SELECT bucket,
+      |    CASE WHEN z = 15 THEN 61
+      |         ELSE z * 4 +
+      |           CASE WHEN nib >= 8 THEN 0 WHEN nib >= 4 THEN 1
+      |                WHEN nib >= 2 THEN 2 ELSE 3 END + 1 END AS rho
+      |  FROM (SELECT bucket, z,
+      |          CAST(('0x' || CASE WHEN z = 15 THEN '0'
+      |                             ELSE substring(h15, z + 1, 1) END) AS INT) AS nib
+      |        FROM (SELECT bucket, h15,
+      |                length(regexp_extract(h15, '^(0*)', 1)) AS z
+      |              FROM parts))),
+      |regs AS (SELECT bucket, MAX(rho) AS m_j FROM rho GROUP BY bucket),
+      |agg AS (
+      |  SELECT COUNT(*) AS nb,
+      |         SUM(CAST(POWER(2.0, 60 - m_j) AS DECIMAL(38,0))) AS s_ne
+      |  FROM regs),
+      |est0 AS (
+      |  SELECT CAST(256 AS BIGINT) AS m, 256 - nb AS zeros,
+      |    CAST(256 - nb AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)
+      |      + CAST(s_ne AS HUGEINT) AS s
+      |  FROM agg),
+      |est AS (
+      |  SELECT m, zeros,
+      |    CASE WHEN zeros > 0 AND raw <= 2.5 * 256 THEN
+      |           256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+      |         ELSE raw END AS e
+      |  FROM (SELECT m, zeros,
+      |          0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+      |            1152921504606846976.0 / CAST(s AS DOUBLE) AS raw
+      |        FROM est0)),
+      |ex AS (SELECT COUNT(DISTINCT l_partkey) AS n_exact FROM lineitem)
+      |SELECT m, zeros, n_exact, ROUND(e, 6) AS est,
+      |       ROUND(ABS(ROUND(e, 6) - n_exact) / n_exact, 6) AS rel_err
+      |FROM est CROSS JOIN ex""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "t11_repetition" -> t11Repetition,
     "t12_pii_redact" -> t12PiiRedact,
     "t13_kmv_distinct" -> t13KmvDistinct,
     "t14_tfidf" -> t14Tfidf,
     "t21_cms_heavy_hitters" -> t21CmsHeavyHitters,
+    "t24_hll_distinct" -> t24HllDistinct,
   )
 
   def oracle: Map[String, String] = Map(
@@ -212,5 +270,6 @@ object QualityQueries {
     "t13_kmv_distinct" -> t13KmvDistinctSql,
     "t14_tfidf" -> t14TfidfSql,
     "t21_cms_heavy_hitters" -> t21CmsHeavyHittersSql,
+    "t24_hll_distinct" -> t24HllDistinctSql,
   )
 }

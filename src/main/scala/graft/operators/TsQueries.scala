@@ -277,8 +277,109 @@ object TsQueries {
       |FROM events e JOIN b USING (user_id)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** A19: historical VaR(95) / CVaR(95) per series — the 5th-percentile
+    * log return and the mean of the tail at or below it (expected
+    * shortfall). The natural next step after A4-A7's volatility ladder.
+    *
+    * Cross-engine determinism: returns are snapped to the 1e-9 grid
+    * (floor policy) BEFORE the quantile, so the values the percentile
+    * interpolates — and the `ret <= var05` tail comparison — are
+    * identical doubles on both engines (Spark `percentile` and DuckDB
+    * `quantile_cont` share the p·(n−1) linear-interpolation formula);
+    * the tail mean accumulates as exact DECIMAL, double only at the
+    * final division. One window + two keyed aggregations, no
+    * non-broadcast join: the per-series var05 frame is k rows. */
+  val a19VarCvar: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val rets = events(s, dir)
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev") > 0 && col("value") > 0)
+      .withColumn("ret", floor(log(col("value") / col("prev")) * lit(1e9) + lit(0.5)) / lit(1e9))
+    val varq = rets.groupBy("user_id").agg(expr("percentile(ret, 0.05)").as("var05"))
+    rets.join(broadcast(varq), "user_id")
+      .filter(col("ret") <= col("var05"))
+      .groupBy("user_id")
+      .agg(round(first(col("var05")), 6).as("var05"),
+        round(sum(col("ret").cast("decimal(28,12)")).cast("double") / count(lit(1)), 6).as("cvar05"),
+        count(lit(1)).as("n_tail"))
+      .orderBy("user_id")
+  }
+
+  val a19VarCvarSql: String =
+    """WITH r AS (
+      |  SELECT event_id, user_id, value,
+      |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |rets AS (
+      |  SELECT user_id, FLOOR(LN(value / prev) * 1e9 + 0.5) / 1e9 AS ret
+      |  FROM r WHERE prev > 0 AND value > 0),
+      |vq AS (SELECT user_id, quantile_cont(ret, 0.05) AS var05
+      |       FROM rets GROUP BY user_id)
+      |SELECT rets.user_id, ROUND(vq.var05, 6) AS var05,
+      |  ROUND(CAST(SUM(CAST(ret AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS cvar05,
+      |  COUNT(*) AS n_tail
+      |FROM rets JOIN vq ON vq.user_id = rets.user_id
+      |WHERE ret <= var05
+      |GROUP BY rets.user_id, vq.var05
+      |ORDER BY rets.user_id""".stripMargin
+
+  /** A20: market beta/alpha per series — OLS of each series' log
+    * returns against the cross-sectional "market" (the equal-weight
+    * mean return across all series at each aligned position). CAPM's
+    * workhorse regression as one plan: returns (one window), the
+    * market index (one keyed aggregation over positions — a
+    * BROADCASTABLE frame of max-series-length rows at any corpus
+    * size), then per-series regr_slope/regr_intercept.
+    *
+    * Float policy: returns on the 1e-9 grid; the market mean
+    * accumulates as exact DECIMAL then snaps to the same grid, so the
+    * regression inputs are engine-identical; the regression moments
+    * themselves drift at the last ulp (association order) — ROUND 6
+    * absorbs, per the repo policy for corr/regr outputs. */
+  val a20Beta: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val rets = events(s, dir)
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev") > 0 && col("value") > 0)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("ret", floor(log(col("value") / col("prev")) * lit(1e9) + lit(0.5)) / lit(1e9))
+    val mkt = rets.groupBy("rn").agg(
+      (floor(sum(col("ret").cast("decimal(28,12)")).cast("double") / count(lit(1))
+        * lit(1e9) + lit(0.5)) / lit(1e9)).as("mret"))
+    rets.join(broadcast(mkt), "rn")
+      .groupBy("user_id")
+      .agg(round(regr_slope(col("ret"), col("mret")), 6).as("beta"),
+        round(regr_intercept(col("ret"), col("mret")), 6).as("alpha"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+  }
+
+  val a20BetaSql: String =
+    """WITH r AS (
+      |  SELECT event_id, user_id, ts, value,
+      |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |rets AS (
+      |  SELECT user_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    FLOOR(LN(value / prev) * 1e9 + 0.5) / 1e9 AS ret
+      |  FROM r WHERE prev > 0 AND value > 0),
+      |mkt AS (
+      |  SELECT rn,
+      |    FLOOR(CAST(SUM(CAST(ret AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+      |          * 1e9 + 0.5) / 1e9 AS mret
+      |  FROM rets GROUP BY rn)
+      |SELECT user_id, ROUND(regr_slope(ret, mret), 6) AS beta,
+      |       ROUND(regr_intercept(ret, mret), 6) AS alpha,
+      |       COUNT(*) AS n
+      |FROM rets JOIN mkt USING (rn)
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "a18_max_drawdown" -> a18MaxDrawdown,
+    "a19_var_cvar" -> a19VarCvar,
+    "a20_beta" -> a20Beta,
     "c12_winsorize" -> c12Winsorize,
     "f10_regr_trend" -> f10RegrTrend,
     "c9_downsample" -> c9Downsample,
@@ -295,6 +396,8 @@ object TsQueries {
 
   def oracle: Map[String, String] = Map(
     "a18_max_drawdown" -> a18MaxDrawdownSql,
+    "a19_var_cvar" -> a19VarCvarSql,
+    "a20_beta" -> a20BetaSql,
     "c12_winsorize" -> c12WinsorizeSql,
     "f10_regr_trend" -> f10RegrTrendSql,
     "c9_downsample" -> c9DownsampleSql,

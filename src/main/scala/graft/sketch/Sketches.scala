@@ -81,6 +81,67 @@ object Sketches {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** HyperLogLog registers for a key column, deterministic and
+    * engine-neutral (Flajolet et al. 2007). The stochastic averaging
+    * split rides the md5 hex string directly, so any engine with md5 +
+    * string ops replays the registers bit-for-bit — no
+    * platform-specific hashing, unlike `approx_count_distinct`:
+    *
+    *   bucket = first p/4 hex chars (p bits) → 2^p registers;
+    *   rho    = leading-zero count of the NEXT 60 bits (15 hex chars)
+    *            + 1, computed from the hex text (4·zero-chars + a
+    *            nibble CASE) identically in Spark and SQL;
+    *   M_j    = max rho per bucket.
+    *
+    * Scale shape: one groupBy on the p-bit bucket with map-side partial
+    * max — at most 2^p rows ever cross the wire, the canonical
+    * mergeable-sketch layout (registers union by max across any
+    * partitioning of the input). */
+  def hllRegisters(df: DataFrame, key: Column, p: Int): DataFrame = {
+    require(p % 4 == 0 && p >= 8 && p <= 12,
+      s"p=$p: hex-prefix bucketing needs p in {8, 12}")
+    val hexed = df.withColumn("__md5", md5(key.cast("string")))
+      .withColumn("__b", conv(substring(col("__md5"), 1, p / 4), 16, 10).cast("long"))
+      .withColumn("__h15", substring(col("__md5"), p / 4 + 1, 15))
+    val z = length(regexp_extract(col("__h15"), "^(0*)", 1))
+    val nib = conv(substring(col("__h15"), z + 1, lit(1)), 16, 10).cast("int")
+    val clz4 = when(nib >= 8, 0).when(nib >= 4, 1).when(nib >= 2, 2).otherwise(3)
+    val rho = when(z === 15, 61).otherwise(z * 4 + clz4 + 1)
+    hexed.groupBy(col("__b").as("bucket")).agg(max(rho).as("m_j"))
+  }
+
+  /** One-row HLL cardinality estimate (m = 2^p registers).
+    *
+    * Cross-engine float policy: Σ 2^−M_j is accumulated EXACTLY as the
+    * integer Σ 2^(60−M_j) in DECIMAL(38,0) (dyadic rationals scaled by
+    * 2^60; ≤ 2^12 · 2^59 bounds well under 10^38), so the only floating
+    * arithmetic is one identical-on-both-engines division at the end —
+    * a plain double SUM(2^−M_j) would be association-order-dependent.
+    * Small-range (linear-counting) correction per the paper: raw ≤ 2.5m
+    * with empty registers → m·ln(m/zeros). */
+  def hllEstimate(df: DataFrame, key: Column, p: Int): DataFrame = {
+    val m = 1 << p
+    val regs = hllRegisters(df, key, p)
+    // 2^(60−M_j) is a power of two ≤ 2^59: exact in double, exact cast.
+    val agg = regs.agg(
+      count(lit(1)).as("nb"),
+      sum(pow(lit(2.0), lit(60) - col("m_j")).cast("decimal(38,0)")).as("s_ne"))
+    val zeros = (lit(m.toLong) - col("nb")).as("zeros")
+    val sTot = (col("zeros").cast("decimal(38,0)") * lit(BigDecimal(2).pow(60)).cast("decimal(38,0)") +
+      col("s_ne")).cast("decimal(38,0)")
+    // alpha written as the same literal arithmetic the oracle uses, so
+    // both engines constant-fold the identical IEEE doubles.
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val raw = alpha * lit(m.toDouble * m.toDouble) * lit(math.pow(2.0, 60)) /
+      col("s").cast("double")
+    val est = when(col("zeros") > 0 && raw <= lit(2.5 * m),
+      lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
+      .otherwise(raw)
+    agg.select(lit(m.toLong).as("m"), zeros, col("s_ne"))
+      .withColumn("s", sTot)
+      .select(col("m"), col("zeros"), round(est, 6).as("est"))
+  }
+
   /** Count-Min point estimates for `probes` (a small keyed frame with a
     * `key` column): est = min over sketch rows of the probed cell. The
     * cells frame is tiny (≤ depth·width) and broadcasts. */

@@ -141,6 +141,50 @@ object Indicators {
     }.toDF("event_id", "ema")
   }
 
+  /** Pure Holt linear-trend kernel → (level, trend) per point.
+    * Double-exponential smoothing: l_0 = x_0, b_0 = 0;
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    * The arithmetic order is load-bearing: the SQL oracle replays the
+    * identical expression shape, so values match bit-for-bit. */
+  def holtKernel(xs: Array[Double], alpha: Double, beta: Double): Array[(Double, Double)] = {
+    val out = new Array[(Double, Double)](xs.length)
+    var l = 0.0; var b = 0.0
+    var i = 0
+    while (i < xs.length) {
+      if (i == 0) { l = xs(0); b = 0.0 }
+      else {
+        val lPrev = l
+        l = alpha * xs(i) + (1.0 - alpha) * (lPrev + b)
+        b = beta * (l - lPrev) + (1.0 - beta) * b
+      }
+      out(i) = (l, b)
+      i += 1
+    }
+    out
+  }
+
+  /** Holt double-exponential smoothing over the events series shape →
+    * (event_id, user_id, level, trend). Same execution shape as [[ema]]:
+    * one shuffle keyed by series, per-series kernel scan, ONE series per
+    * task (the 2-state recurrence is a chain of affine maps on (l, b),
+    * so the [[emaScan]] parallel-prefix treatment extends to it with
+    * 2×2 matrix composition if a single series ever outgrows a task). */
+  def holt(df: DataFrame, alpha: Double, beta: Double): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, Long, Double)]) =>
+        val pts = it.toArray.sortBy(p => (p._3, p._2))
+        val lb = holtKernel(pts.map(_._4), alpha, beta)
+        pts.iterator.zipWithIndex.map { case (p, i) => (p._2, uid, lb(i)._1, lb(i)._2) }
+      }
+      .toDF("event_id", "user_id", "level", "trend")
+  }
+
   /** MACD(fast, slow, signal) over the events series shape →
     * (event_id, user_id, macd, signal, hist). */
   def macd(df: DataFrame, fast: Int = 12, slow: Int = 26, sig: Int = 9): DataFrame = {

@@ -255,7 +255,44 @@ object CorpusQueries {
       |       COUNT(*) AS n_tokens
       |FROM r""".stripMargin
 
+  /** T26: BPE merge candidates — the top-30 adjacent character pairs by
+    * corpus frequency, the exact statistic one round of byte-pair-
+    * encoding vocabulary induction maximizes. Each word occurrence
+    * contributes its length−1 in-word pairs (no cross-word pairs, per
+    * BPE's word-boundary rule). Scale shape: explode → one keyed
+    * aggregation (pair cardinality is bounded by the alphabet², so the
+    * map-side combine collapses each partition to a few-KB partial) →
+    * distributed top-k, never a global sort. Deterministic (cnt DESC,
+    * pair) tiebreak. */
+  val t26BpePairs: Q = (s, dir) => {
+    val wordsCol = tokenized(s, dir).filter(col("n") > 0)
+      .select(explode(col("ws")).as("word"))
+      .filter(length(col("word")) >= 2)
+    val pairs = wordsCol.select(explode(expr(
+      "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")).as("pair"))
+    pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(30)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair"))).cast("long"))
+      .orderBy("rk")
+  }
+
+  val t26BpePairsSql: String =
+    """WITH w AS (
+      |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+      |  FROM documents WHERE trim(text) <> ''),
+      |p AS (
+      |  SELECT substring(word, i, 2) AS pair
+      |  FROM w, UNNEST(range(1, length(word))) AS t(i)
+      |  WHERE length(word) >= 2),
+      |cnt AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1),
+      |top AS (SELECT pair, cnt FROM cnt ORDER BY cnt DESC, pair LIMIT 30)
+      |SELECT pair, cnt,
+      |  row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+      |FROM top ORDER BY rk""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "t26_bpe_pairs" -> t26BpePairs,
     "t25_zipf_slope" -> t25ZipfSlope,
     "u3_set_ops" -> u3SetOps,
     "t19_source_profile" -> t19SourceProfile,
@@ -266,6 +303,7 @@ object CorpusQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "t26_bpe_pairs" -> t26BpePairsSql,
     "t25_zipf_slope" -> t25ZipfSlopeSql,
     "u3_set_ops" -> u3SetOpsSql,
     "t19_source_profile" -> t19SourceProfileSql,

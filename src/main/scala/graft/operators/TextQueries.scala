@@ -419,6 +419,117 @@ object TextQueries {
       |GROUP BY node
       |ORDER BY doc_id""".stripMargin
 
+  /** D9: LSH quality evaluation — recall/precision of the MinHash-LSH
+    * candidate pipeline (d2's pairs, est-Jaccard ≥ 0.5) against the
+    * exact n-gram-Jaccard ground truth (d4's pairs, true Jaccard ≥ 0.5,
+    * same maxDf=50 cap). The measurement every production dedup rollout
+    * needs before trusting the sketch path at 100 TB — and it stays
+    * cheap because BOTH sides are the bucketed/banded plans, never an
+    * all-pairs sweep. One row: counts + recall + precision. */
+  val d9LshEval: Q = (s, dir) => {
+    val truth = Dedup.ngramJaccard(nearCorpus(s, dir), 3, 0.5, maxDf = 50)
+      .select("doc_a", "doc_b")
+    val cand = lshPairs(s, dir).select("doc_a", "doc_b")
+    val hit = truth.join(cand, Seq("doc_a", "doc_b"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"),
+        round(col("n_hit").cast("double") / col("n_cand"), 6).as("prec"))
+  }
+
+  val d9LshEvalSql: String = nearCorpusCte + lshPairsCte +
+    """,
+      |keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+      |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+      |hit AS (SELECT t.doc_a FROM truth t
+      |        JOIN lshp c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+      |SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+      |       (SELECT COUNT(*) FROM lshp) AS n_cand,
+      |       (SELECT COUNT(*) FROM hit) AS n_hit,
+      |       ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) /
+      |             (SELECT COUNT(*) FROM truth), 6) AS recall,
+      |       ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) /
+      |             (SELECT COUNT(*) FROM lshp), 6) AS prec""".stripMargin
+
+  /** G3: bounded k-core peel over the near-dup similarity graph (d4's
+    * edge set) — three rounds of "drop nodes with degree < 2", the
+    * standard coreness-style density diagnostic. Each round is one
+    * symmetrized keyed degree aggregation + two semi-join filters
+    * (never a cross product); the per-round survivor/edge counts are
+    * the output, so convergence is visible in the result itself. */
+  val g3Kcore: Q = (s, dir) => {
+    var edges = graft.Graft.materialize(
+      Dedup.ngramJaccard(nearCorpus(s, dir), 3, 0.5, maxDf = 50)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+    val rows = (1 to 3).map { r =>
+      val sym = edges.select(col("a").as("n"))
+        .unionByName(edges.select(col("b").as("n")))
+      val keep = sym.groupBy("n").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2).select("n")
+      edges = graft.Graft.materialize(
+        edges.join(keep.select(col("n").as("a")), "a")
+          .join(keep.select(col("n").as("b")), "b")
+          .select("a", "b"))
+      keep.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    rows.reduce(_ unionByName _).orderBy("round")
+  }
+
+  val g3KcoreSql: String = {
+    // unrolled peel: e0 = d4's pair graph; k_r = nodes with deg >= 2 in
+    // e_{r-1}; e_r = e_{r-1} restricted to surviving endpoints.
+    val rounds = (1 to 3).map { r =>
+      s""",
+        |k$r AS (
+        |  SELECT n FROM (
+        |    SELECT doc_a AS n FROM e${r - 1} UNION ALL SELECT doc_b FROM e${r - 1})
+        |  GROUP BY n HAVING COUNT(*) >= 2),
+        |e$r AS (
+        |  SELECT doc_a, doc_b FROM e${r - 1}
+        |  WHERE doc_a IN (SELECT n FROM k$r) AND doc_b IN (SELECT n FROM k$r))""".stripMargin
+    }.mkString
+    val selects = (1 to 3).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+        |  (SELECT COUNT(*) FROM k$r) AS n_nodes,
+        |  (SELECT COUNT(*) FROM e$r) AS n_edges""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
+    nearCorpusCte +
+      """,
+        |w AS (SELECT doc_id,
+        |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |      FROM corpus),
+        |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+        |       WHERE len(ws) >= 3 AND length(ws[i] || ws[i+1] || ws[i+2]) > 0),
+        |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 50),
+        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e0 AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)""".stripMargin +
+      rounds + selects
+  }
+
   /** T5: vocabulary building — top-5 word bigrams per language by
     * document frequency (distinct per doc via the shingle op, so a
     * bigram repeated inside one doc counts once). The scale shape:
@@ -467,10 +578,12 @@ object TextQueries {
     "d1_exact_dedup" -> d1ExactDedup,
     "d1b_dedup_apply" -> d1DedupApply,
     "d2_minhash_lsh" -> d2MinhashLsh,
+    "d9_lsh_eval" -> d9LshEval,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d6_dup_clusters" -> d6DupClusters,
     "g1_triangle_count" -> g1TriangleCount,
+    "g3_kcore" -> g3Kcore,
   )
 
   def oracle: Map[String, String] = Map(
@@ -484,9 +597,11 @@ object TextQueries {
     "d1_exact_dedup" -> d1ExactDedupSql,
     "d1b_dedup_apply" -> d1DedupApplySql,
     "d2_minhash_lsh" -> d2MinhashLshSql,
+    "d9_lsh_eval" -> d9LshEvalSql,
     "d3_simhash" -> d3SimhashSql,
     "d4_ngram_jaccard" -> d4NgramJaccardSql,
     "d6_dup_clusters" -> d6DupClustersSql,
     "g1_triangle_count" -> g1TriangleCountSql,
+    "g3_kcore" -> g3KcoreSql,
   )
 }

@@ -35,6 +35,32 @@ class IndicatorsSpec extends SparkSpec {
       .foreach { case (m, s, h) => assert(m == 0.0 && s == 0.0 && h == 0.0) }
   }
 
+  test("holtKernel: seeds (x0, 0) and follows the two-state recurrence") {
+    val (a, b) = (0.3, 0.1)
+    val got = Indicators.holtKernel(Array(10.0, 20.0, 16.0), a, b)
+    assert(got(0) == ((10.0, 0.0)))
+    val l1 = a * 20 + (1 - a) * (10.0 + 0.0)
+    val b1 = b * (l1 - 10.0) + (1 - b) * 0.0
+    assert(approx(got(1)._1, l1) && approx(got(1)._2, b1))
+    val l2 = a * 16 + (1 - a) * (l1 + b1)
+    assert(approx(got(2)._1, l2))
+    assert(approx(got(2)._2, b * (l2 - l1) + (1 - b) * b1))
+  }
+
+  test("holtKernel: constant series keeps level = x and trend = 0") {
+    Indicators.holtKernel(Array.fill(10)(42.0), 0.3, 0.1)
+      .foreach { case (l, t) => assert(l == 42.0 && t == 0.0) }
+  }
+
+  test("holt DataFrame op matches the kernel in series (ts) order") {
+    val got = Indicators.holt(eventsDf, 0.3, 0.1).orderBy(desc("event_id"))
+      .select("level", "trend").as[(Double, Double)].collect()
+    val exp = Indicators.holtKernel(prices.reverse.toArray, 0.3, 0.1)
+    got.zip(exp).foreach { case ((gl, gt), (el, et)) =>
+      assert(approx(gl, el) && approx(gt, et))
+    }
+  }
+
   test("ema DataFrame op matches the kernel in series (ts) order") {
     // eventsDf's ts DESCENDS with event_id, so series order reverses ids.
     val got = Indicators.ema(eventsDf, 20).orderBy(desc("event_id"))

@@ -92,4 +92,27 @@ class QualitySpec extends SparkSpec {
     val tiny = estimates(data, 2, 8)
     exact.foreach { case (k, n) => assert(tiny(k) >= n) }
   }
+
+  test("hll: registers are duplication/partition-invariant; estimate tracks cardinality") {
+    val a = (1 to 20000).map(_ % 5000).toDF("x")
+    def est(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllEstimate(df, col("x"), 8)
+        .select("est").as[Double].head()
+    val e1 = est(a.repartition(2))
+    val e2 = est(a.repartition(13))
+    val e3 = est(a.union(a)) // max-merge: duplicates can't move a register
+    assert(e1 == e2 && e2 == e3)
+    // 256 registers -> ~1.04/sqrt(256) = 6.5% standard error; allow 3 sigma
+    assert(math.abs(e1 - 5000) / 5000.0 < 0.2, s"est $e1 too far from 5000")
+  }
+
+  test("hll: small cardinalities take the linear-counting branch and stay tight") {
+    val small = (1 to 1000).map(_ % 40).toDF("x")
+    val row = Sketches.hllEstimate(small, col("x"), 8)
+      .select("m", "zeros", "est").as[(Long, Long, Double)].head()
+    val (m, zeros, e) = row
+    assert(m == 256 && zeros > 0)
+    // linear counting with 40 distinct over 256 buckets is near-exact
+    assert(math.abs(e - 40) / 40.0 < 0.15, s"est $e too far from 40")
+  }
 }

@@ -203,11 +203,21 @@ object Dedup {
     * PAIRS into duplicate CLUSTERS (the step between candidate
     * generation and keeper selection). Iterative min-label propagation:
     * each round every node adopts the smallest label among itself and
-    * its neighbors; converges in O(component diameter) rounds — dup
-    * clusters are shallow, so a handful. Each round is one keyed
-    * shuffle, and the label frame is re-materialized per round
-    * (Graft.materialize) so lineage doesn't stack across iterations —
-    * the canonical iterative-Spark shape at any scale. */
+    * its neighbors; converges in O(component diameter) rounds. Each
+    * round is one keyed shuffle, and the label frame is re-materialized
+    * per round (Graft.materialize) so lineage doesn't stack across
+    * iterations — the canonical iterative-Spark shape at any scale.
+    *
+    * Round-count note (measured): the embedding near-dup graph (d7)
+    * takes 17 rounds — its components are chain-shaped. A pointer-
+    * jumping variant (each node also adopting label(label(v))) was
+    * measured here and REJECTED: it cut rounds only 17→13 (random id
+    * placement already gives plain propagation most of the log-style
+    * speedup on real graphs) while adding a second keyed self-join per
+    * round — net ~2× slower wall-clock. If a future corpus produces
+    * id-sorted chains (the true adversarial case), the alternating
+    * large-star/small-star scheme (Kiveris et al. 2014) is the right
+    * upgrade, not single-hop jumping. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b"): DataFrame = {
     // materialize the edge list once: every iteration joins against it,

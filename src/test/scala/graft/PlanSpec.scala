@@ -195,4 +195,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("shiftleft"), "expect the unrolled interleave in the plan")
     assert("HashAggregate".r.findAllIn(p).length >= 2, "expect partial+final agg")
   }
+
+  test("a20 beta: the per-position market frame joins by broadcast, never sort-merge") {
+    val p = plan(TsQueries.a20Beta(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"market index (max-series-length rows) must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge against the tiny index:\n$p")
+  }
+
+  test("a19 VaR: per-series thresholds broadcast back to the returns") {
+    val p = plan(TsQueries.a19VarCvar(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"k-row threshold frame must broadcast:\n$p")
+  }
+
+  test("t24 HLL: register build is partial+final agg — at most 2^p rows cross the wire") {
+    val p = plan(graft.operators.QualityQueries.t24HllDistinct(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expect map-side partial max before the bucket exchange:\n$p")
+  }
+
+  test("t26 BPE pairs: partial aggregation collapses pairs before the shuffle, top-k never global-sorts the counts") {
+    val p = plan(graft.operators.CorpusQueries.t26BpePairs(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "expect partial+final agg")
+    assert(p.contains("TakeOrderedAndProject"), s"top-30 must plan as partial top-k:\n$p")
+  }
 }

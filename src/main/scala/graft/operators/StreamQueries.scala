@@ -108,7 +108,32 @@ object StreamQueries {
       |GROUP BY 1, 2
       |ORDER BY 2, 1""".stripMargin
 
+  /** S-W5: trending top-3 event types per tumbling hour (batch form of
+    * [[EventStream.trendingStream]]; StreamingSpec proves the stream
+    * twin). Rank runs on the windowed AGGREGATE (a few rows per hour),
+    * never the raw events — the only scale-safe place for a top-k. */
+  val s5Trending: Q = (s, dir) =>
+    EventStream.trendingBatch(
+      Graft.table(s, dir, "events")
+        .withColumn("tsm", expr("timestamp_micros(ts div 1000)")), 3)
+      .select(col("wstart"), col("event_type"), col("n"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("wstart", "rk")
+
+  val s5TrendingSql: String =
+    """WITH wa AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart, event_type,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT wstart, event_type, n,
+      |    row_number() OVER (PARTITION BY wstart ORDER BY n DESC, event_type) AS rk
+      |  FROM wa)
+      |SELECT wstart, event_type, n, rk FROM rk
+      |WHERE rk <= 3 ORDER BY wstart, rk""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "s5_trending" -> s5Trending,
     "s1_window_agg" -> s1WindowAgg,
     "s2_sessionize" -> s2Sessionize,
     "s3_event_dedup" -> s3EventDedup,
@@ -116,6 +141,7 @@ object StreamQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "s5_trending" -> s5TrendingSql,
     "s1_window_agg" -> s1WindowAggSql,
     "s2_sessionize" -> s2SessionizeSql,
     "s3_event_dedup" -> s3EventDedupSql,

@@ -248,9 +248,81 @@ object OpsQueries {
       |       FROM nodes CROSS JOIN cnt CROSS JOIN d2 LEFT JOIN c2 ON node = c2.dst)
       |SELECT node, r FROM r2 ORDER BY r DESC, node""".stripMargin
 
+  /** E3: column profile of the events table — per-column row/null/
+    * distinct counts plus numeric min/max, the schema-drift and
+    * data-quality dashboard (Deequ-style profiling) every managed
+    * pipeline emits per ingest batch. ONE aggregation pass over the
+    * scan computes every metric (Catalyst expands the multi-distinct
+    * into one Expand + aggregate, not one scan per column); the stack
+    * to (column, metrics) rows happens on the single result row.
+    * Deliberately reads all profiled columns — profiling is the one op
+    * where "no pruning" is the spec, not a bug. */
+  val e3ColumnProfile: Q = (s, dir) => {
+    val ev = Graft.table(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val agg = ev.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("event_id").isNull, 1).otherwise(0)).as("null_event_id"),
+      sum(when(col("user_id").isNull, 1).otherwise(0)).as("null_user_id"),
+      sum(when(col("event_type").isNull, 1).otherwise(0)).as("null_event_type"),
+      sum(when(col("value").isNull, 1).otherwise(0)).as("null_value"),
+      countDistinct(col("event_id")).as("d_event_id"),
+      countDistinct(col("user_id")).as("d_user_id"),
+      countDistinct(col("event_type")).as("d_event_type"),
+      countDistinct(col("value")).as("d_value"),
+      min(col("event_id")).cast("double").as("min_event_id"),
+      max(col("event_id")).cast("double").as("max_event_id"),
+      min(col("user_id")).cast("double").as("min_user_id"),
+      max(col("user_id")).cast("double").as("max_user_id"),
+      round(min(col("value")), 6).as("min_value"),
+      round(max(col("value")), 6).as("max_value"))
+    val rows = Seq(
+      ("event_id", "null_event_id", "d_event_id", Some(("min_event_id", "max_event_id"))),
+      ("user_id", "null_user_id", "d_user_id", Some(("min_user_id", "max_user_id"))),
+      ("event_type", "null_event_type", "d_event_type", None),
+      ("value", "null_value", "d_value", Some(("min_value", "max_value")))).map {
+      case (name, nul, dist, mm) =>
+        agg.select(lit(name).as("column"), col("n_rows"),
+          col(nul).cast("long").as("n_null"), col(dist).as("n_distinct"),
+          mm.map(p => col(p._1)).getOrElse(lit(null).cast("double")).as("min_num"),
+          mm.map(p => col(p._2)).getOrElse(lit(null).cast("double")).as("max_num"))
+    }
+    rows.reduce(_ unionByName _).orderBy("column")
+  }
+
+  val e3ColumnProfileSql: String =
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+      |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+      |    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+      |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+      |    COUNT(DISTINCT event_id) AS d_event_id,
+      |    COUNT(DISTINCT user_id) AS d_user_id,
+      |    COUNT(DISTINCT event_type) AS d_event_type,
+      |    COUNT(DISTINCT value) AS d_value,
+      |    CAST(MIN(event_id) AS DOUBLE) AS min_event_id,
+      |    CAST(MAX(event_id) AS DOUBLE) AS max_event_id,
+      |    CAST(MIN(user_id) AS DOUBLE) AS min_user_id,
+      |    CAST(MAX(user_id) AS DOUBLE) AS max_user_id,
+      |    ROUND(MIN(value), 6) AS min_value,
+      |    ROUND(MAX(value), 6) AS max_value
+      |  FROM events)
+      |SELECT 'event_id' AS column, n_rows, null_event_id AS n_null,
+      |  d_event_id AS n_distinct, min_event_id AS min_num, max_event_id AS max_num FROM a
+      |UNION ALL
+      |SELECT 'user_id', n_rows, null_user_id, d_user_id, min_user_id, max_user_id FROM a
+      |UNION ALL
+      |SELECT 'event_type', n_rows, null_event_type, d_event_type,
+      |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a
+      |UNION ALL
+      |SELECT 'value', n_rows, null_value, d_value, min_value, max_value FROM a
+      |ORDER BY "column"""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "e1_skew_profile" -> e1SkewProfile,
     "e2_hist_quantile" -> e2HistQuantile,
+    "e3_column_profile" -> e3ColumnProfile,
     "k8_zorder" -> k8Zorder,
     "g2_pagerank" -> g2Pagerank,
   )
@@ -258,6 +330,7 @@ object OpsQueries {
   def oracle: Map[String, String] = Map(
     "e1_skew_profile" -> e1SkewProfileSql,
     "e2_hist_quantile" -> e2HistQuantileSql,
+    "e3_column_profile" -> e3ColumnProfileSql,
     "k8_zorder" -> k8ZorderSql,
     "g2_pagerank" -> g2PagerankSql,
   )

@@ -255,7 +255,73 @@ object QualityQueries {
       |       ROUND(ABS(ROUND(e, 6) - n_exact) / n_exact, 6) AS rel_err
       |FROM est CROSS JOIN ex""".stripMargin
 
+  /** T27: per-source distinct-document estimates — one HLL sketch per
+    * source next to the exact per-source distinct (the per-tenant /
+    * per-crawl cardinality dashboard every corpus pipeline keeps). The
+    * grouped-sketch scale shape: (source, bucket) keyed aggregation,
+    * ≤ sources·256 rows moved, and each group's registers stay
+    * independently mergeable across partitions. */
+  val t27HllBySource: Q = (s, dir) => {
+    val docs = Graft.table(s, dir, "documents")
+      .select(col("source"), md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+    val exact = docs.groupBy("source").agg(countDistinct(col("fp")).as("n_exact"))
+    Sketches.hllEstimateBy(docs, col("fp"), 8, Seq("source"))
+      .join(exact, "source")
+      .select(col("source"), col("m"), col("zeros"), col("n_exact"), col("est"),
+        round(abs(col("est") - col("n_exact")) / col("n_exact"), 6).as("rel_err"))
+      .orderBy("source")
+  }
+
+  val t27HllBySourceSql: String =
+    """WITH f AS (
+      |  SELECT source,
+      |    md5(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS hx,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents),
+      |parts AS (
+      |  SELECT source, fp,
+      |         CAST(('0x' || substring(hx, 1, 2)) AS BIGINT) AS bucket,
+      |         substring(hx, 3, 15) AS h15
+      |  FROM f),
+      |rho AS (
+      |  SELECT source, bucket,
+      |    CASE WHEN z = 15 THEN 61
+      |         ELSE z * 4 +
+      |           CASE WHEN nib >= 8 THEN 0 WHEN nib >= 4 THEN 1
+      |                WHEN nib >= 2 THEN 2 ELSE 3 END + 1 END AS rho
+      |  FROM (SELECT source, bucket, z,
+      |          CAST(('0x' || CASE WHEN z = 15 THEN '0'
+      |                             ELSE substring(h15, z + 1, 1) END) AS INT) AS nib
+      |        FROM (SELECT source, bucket, h15,
+      |                length(regexp_extract(h15, '^(0*)', 1)) AS z
+      |              FROM parts))),
+      |regs AS (SELECT source, bucket, MAX(rho) AS m_j FROM rho GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS nb,
+      |         SUM(CAST(POWER(2.0, 60 - m_j) AS DECIMAL(38,0))) AS s_ne
+      |  FROM regs GROUP BY source),
+      |est0 AS (
+      |  SELECT source, CAST(256 AS BIGINT) AS m, 256 - nb AS zeros,
+      |    CAST(256 - nb AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)
+      |      + CAST(s_ne AS HUGEINT) AS s
+      |  FROM agg),
+      |est AS (
+      |  SELECT source, m, zeros,
+      |    CASE WHEN zeros > 0 AND raw <= 2.5 * 256 THEN
+      |           256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+      |         ELSE raw END AS e
+      |  FROM (SELECT source, m, zeros,
+      |          0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+      |            1152921504606846976.0 / CAST(s AS DOUBLE) AS raw
+      |        FROM est0)),
+      |ex AS (SELECT source, COUNT(DISTINCT fp) AS n_exact FROM f GROUP BY source)
+      |SELECT est.source, m, zeros, n_exact, ROUND(e, 6) AS est,
+      |       ROUND(ABS(ROUND(e, 6) - n_exact) / n_exact, 6) AS rel_err
+      |FROM est JOIN ex ON ex.source = est.source
+      |ORDER BY est.source""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "t27_hll_by_source" -> t27HllBySource,
     "t11_repetition" -> t11Repetition,
     "t12_pii_redact" -> t12PiiRedact,
     "t13_kmv_distinct" -> t13KmvDistinct,
@@ -265,6 +331,7 @@ object QualityQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "t27_hll_by_source" -> t27HllBySourceSql,
     "t11_repetition" -> t11RepetitionSql,
     "t12_pii_redact" -> t12PiiRedactSql,
     "t13_kmv_distinct" -> t13KmvDistinctSql,

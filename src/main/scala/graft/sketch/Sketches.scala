@@ -97,7 +97,8 @@ object Sketches {
     * max — at most 2^p rows ever cross the wire, the canonical
     * mergeable-sketch layout (registers union by max across any
     * partitioning of the input). */
-  def hllRegisters(df: DataFrame, key: Column, p: Int): DataFrame = {
+  def hllRegisters(df: DataFrame, key: Column, p: Int,
+      group: Seq[String] = Nil): DataFrame = {
     require(p % 4 == 0 && p >= 8 && p <= 12,
       s"p=$p: hex-prefix bucketing needs p in {8, 12}")
     val hexed = df.withColumn("__md5", md5(key.cast("string")))
@@ -107,7 +108,7 @@ object Sketches {
     val nib = conv(substring(col("__h15"), z + 1, lit(1)), 16, 10).cast("int")
     val clz4 = when(nib >= 8, 0).when(nib >= 4, 1).when(nib >= 2, 2).otherwise(3)
     val rho = when(z === 15, 61).otherwise(z * 4 + clz4 + 1)
-    hexed.groupBy(col("__b").as("bucket")).agg(max(rho).as("m_j"))
+    hexed.groupBy(group.map(col) :+ col("__b").as("bucket"): _*).agg(max(rho).as("m_j"))
   }
 
   /** One-row HLL cardinality estimate (m = 2^p registers).
@@ -140,6 +141,33 @@ object Sketches {
     agg.select(lit(m.toLong).as("m"), zeros, col("s_ne"))
       .withColumn("s", sTot)
       .select(col("m"), col("zeros"), round(est, 6).as("est"))
+  }
+
+  /** Per-group HLL estimates: one (group, bucket) keyed aggregation —
+    * each group's sketch is its own 2^p registers, so at most
+    * groups·2^p rows cross the wire regardless of key cardinality.
+    * Same float policy as [[hllEstimate]]. */
+  def hllEstimateBy(df: DataFrame, key: Column, p: Int,
+      group: Seq[String]): DataFrame = {
+    require(group.nonEmpty, "use hllEstimate for the ungrouped sketch")
+    val m = 1 << p
+    val regs = hllRegisters(df, key, p, group)
+    val agg = regs.groupBy(group.map(col): _*).agg(
+      count(lit(1)).as("nb"),
+      sum(pow(lit(2.0), lit(60) - col("m_j")).cast("decimal(38,0)")).as("s_ne"))
+    val zeros = (lit(m.toLong) - col("nb")).as("zeros")
+    val sTot = (col("zeros").cast("decimal(38,0)") *
+      lit(BigDecimal(2).pow(60)).cast("decimal(38,0)") +
+      col("s_ne")).cast("decimal(38,0)")
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val raw = alpha * lit(m.toDouble * m.toDouble) * lit(math.pow(2.0, 60)) /
+      col("s").cast("double")
+    val est = when(col("zeros") > 0 && raw <= lit(2.5 * m),
+      lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
+      .otherwise(raw)
+    agg.select(group.map(col) :+ lit(m.toLong).as("m") :+ zeros :+ col("s_ne"): _*)
+      .withColumn("s", sTot)
+      .select(group.map(col) :+ col("m") :+ col("zeros") :+ round(est, 6).as("est"): _*)
   }
 
   /** Count-Min point estimates for `probes` (a small keyed frame with a

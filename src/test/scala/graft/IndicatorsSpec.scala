@@ -52,6 +52,15 @@ class IndicatorsSpec extends SparkSpec {
       .foreach { case (l, t) => assert(l == 42.0 && t == 0.0) }
   }
 
+  test("holtKernel: on a perfectly linear series the trend converges to the slope") {
+    val xs = Array.tabulate(300)(t => 5.0 + 2.0 * t)
+    val out = Indicators.holtKernel(xs, 0.3, 0.1)
+    val (lastL, lastB) = out.last
+    assert(math.abs(lastB - 2.0) < 1e-3, s"trend $lastB should approach slope 2")
+    // one-step forecast = level + trend ≈ the next point of the line
+    assert(math.abs((lastL + lastB) - (5.0 + 2.0 * 300)) < 1e-2)
+  }
+
   test("holt DataFrame op matches the kernel in series (ts) order") {
     val got = Indicators.holt(eventsDf, 0.3, 0.1).orderBy(desc("event_id"))
       .select("level", "trend").as[(Double, Double)].collect()

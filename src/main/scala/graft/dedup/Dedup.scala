@@ -290,11 +290,19 @@ object Dedup {
     * frequency test). Default Int.MaxValue = uncapped. */
   def ngramJaccard(docs: DataFrame, k: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
-      maxDf: Int = Int.MaxValue): DataFrame = {
+      maxDf: Int = Int.MaxValue): DataFrame =
+    ngramJaccardFromShingles(shingles(docs, k, idCol, textCol), threshold,
+      idCol, maxDf)
+
+  /** [[ngramJaccard]] from a prebuilt (id, shingle) frame — lets a
+    * composite query (d9's LSH-vs-exact eval) build the shingle
+    * universe ONCE and feed both candidate generators. */
+  def ngramJaccardFromShingles(shingleDf: DataFrame, threshold: Double,
+      idCol: String = "doc_id", maxDf: Int = Int.MaxValue): DataFrame = {
     // join on the 64-bit shingle hash, not the string: same counts
     // (collisions at ~1e-10 for realistic shingle cardinalities) with a
     // far smaller shuffle payload.
-    val shAll = graft.Graft.materialize(shingles(docs, k, idCol, textCol)
+    val shAll = graft.Graft.materialize(shingleDf
       .select(col(idCol), xxhash64(col("shingle")).as("sh"))) // feeds 2 join sides + sizes
     val sh = if (maxDf == Int.MaxValue) shAll else
       // one aggregation on the shingle key (already the join key, so the

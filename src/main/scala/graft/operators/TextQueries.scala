@@ -231,8 +231,10 @@ object TextQueries {
   /** Shared MinHash-LSH near-dup pair pipeline (md5 family, 16 hashes,
     * 4×4 bands, est-Jaccard ≥ 0.5) — the candidate generator for both
     * d2's pair listing and d6's cluster building. */
-  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(nearCorpus(s, dir), 3)
+  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairsFromShingles(Dedup.shingles(nearCorpus(s, dir), 3))
+
+  private def lshPairsFromShingles(sh: DataFrame): DataFrame = {
     // the signature frame feeds four join branches — materialize it once
     // (S7 cache operator) instead of recomputing the shingle groupBy 4×;
     // localCheckpoint so the blocks don't outlive the query.
@@ -427,9 +429,15 @@ object TextQueries {
     * cheap because BOTH sides are the bucketed/banded plans, never an
     * all-pairs sweep. One row: counts + recall + precision. */
   val d9LshEval: Q = (s, dir) => {
-    val truth = Dedup.ngramJaccard(nearCorpus(s, dir), 3, 0.5, maxDf = 50)
-      .select("doc_a", "doc_b")
-    val cand = lshPairs(s, dir).select("doc_a", "doc_b")
+    // one shingle universe feeds BOTH candidate generators, and each
+    // pair set feeds two branches (its own count + the hit join) — all
+    // three materialize once, or the shingle explode and the self-joins
+    // run twice each (measured 2x wall-clock without this).
+    val sh = Graft.materialize(Dedup.shingles(nearCorpus(s, dir), 3))
+    val truth = Graft.materialize(
+      Dedup.ngramJaccardFromShingles(sh, 0.5, maxDf = 50)
+        .select("doc_a", "doc_b"))
+    val cand = Graft.materialize(lshPairsFromShingles(sh).select("doc_a", "doc_b"))
     val hit = truth.join(cand, Seq("doc_a", "doc_b"))
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))

@@ -28,7 +28,21 @@ object AsOfJoin {
     * build side is reduced to (keys, valueCols, internal time) before
     * the union, so no probe column is shadowed or dropped. */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {
+      leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, valueCols, forward = false)
+
+  /** Forward variant: left gains `valueCols` from the EARLIEST right row
+    * with rightTime ≥ leftTime (at-or-after, ties included) — the
+    * "next quote after the order" direction. Same union + one-window
+    * plan, scanned in descending time. Probes with no later build row
+    * keep nulls (callers wanting inner semantics filter them). */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, valueCols, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      forward: Boolean): DataFrame = {
     require(!valueCols.contains(rightTime) && !keys.contains(rightTime),
       s"rightTime '$rightTime' must not also be a key or value column")
     val probeCols = left.columns.toSeq
@@ -53,7 +67,8 @@ object AsOfJoin {
       .unionByName(rAligned.select(outCols.map(col): _*))
 
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .orderBy((if (forward) col("__t").desc else col("__t").asc),
+        col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = valueCols.foldLeft(unioned)((df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))

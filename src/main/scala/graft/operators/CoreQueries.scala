@@ -234,6 +234,33 @@ object CoreQueries {
       |  ON e.user_id = b.user_id AND e.ts >= b.day_ts
       |ORDER BY e.user_id, e.event_id""".stripMargin
 
+  /** Forward as-of join: each event gains the close of the EARLIEST
+    * daily bar at-or-after its timestamp (next-day-open direction).
+    * Inner semantics: events after their series' last bar have no
+    * forward match and are dropped, mirroring the oracle's native
+    * forward ASOF JOIN. */
+  val qAsofForward: Q = (s, dir) => {
+    val bars = PatternQueries.dailyBars(s, dir)
+      .select(col("user_id"),
+        (expr("unix_date(day)").cast("long") * 86400L * 1000000000L).as("bar_ts"),
+        col("close"))
+    val probe = Graft.events(s, dir)
+    graft.align.AsOfJoin.asofForward(probe, bars, Seq("user_id"), "ts", "bar_ts", Seq("close"))
+      .filter(col("close").isNotNull)
+      .select(col("event_id"), col("user_id"), round(col("close"), 6).as("next_close"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val qAsofForwardSql: String =
+    """WITH bars AS (
+      |  SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_ts,
+      |         arg_max(value, ts) AS close
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+      |SELECT e.event_id, e.user_id, ROUND(b.close, 6) AS next_close
+      |FROM events e ASOF JOIN bars b
+      |  ON e.user_id = b.user_id AND e.ts <= b.day_ts
+      |ORDER BY e.user_id, e.event_id""".stripMargin
+
   /** Salted two-phase aggregation (skew path) — must equal the direct
     * groupBy; decimal partials keep the sum associative-exact. */
   val qSaltedAgg: Q = (s, dir) => {
@@ -301,6 +328,7 @@ object CoreQueries {
 
   def queries: Map[String, Q] = Map(
     "q_asof_join" -> qAsofJoin,
+    "q_asof_forward" -> qAsofForward,
     "q_salted_agg" -> qSaltedAgg,
     "q_distinct_count" -> qDistinctCount,
     "q_rollup" -> qRollup,
@@ -316,6 +344,7 @@ object CoreQueries {
 
   def oracle: Map[String, String] = Map(
     "q_asof_join" -> qAsofJoinSql,
+    "q_asof_forward" -> qAsofForwardSql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_distinct_count" -> qDistinctCountSql,
     "q_rollup" -> qRollupSql,

@@ -36,6 +36,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(m(2L) == (15L, Some(110.0)))
   }
 
+  test("forward as-of join picks the earliest build row at-or-after, per key") {
+    val probe = Seq((1L, "A", 5L), (2L, "A", 10L), (3L, "A", 31L),
+      (4L, "B", 8L), (5L, "B", 10L))
+      .toDF("event_id", "user_id", "ts")
+    val build = Seq(("A", 0L, 100.0), ("A", 10L, 110.0), ("A", 30L, 130.0),
+      ("B", 9L, 200.0))
+      .toDF("user_id", "bar_ts", "close")
+    val got = AsOfJoin.asofForward(probe, build, Seq("user_id"), "ts", "bar_ts", Seq("close"))
+      .select("event_id", "close").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(110.0))  // ts=5 -> next bar at 10
+    assert(got(2L).contains(110.0))  // tie: at-or-after includes ts=10
+    assert(got(3L).isEmpty)          // ts=31: nothing later -> null
+    assert(got(4L).contains(200.0))  // B@8 -> bar at 9
+    assert(got(5L).isEmpty)          // B@10: nothing later
+  }
+
   test("as-of join breaks equal-timestamp build ties deterministically") {
     val probe = Seq((1L, "A", 10L)).toDF("event_id", "user_id", "ts")
     val build = Seq(("A", 10L, 1.0), ("A", 10L, 2.0), ("A", 10L, 3.0))

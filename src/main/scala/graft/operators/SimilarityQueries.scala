@@ -5,6 +5,7 @@ import graft.Graft.Q
 import graft.analytics.{Dtw, Similarity}
 import graft.ta.Technical
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pairwise-similarity queries over per-user log-return series from
@@ -308,6 +309,79 @@ object SimilarityQueries {
       |FROM bt b JOIN tot t ON t.ua = b.ua AND t.ub = b.ub
       |ORDER BY user_a, user_b, step""".stripMargin
 
+  /** X7: PAA + SAX symbolic representation — each series z-normalized,
+    * compressed to 8 Piecewise-Aggregate-Approximation segment means,
+    * each mapped to a 4-letter SAX symbol at the standard N(0,1)
+    * quartile breakpoints (±0.6745, 0). The Lin/Keogh representation
+    * that makes massive-scale series indexable (SAX words bucket-join
+    * like MinHash bands).
+    *
+    * Determinism: the moments accumulate as exact DECIMAL sums, the
+    * variance is ONE identical IEEE chain on those exact scalars,
+    * z-values snap to the 1e-9 grid, PAA means are decimal-exact, and
+    * symbols cut on the ROUNDED mean — so the breakpoint comparisons
+    * can never disagree across engines. One window + two keyed
+    * aggregations, no joins beyond the k-row stats broadcast. */
+  val x7Sax: Q = (s, dir) => {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = Graft.events(s, dir)
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+    val stats = ev.groupBy("user_id").agg(
+        sum(col("value").cast("decimal(28,10)")).as("sx"),
+        sum((col("value") * col("value")).cast("decimal(38,12)")).as("sxx"),
+        count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+        (col("sx").cast("double") / col("cnt")).as("mean"),
+        sqrt(greatest(
+          (col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("cnt")) /
+            (col("cnt") - 1), lit(0.0))).as("std"))
+      .filter(col("std") > 0)
+    val z = ev.join(broadcast(stats), "user_id")
+      .select(col("user_id"),
+        expr("((rn - 1) * 8) div n").as("seg"),
+        (floor((col("value") - col("mean")) / col("std") * lit(1e9) + lit(0.5)) / lit(1e9)).as("z"))
+    z.groupBy("user_id", "seg")
+      .agg(round(sum(col("z").cast("decimal(28,12)")).cast("double") / count(lit(1)), 6).as("paa"),
+        count(lit(1)).as("seg_len"))
+      .withColumn("sym",
+        when(col("paa") < -0.6745, "a").when(col("paa") < 0, "b")
+          .when(col("paa") < 0.6745, "c").otherwise("d"))
+      .select("user_id", "seg", "paa", "sym", "seg_len")
+      .orderBy("user_id", "seg")
+  }
+
+  val x7SaxSql: String =
+    """WITH o AS (
+      |  SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events),
+      |st AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sxd,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sxxd,
+      |    COUNT(*) AS cnt
+      |  FROM o GROUP BY user_id),
+      |m AS (
+      |  SELECT user_id, sxd / cnt AS mean,
+      |    sqrt(GREATEST((sxxd - sxd * sxd / cnt) / (cnt - 1), 0.0)) AS std
+      |  FROM st),
+      |z AS (
+      |  SELECT o.user_id, ((o.rn - 1) * 8) // o.n AS seg,
+      |    FLOOR((o.value - m.mean) / m.std * 1e9 + 0.5) / 1e9 AS z
+      |  FROM o JOIN m USING (user_id) WHERE m.std > 0),
+      |p AS (
+      |  SELECT user_id, seg,
+      |    ROUND(CAST(SUM(CAST(z AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS paa,
+      |    COUNT(*) AS seg_len
+      |  FROM z GROUP BY 1, 2)
+      |SELECT user_id, CAST(seg AS BIGINT) AS seg, paa,
+      |  CASE WHEN paa < -0.6745 THEN 'a' WHEN paa < 0 THEN 'b'
+      |       WHEN paa < 0.6745 THEN 'c' ELSE 'd' END AS sym,
+      |  seg_len
+      |FROM p ORDER BY user_id, seg""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "a9_corr_pair" -> a9CorrPair,
     "a10_heatmap" -> a10Heatmap,
@@ -315,10 +389,12 @@ object SimilarityQueries {
     "x3_similarity_pair" -> x3SimilarityPair,
     "x1_dtw_pairs" -> x1DtwPairs,
     "x2_dtw_path" -> x2DtwPath,
+    "x7_sax" -> x7Sax,
   )
 
   def oracle: Map[String, String] = Map(
     "a9_corr_pair" -> a9CorrPairSql,
+    "x7_sax" -> x7SaxSql,
     "a10_heatmap" -> a10HeatmapSql,
     "a11_cov_matrix" -> a11CovMatrixSql,
     "x3_similarity_pair" -> x3SimilarityPairSql,

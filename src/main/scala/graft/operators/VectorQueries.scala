@@ -358,6 +358,57 @@ object VectorQueries {
       |  CAST(CAST(CAST(SUM(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS avg_cos
       |FROM a2 GROUP BY centroid_id ORDER BY centroid_id""".stripMargin
 
+  /** V8: product-quantization codes — each vector split into 4
+    * subvectors of 16 dims, each assigned to the nearest of 8
+    * sub-centroids (vectors 0-7's subvectors, the same deterministic
+    * seeding convention as v2/v7), reported with the per-subspace
+    * squared reconstruction distance. The memory-bound ANN format:
+    * 4 bytes/vector instead of 256, with distance tables per query.
+    *
+    * Scale shape: one posexplode + one (sub, pos) keyed join against
+    * the broadcastable centroid dims (8·64 rows) + one (vec, sub, cid)
+    * aggregation; ranking runs on ROUNDED distances with a cid
+    * tiebreak (v4's determinism recipe), and the squared-diff terms
+    * accumulate as exact DECIMAL so the rounding is engine-identical. */
+  val v8PqCodes: Q = (s, dir) => {
+    val dims = Graft.table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .withColumn("sub", expr("pos div 16"))
+    val cents = dims.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("sub"), col("pos"), col("x").as("c"))
+    val d2 = dims.filter(col("vec_id") >= 8)
+      .join(broadcast(cents), Seq("sub", "pos"))
+      .withColumn("t", ((col("x") - col("c")) * (col("x") - col("c"))).cast("decimal(38,12)"))
+      .groupBy("vec_id", "sub", "cid")
+      .agg(round(sum(col("t")).cast("double"), 9).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "sub").orderBy(col("d2"), col("cid"))
+    d2.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        col("cid").as("code"), col("d2"))
+      .orderBy("vec_id", "sub")
+  }
+
+  val v8PqCodesSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |d AS (SELECT vec_id, (i - 1) // 16 AS sub, i - 1 AS pos, e[i] AS x
+      |      FROM v, UNNEST(range(1, len(e) + 1)) AS t(i)),
+      |c AS (SELECT vec_id AS cid, sub, pos, x AS c FROM d WHERE vec_id < 8),
+      |d2 AS (
+      |  SELECT d.vec_id, d.sub, c.cid,
+      |    ROUND(CAST(SUM(CAST((d.x - c.c) * (d.x - c.c) AS DECIMAL(38,12))) AS DOUBLE), 9) AS d2
+      |  FROM d JOIN c ON c.sub = d.sub AND c.pos = d.pos
+      |  WHERE d.vec_id >= 8
+      |  GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT vec_id, sub, cid, d2,
+      |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
+      |  FROM d2)
+      |SELECT vec_id, CAST(sub AS BIGINT) AS sub, cid AS code, d2
+      |FROM best WHERE rk = 1
+      |ORDER BY vec_id, sub""".stripMargin
+
   /** D7: semantic-dedup clusters — connected components over the d5
     * banded-LSH near-dup pairs (the embedding-space analogue of d6's
     * text clusters; same min-label propagation, same recursive-CTE
@@ -387,6 +438,7 @@ object VectorQueries {
 
   def queries: Map[String, Graft.Q] = Map(
     "d7_embedding_clusters" -> d7EmbeddingClusters,
+    "v8_pq_codes" -> v8PqCodes,
     "v6_quantize" -> v6Quantize,
     "v7_kmeans2" -> v7Kmeans2,
     "m2_frame_sample" -> m2FrameSample,
@@ -401,6 +453,7 @@ object VectorQueries {
 
   def oracle: Map[String, String] = Map(
     "d7_embedding_clusters" -> d7EmbeddingClustersSql,
+    "v8_pq_codes" -> v8PqCodesSql,
     "v6_quantize" -> v6QuantizeSql,
     "v7_kmeans2" -> v7Kmeans2Sql,
     "m2_frame_sample" -> m2FrameSampleSql,

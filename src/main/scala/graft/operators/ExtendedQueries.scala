@@ -659,7 +659,40 @@ object ExtendedQueries {
       | AND abs(epoch_ns(a.ts) - epoch_ns(b.ts)) <= 3600000000000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** F5: event-type Markov transition matrix — counts and row-
+    * normalized probabilities of consecutive (type → next type) steps
+    * within each user's ordered stream. The first-order sequence model
+    * behind session simulation and anomaly scoring: one window (lead)
+    * + one keyed count; probabilities are one exact-integer IEEE
+    * division, rounded for display. */
+  val f5Markov: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = Graft.table(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    tr.groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(Window.partitionBy("from_type")))
+      .withColumn("prob", round(col("n").cast("double") / col("row_total"), 6))
+      .select("from_type", "to_type", "n", "prob")
+      .orderBy("from_type", "to_type")
+  }
+
+  val f5MarkovSql: String =
+    """WITH t AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      |  FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS prob
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "f5_markov" -> f5Markov,
     "q_grouping_sets" -> qGroupingSets,
     "j5_time_band_pairs" -> j5TimeBandPairs,
     "q14_promo_share" -> q14PromoShare,
@@ -693,6 +726,7 @@ object ExtendedQueries {
     "q10_returned_customers" -> q10ReturnedCustomersSql,
     "q19_disjunctive" -> q19DisjunctiveSql,
     "f2_funnel_latency" -> f2FunnelLatencySql,
+    "f5_markov" -> f5MarkovSql,
     "f13_histogram" -> f13HistogramSql,
     "w11_ratio_to_report" -> w11RatioToReportSql,
     "k7_window_topk" -> k7WindowTopkSql,

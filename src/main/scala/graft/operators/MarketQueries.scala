@@ -357,6 +357,37 @@ object MarketQueries {
       |  (z IS NOT NULL AND ABS(z) > 2.0) AS signal
       |FROM zc ORDER BY pos""".stripMargin
 
+  /** I15: Donchian channel (20) — rolling max-high / min-low band with
+    * SMA-style warm-up nulls; mid = channel midpoint. Pure frame
+    * min/max (exact values, no float policy beyond display rounding),
+    * one shuffle shared with the bar build. */
+  val i15Donchian: Q = (s, dir) =>
+    PatternQueries.dailyBars(s, dir)
+      .withColumn("rn", row_number().over(barsW))
+      .withColumn("upper0", when(col("rn") >= 20,
+        max(col("high")).over(barsW.rowsBetween(-19, 0))))
+      .withColumn("lower0", when(col("rn") >= 20,
+        min(col("low")).over(barsW.rowsBetween(-19, 0))))
+      .select(col("user_id"), col("day"),
+        round(col("upper0"), 6).as("upper"), round(col("lower0"), 6).as("lower"),
+        round((col("upper0") + col("lower0")) / 2, 6).as("mid"))
+      .orderBy("user_id", "day")
+
+  val i15DonchianSql: String = PatternQueries.barsCte +
+    """,
+      |d AS (
+      |  SELECT user_id, day, row_number() OVER w AS rn,
+      |    MAX(high) OVER (PARTITION BY user_id ORDER BY day
+      |                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS u,
+      |    MIN(low) OVER (PARTITION BY user_id ORDER BY day
+      |                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
+      |  FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day))
+      |SELECT user_id, day,
+      |  CASE WHEN rn >= 20 THEN ROUND(u, 6) END AS upper,
+      |  CASE WHEN rn >= 20 THEN ROUND(l, 6) END AS lower,
+      |  CASE WHEN rn >= 20 THEN ROUND((u + l) / 2, 6) END AS mid
+      |FROM d ORDER BY user_id, day""".stripMargin
+
   /** X6: lead-lag cross-correlation profile — corr(a_t, b_{t+l}) for
     * lags −5…5 between two positionally aligned series: which series
     * leads the other, and by how much. One aligned join, then each lag
@@ -415,6 +446,7 @@ object MarketQueries {
     "i10_obv" -> i10Obv,
     "i11_vwap" -> i11Vwap,
     "i13_cci" -> i13Cci,
+    "i15_donchian" -> i15Donchian,
     "x5_momentum_decile" -> x5MomentumDecile,
     "w10_rolling_corr" -> w10RollingCorr,
   )
@@ -427,6 +459,7 @@ object MarketQueries {
     "i10_obv" -> i10ObvSql,
     "i11_vwap" -> i11VwapSql,
     "i13_cci" -> i13CciSql,
+    "i15_donchian" -> i15DonchianSql,
     "x5_momentum_decile" -> x5MomentumDecileSql,
     "w10_rolling_corr" -> w10RollingCorrSql,
   )

@@ -320,7 +320,48 @@ object QualityQueries {
       |FROM est JOIN ex ON ex.source = est.source
       |ORDER BY est.source""".stripMargin
 
+  /** The fixed stopword set shared by the Spark query and the oracle. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** T28: stopword-ratio quality signal — the share of stopword
+    * occurrences among a doc's words (C4/Gopher-style: natural prose
+    * sits in a band; ~0 means keyword soup, ~1 means filler). Pure
+    * per-row higher-order-function math on the words array, no
+    * explode/shuffle at all until the final sort. */
+  val t28StopwordRatio: Q = (s, dir) => {
+    val ws = QualitySignals.words(col("text"))
+    val clean = filter(ws, w => length(w) > 0)
+    val nStop = size(filter(clean, w => w.isInCollection(Stopwords)))
+    Graft.table(s, dir, "documents")
+      .select(col("doc_id"),
+        size(clean).cast("long").as("n_words"),
+        nStop.cast("long").as("n_stop"),
+        round(when(size(clean) > 0,
+          nStop.cast("double") / size(clean)).otherwise(0.0), 6).as("stop_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val t28StopwordRatioSql: String = {
+    val set = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    len(list_filter(ws, x -> length(x) > 0)) AS n_words,
+       |    len(list_filter(ws, x -> x IN ($set))) AS n_stop
+       |  FROM w)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_stop AS BIGINT) AS n_stop,
+       |  ROUND(CASE WHEN n_words > 0
+       |             THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END, 6) AS stop_ratio
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "t28_stopword_ratio" -> t28StopwordRatio,
     "t27_hll_by_source" -> t27HllBySource,
     "t11_repetition" -> t11Repetition,
     "t12_pii_redact" -> t12PiiRedact,
@@ -331,6 +372,7 @@ object QualityQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "t28_stopword_ratio" -> t28StopwordRatioSql,
     "t27_hll_by_source" -> t27HllBySourceSql,
     "t11_repetition" -> t11RepetitionSql,
     "t12_pii_redact" -> t12PiiRedactSql,

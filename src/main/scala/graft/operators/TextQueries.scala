@@ -421,6 +421,41 @@ object TextQueries {
       |GROUP BY node
       |ORDER BY doc_id""".stripMargin
 
+  /** T29: polynomial rolling-hash fingerprint (Rabin-Karp) of the
+    * normalized text — h = fold((acc·31 + codepoint) mod 1e9+7), the
+    * incremental-update fingerprint family behind substring dedup and
+    * chunk-level content addressing (contrast t4's block md5). Pure
+    * per-row integer arithmetic inside a higher-order fold, exactly
+    * replayable: the oracle steps the identical recurrence as a
+    * recursive CTE over character positions. Restricted to printable-
+    * ASCII docs so both engines see identical codepoints. */
+  val t29RollingFp: Q = (s, dir) =>
+    Graft.table(s, dir, "documents")
+      .filter(col("text").rlike("^[ -~]*$"))
+      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .select(col("doc_id"),
+        when(length(col("norm")) === 0, lit(0L)).otherwise(expr(
+          """aggregate(transform(sequence(1, length(norm)),
+            |            i -> cast(ascii(substr(norm, i, 1)) as bigint)),
+            |          0L, (acc, c) -> (acc * 31L + c) % 1000000007L)""".stripMargin))
+          .as("fp"))
+      .orderBy("doc_id")
+
+  val t29RollingFpSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |  FROM documents WHERE regexp_matches(text, '^[ -~]*$')),
+      |n AS (SELECT doc_id, norm, length(norm) AS len FROM d),
+      |h AS (
+      |  SELECT doc_id, 0 AS i, CAST(0 AS BIGINT) AS h, len FROM n
+      |  UNION ALL
+      |  SELECT h.doc_id, h.i + 1,
+      |    (h.h * 31 + ascii(substring(n.norm, h.i + 1, 1))) % 1000000007,
+      |    h.len
+      |  FROM h JOIN n ON n.doc_id = h.doc_id WHERE h.i < h.len)
+      |SELECT doc_id, h AS fp FROM h WHERE i = len
+      |ORDER BY doc_id""".stripMargin
+
   /** D9: LSH quality evaluation — recall/precision of the MinHash-LSH
     * candidate pipeline (d2's pairs, est-Jaccard ≥ 0.5) against the
     * exact n-gram-Jaccard ground truth (d4's pairs, true Jaccard ≥ 0.5,
@@ -583,6 +618,7 @@ object TextQueries {
     "t3_langid" -> t3LangId,
     "t20_langid_eval" -> t20LangidEval,
     "t4_fingerprint" -> t4Fingerprint,
+    "t29_rolling_fp" -> t29RollingFp,
     "d1_exact_dedup" -> d1ExactDedup,
     "d1b_dedup_apply" -> d1DedupApply,
     "d2_minhash_lsh" -> d2MinhashLsh,
@@ -602,6 +638,7 @@ object TextQueries {
     "t3_langid" -> t3LangIdSql,
     "t20_langid_eval" -> t20LangidEvalSql,
     "t4_fingerprint" -> t4FingerprintSql,
+    "t29_rolling_fp" -> t29RollingFpSql,
     "d1_exact_dedup" -> d1ExactDedupSql,
     "d1b_dedup_apply" -> d1DedupApplySql,
     "d2_minhash_lsh" -> d2MinhashLshSql,

@@ -132,7 +132,72 @@ object StreamQueries {
       |SELECT wstart, event_type, n, rk FROM rk
       |WHERE rk <= 3 ORDER BY wstart, rk""".stripMargin
 
+  /** S-W6: distinct users per tumbling hour via the per-window HLL
+    * sketch next to the exact count (batch form; StreamingSpec proves
+    * the mapGroupsWithState register-state stream twin produces the
+    * identical estimates). The streaming-at-scale point: sketch state
+    * is 256 bytes per window forever, where exact distinct state grows
+    * with the key set. */
+  val s6HllWindow: Q = (s, dir) => {
+    val ev = Graft.table(s, dir, "events")
+      .withColumn("wstart", expr("date_trunc('hour', timestamp_micros(ts div 1000))"))
+    val est = graft.sketch.Sketches.hllEstimateBy(ev, col("user_id"), 8, Seq("wstart"))
+    val exact = ev.groupBy("wstart").agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(exact, "wstart")
+      .select(col("wstart"), col("m"), col("zeros"), col("n_exact"), col("est"))
+      .orderBy("wstart")
+  }
+
+  val s6HllWindowSql: String =
+    """WITH f AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart, user_id,
+      |    md5(CAST(user_id AS VARCHAR)) AS hx
+      |  FROM events),
+      |parts AS (
+      |  SELECT wstart, user_id,
+      |         CAST(('0x' || substring(hx, 1, 2)) AS BIGINT) AS bucket,
+      |         substring(hx, 3, 15) AS h15
+      |  FROM f),
+      |rho AS (
+      |  SELECT wstart, bucket,
+      |    CASE WHEN z = 15 THEN 61
+      |         ELSE z * 4 +
+      |           CASE WHEN nib >= 8 THEN 0 WHEN nib >= 4 THEN 1
+      |                WHEN nib >= 2 THEN 2 ELSE 3 END + 1 END AS rho
+      |  FROM (SELECT wstart, bucket, z,
+      |          CAST(('0x' || CASE WHEN z = 15 THEN '0'
+      |                             ELSE substring(h15, z + 1, 1) END) AS INT) AS nib
+      |        FROM (SELECT wstart, bucket, h15,
+      |                length(regexp_extract(h15, '^(0*)', 1)) AS z
+      |              FROM parts))),
+      |regs AS (SELECT wstart, bucket, MAX(rho) AS m_j FROM rho GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT wstart, COUNT(*) AS nb,
+      |         SUM(CAST(POWER(2.0, 60 - m_j) AS DECIMAL(38,0))) AS s_ne
+      |  FROM regs GROUP BY wstart),
+      |est0 AS (
+      |  SELECT wstart, CAST(256 AS BIGINT) AS m, 256 - nb AS zeros,
+      |    CAST(256 - nb AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)
+      |      + CAST(s_ne AS HUGEINT) AS s
+      |  FROM agg),
+      |est AS (
+      |  SELECT wstart, m, zeros,
+      |    CASE WHEN zeros > 0 AND raw <= 2.5 * 256 THEN
+      |           256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+      |         ELSE raw END AS e
+      |  FROM (SELECT wstart, m, zeros,
+      |          0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+      |            1152921504606846976.0 / CAST(s AS DOUBLE) AS raw
+      |        FROM est0)),
+      |ex AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart,
+      |              COUNT(DISTINCT user_id) AS n_exact
+      |       FROM events GROUP BY 1)
+      |SELECT est.wstart, m, zeros, n_exact, ROUND(e, 6) AS est
+      |FROM est JOIN ex ON ex.wstart = est.wstart
+      |ORDER BY est.wstart""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "s6_hll_window" -> s6HllWindow,
     "s5_trending" -> s5Trending,
     "s1_window_agg" -> s1WindowAgg,
     "s2_sessionize" -> s2Sessionize,
@@ -141,6 +206,7 @@ object StreamQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "s6_hll_window" -> s6HllWindowSql,
     "s5_trending" -> s5TrendingSql,
     "s1_window_agg" -> s1WindowAggSql,
     "s2_sessionize" -> s2SessionizeSql,

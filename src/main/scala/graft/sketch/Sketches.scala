@@ -170,6 +170,47 @@ object Sketches {
       .select(group.map(col) :+ col("m") :+ col("zeros") :+ round(est, 6).as("est"): _*)
   }
 
+  /** Pure-Scala twin of [[hllRegisters]]' per-key update, for streaming
+    * state (a 2^p-byte array in the state store). Bit-for-bit the same
+    * registers as the engine expression: md5 hex of the key's string
+    * form, bucket = first p/4 hex chars, rho from the next 15. */
+  def hllUpdateRegs(regs: Array[Byte], key: String, p: Int): Unit = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val bucket = Integer.parseInt(hex.substring(0, p / 4), 16)
+    val h15 = hex.substring(p / 4, p / 4 + 15)
+    var z = 0
+    while (z < 15 && h15.charAt(z) == '0') z += 1
+    val rho =
+      if (z == 15) 61
+      else {
+        val nib = Integer.parseInt(h15.substring(z, z + 1), 16)
+        val clz4 = if (nib >= 8) 0 else if (nib >= 4) 1 else if (nib >= 2) 2 else 3
+        z * 4 + clz4 + 1
+      }
+    if (rho > regs(bucket)) regs(bucket) = rho.toByte
+  }
+
+  /** Pure-Scala twin of [[hllEstimate]]'s formula over a register array —
+    * the identical IEEE chain (exact BigInt register sum, one double
+    * division, same literal alpha), so a streaming state estimate equals
+    * the engine query's to the bit. */
+  def hllEstimateFromRegs(regs: Array[Byte], p: Int): Double = {
+    val m = 1 << p
+    var zeros = 0
+    var s = BigInt(0)
+    regs.foreach { r =>
+      if (r == 0) zeros += 1
+      else s += BigInt(1) << (60 - r)
+    }
+    s += BigInt(zeros) * (BigInt(1) << 60)
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val raw = alpha * (m.toDouble * m.toDouble) * math.pow(2.0, 60) / s.toDouble
+    if (zeros > 0 && raw <= 2.5 * m) m.toDouble * math.log(m.toDouble / zeros)
+    else raw
+  }
+
   /** Count-Min point estimates for `probes` (a small keyed frame with a
     * `key` column): est = min over sketch rows of the probed cell. The
     * cells frame is tiny (≤ depth·width) and broadcasts. */

@@ -172,4 +172,32 @@ object EventStream {
           closed.iterator
       }
   }
+
+  // ---- streaming distinct-count sketch (HLL registers as state) ----
+
+  case class KeyedEv(wstart: Long, key: String)
+  case class HllEstimate(wstart: Long, est: Double)
+
+  /** Streaming distinct-count per window: the state per window key is
+    * the 2^p-byte HLL register array — CONSTANT state regardless of how
+    * many distinct keys the window sees (contrast
+    * dropDuplicatesWithinWatermark, whose state grows with the key
+    * set). Each micro-batch max-merges its keys' registers into state
+    * and re-emits the window's updated estimate; registers are
+    * merge-invariant, so the final estimate equals the batch query's
+    * bit-for-bit (sketch.Sketches.hllUpdateRegs/hllEstimateFromRegs are
+    * the engine expressions' Scala twins). */
+  def hllDistinctStream(events: Dataset[KeyedEv], p: Int = 8): Dataset[HllEstimate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.wstart)
+      .mapGroupsWithState[Array[Byte], HllEstimate](
+        GroupStateTimeout.NoTimeout()) {
+        case (wstart, evs, state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](1 << p))
+          evs.foreach(e => graft.sketch.Sketches.hllUpdateRegs(regs, e.key, p))
+          state.update(regs)
+          HllEstimate(wstart,
+            graft.sketch.Sketches.hllEstimateFromRegs(regs, p))
+      }
+  }
 }

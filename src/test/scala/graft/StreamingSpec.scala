@@ -40,6 +40,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(_._2 != "late") == batch)
   }
 
+  test("HLL register state: update-mode stream equals the batch sketch bit-for-bit") {
+    implicit val sc = spark.sqlContext
+    // two windows; keys split across micro-batches WITH overlap, so the
+    // merge-invariance of the max-registers is what's actually proven
+    val batch1 = (1 to 400).map(k => EventStream.KeyedEv(0L, s"u$k")) ++
+      (1 to 100).map(k => EventStream.KeyedEv(3600L, s"v$k"))
+    val batch2 = (200 to 700).map(k => EventStream.KeyedEv(0L, s"u$k")) ++
+      (50 to 300).map(k => EventStream.KeyedEv(3600L, s"v$k"))
+
+    val stream = MemoryStream[EventStream.KeyedEv]
+    val q = EventStream.hllDistinctStream(stream.toDS())
+      .writeStream.format("memory").queryName("hllwin").outputMode("update").start()
+    stream.addData(batch1)
+    q.processAllAvailable()
+    stream.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+
+    // last update per window = the final merged-state estimate
+    val got = spark.table("hllwin")
+      .groupBy("wstart").agg(last(col("est")).as("est"))
+      .as[(Long, Double)].collect().toMap
+
+    // batch twin over the union of both micro-batches
+    val all = (batch1 ++ batch2).toDS()
+    val exp = graft.sketch.Sketches
+      .hllEstimateBy(all.toDF(), col("key"), 8, Seq("wstart"))
+      .select("wstart", "est").as[(Long, Double)].collect().toMap
+    // stream state formula is unrounded; engine query rounds at 6 dp
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (w, e) =>
+      assert(math.abs(e - exp(w)) < 5e-7, s"window $w: stream $e vs batch ${exp(w)}")
+    }
+    // and the estimates are in the right cardinality neighborhood
+    assert(math.abs(got(0L) - 700) / 700.0 < 0.2)
+    assert(math.abs(got(3600L) - 300) / 300.0 < 0.2)
+  }
+
   test("trending top-k: complete-mode stream equals the batch top-k heads") {
     implicit val sc = spark.sqlContext
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")

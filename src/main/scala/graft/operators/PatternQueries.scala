@@ -75,6 +75,19 @@ object PatternQueries {
       |FROM runs GROUP BY user_id, length(run)
       |ORDER BY user_id, streak_len""".stripMargin
 
+  /** X4 on the unbounded-series path: identical histogram from the
+    * run-id formulation (gaps-and-islands + per-run window overlap, NO
+    * per-row collect_list arrays — Patterns.streakHistogramRuns), so
+    * the one-series-too-big-for-a-task path carries its own green
+    * oracle row, not just the PatternsSpec cell-for-cell check. Same
+    * oracle SQL as x4: the two formulations are answer-identical by
+    * construction. */
+  val x4bStreakHistRuns: Q = (s, dir) =>
+    Patterns.streakHistogramRuns(Graft.events(s, dir), col("value"), keys, order, 20)
+      .select(col("user_id"), col("streak_len").cast("long").as("streak_len"),
+        col("freq"))
+      .orderBy("user_id", "streak_len")
+
   /** W4 scalars: max_streak / total_ups / total_windows per user. */
   val w4StreakStats: Q = (s, dir) =>
     Patterns.streakStats(Graft.events(s, dir), col("value"), keys, order, 20)
@@ -150,6 +163,7 @@ object PatternQueries {
 
   def queries: Map[String, Q] = Map(
     "x4_streak_hist" -> x4StreakHist,
+    "x4b_streak_hist_runs" -> x4bStreakHistRuns,
     "w4_streak_stats" -> w4StreakStats,
     "w5_gap_windows" -> w5GapWindows,
     "w5_gap_stats" -> w5GapStats,
@@ -157,6 +171,7 @@ object PatternQueries {
 
   def oracle: Map[String, String] = Map(
     "x4_streak_hist" -> x4StreakHistSql,
+    "x4b_streak_hist_runs" -> x4StreakHistSql,
     "w4_streak_stats" -> w4StreakStatsSql,
     "w5_gap_windows" -> w5GapWindowsSql,
     "w5_gap_stats" -> w5GapStatsSql,

@@ -376,9 +376,31 @@ object TsQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** W12: centered rolling median (21-point frame) — the robust
+    * smoother for spiky series (median filters shrug off the outliers
+    * that drag an SMA). One exact interpolated percentile per frame;
+    * the frame clips symmetrically at series edges on both engines, and
+    * the interpolation is the same p·(n−1) formula a5 relies on. */
+  val w12RollingMedian: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-10, 10)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        round(expr("percentile(value, 0.5)").over(w), 6).as("rmed"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val w12RollingMedianSql: String =
+    """SELECT event_id, user_id,
+      |  ROUND(quantile_cont(value, 0.5) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING), 6) AS rmed
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "a18_max_drawdown" -> a18MaxDrawdown,
     "a19_var_cvar" -> a19VarCvar,
+    "w12_rolling_median" -> w12RollingMedian,
     "a20_beta" -> a20Beta,
     "c12_winsorize" -> c12Winsorize,
     "f10_regr_trend" -> f10RegrTrend,
@@ -397,6 +419,7 @@ object TsQueries {
   def oracle: Map[String, String] = Map(
     "a18_max_drawdown" -> a18MaxDrawdownSql,
     "a19_var_cvar" -> a19VarCvarSql,
+    "w12_rolling_median" -> w12RollingMedianSql,
     "a20_beta" -> a20BetaSql,
     "c12_winsorize" -> c12WinsorizeSql,
     "f10_regr_trend" -> f10RegrTrendSql,

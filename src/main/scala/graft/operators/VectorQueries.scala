@@ -409,6 +409,89 @@ object VectorQueries {
       |FROM best WHERE rk = 1
       |ORDER BY vec_id, sub""".stripMargin
 
+  /** V9: PQ asymmetric-distance (ADC) search — database vectors
+    * (vec_id ≥ 16) are reduced to their 4 v8-style codes; each query
+    * (vec_id 8-12) precomputes a 4×8 distance TABLE to the
+    * sub-centroids; approximate distance = the sum of 4 table lookups
+    * joined through the codes. The FAISS search shape: per-candidate
+    * cost is 4 additions instead of 64 multiply-adds, and the scan
+    * never touches the raw database vectors.
+    *
+    * Determinism: codes rank on rounded sub-distances (v8), the
+    * per-sub table entries stay EXACT DECIMAL until the final total
+    * (so the 4-entry sum is association-free), and the top-5 ranks on
+    * the rounded total with an id tiebreak. */
+  val v9PqSearch: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+    val dims = Graft.table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .withColumn("sub", expr("pos div 16"))
+    val cents = dims.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("sub"), col("pos"), col("x").as("c"))
+    val codes = dims.filter(col("vec_id") >= 16)
+      .join(broadcast(cents), Seq("sub", "pos"))
+      .withColumn("t", ((col("x") - col("c")) * (col("x") - col("c"))).cast("decimal(38,12)"))
+      .groupBy("vec_id", "sub", "cid")
+      .agg(round(sum(col("t")).cast("double"), 9).as("d2"))
+      .withColumn("rk", row_number().over(
+        w.partitionBy("vec_id", "sub").orderBy(col("d2"), col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("cid").as("code"))
+    val dtab = dims.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+      .select(col("vec_id").as("query_id"), col("sub"), col("pos"), col("x").as("qx"))
+      .join(broadcast(cents), Seq("sub", "pos"))
+      .withColumn("t", ((col("qx") - col("c")) * (col("qx") - col("c"))).cast("decimal(38,12)"))
+      .groupBy("query_id", "sub", "cid")
+      .agg(sum(col("t")).as("qd2"))
+    val adc = codes
+      .join(broadcast(dtab), codes("sub") === dtab("sub") && codes("code") === dtab("cid"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(round(sum(col("qd2")).cast("double"), 9).as("adc_d2"))
+    adc.withColumn("rank", row_number().over(
+        w.partitionBy("query_id").orderBy(col("adc_d2"), col("neighbor_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("adc_d2"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val v9PqSearchSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |d AS (SELECT vec_id, (i - 1) // 16 AS sub, i - 1 AS pos, e[i] AS x
+      |      FROM v, UNNEST(range(1, len(e) + 1)) AS t(i)),
+      |c AS (SELECT vec_id AS cid, sub, pos, x AS cx FROM d WHERE vec_id < 8),
+      |cd2 AS (
+      |  SELECT d.vec_id, d.sub, c.cid,
+      |    ROUND(CAST(SUM(CAST((d.x - c.cx) * (d.x - c.cx) AS DECIMAL(38,12))) AS DOUBLE), 9) AS d2
+      |  FROM d JOIN c ON c.sub = d.sub AND c.pos = d.pos
+      |  WHERE d.vec_id >= 16
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, sub, cid AS code FROM (
+      |    SELECT vec_id, sub, cid, row_number() OVER (
+      |      PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
+      |    FROM cd2)
+      |  WHERE rk = 1),
+      |dtab AS (
+      |  SELECT q.vec_id AS query_id, q.sub, c.cid,
+      |    SUM(CAST((q.x - c.cx) * (q.x - c.cx) AS DECIMAL(38,12))) AS qd2
+      |  FROM d q JOIN c ON c.sub = q.sub AND c.pos = q.pos
+      |  WHERE q.vec_id >= 8 AND q.vec_id < 13
+      |  GROUP BY 1, 2, 3),
+      |adc AS (
+      |  SELECT dt.query_id, co.vec_id AS neighbor_id,
+      |    ROUND(CAST(SUM(dt.qd2) AS DOUBLE), 9) AS adc_d2
+      |  FROM codes co JOIN dtab dt ON dt.sub = co.sub AND dt.cid = co.code
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, adc_d2, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
+      |  FROM adc)
+      |SELECT query_id, neighbor_id, adc_d2, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** D7: semantic-dedup clusters — connected components over the d5
     * banded-LSH near-dup pairs (the embedding-space analogue of d6's
     * text clusters; same min-label propagation, same recursive-CTE
@@ -439,6 +522,7 @@ object VectorQueries {
   def queries: Map[String, Graft.Q] = Map(
     "d7_embedding_clusters" -> d7EmbeddingClusters,
     "v8_pq_codes" -> v8PqCodes,
+    "v9_pq_search" -> v9PqSearch,
     "v6_quantize" -> v6Quantize,
     "v7_kmeans2" -> v7Kmeans2,
     "m2_frame_sample" -> m2FrameSample,
@@ -454,6 +538,7 @@ object VectorQueries {
   def oracle: Map[String, String] = Map(
     "d7_embedding_clusters" -> d7EmbeddingClustersSql,
     "v8_pq_codes" -> v8PqCodesSql,
+    "v9_pq_search" -> v9PqSearchSql,
     "v6_quantize" -> v6QuantizeSql,
     "v7_kmeans2" -> v7Kmeans2Sql,
     "m2_frame_sample" -> m2FrameSampleSql,

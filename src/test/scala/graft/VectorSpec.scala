@@ -85,6 +85,34 @@ class VectorSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("PQ ADC search: dense ranks per query, measurable recall vs exact L2") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.VectorQueries.v9PqSearch(spark, dir)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.size), "ranks must be dense from 1")
+    }
+    // exact L2 ground truth in-memory (sf0.001 embeddings are tiny)
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => val d = x.toDouble - y.toDouble; d * d }.sum
+    val qs = (8L to 12L).filter(all.contains)
+    val db = all.keys.filter(_ >= 16).toSeq
+    val exact = qs.flatMap { q =>
+      db.sortBy(n => (l2(all(q), all(n)), n)).take(5).map(n => (q, n))
+    }.toSet
+    val approx = got.map(g => (g._1, g._2)).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    info(f"PQ ADC recall@5 (4 subs x 8 centroids): $recall%.2f")
+    // the codebook is deterministic seed vectors, NOT k-means-trained
+    // (oracle replayability over retrieval quality), so recall at this
+    // tiny SF is modest by design — the floor only guards against the
+    // ADC sum being wired to the wrong codes entirely
+    assert(recall > 0.05, s"recall $recall suspiciously low for ADC")
+  }
+
   test("lshNearDupPairs: no false positives, high recall on planted near-dups") {
     val rnd = new scala.util.Random(7)
     def unit(dim: Int): Array[Float] = {

@@ -219,4 +219,17 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, "expect partial+final agg")
     assert(p.contains("TakeOrderedAndProject"), s"top-30 must plan as partial top-k:\n$p")
   }
+
+  test("v9 PQ ADC: codebook and distance tables broadcast, no cartesian product") {
+    val p = plan(graft.operators.VectorQueries.v9PqSearch(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 8x64-row centroid dims and 4x8-per-query tables must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ADC join must stay keyed:\n$p")
+  }
+
+  test("x7 SAX: per-series stats broadcast back, one series shuffle feeds both windows") {
+    val p = plan(graft.operators.SimilarityQueries.x7Sax(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"k-row stats frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge against the stats:\n$p")
+  }
 }

@@ -294,7 +294,49 @@ object CleanQueries {
        |ORDER BY symbol, date""".stripMargin
   }
 
+  /** C15: MAD-based robust anomaly detection — per series, the median
+    * absolute deviation replaces IQR (c11) as the fence: |x − med| >
+    * 3·MAD. MAD tolerates up to 50% contamination where IQR breaks at
+    * 25%, the standard robust-statistics upgrade. Two keyed exact
+    * percentiles (both interpolate identically cross-engine, the a5
+    * precedent) + broadcast joins; the flag comparison runs on the
+    * identical double chain so it can never disagree. */
+  val c15AnomalyMad: Q = (s, dir) => {
+    val ev = Graft.events(s, dir)
+    val med = ev.groupBy("user_id").agg(expr("percentile(value, 0.5)").as("med"))
+    val withMed = ev.join(broadcast(med), "user_id")
+    val mad = withMed.groupBy("user_id")
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    withMed.join(broadcast(mad), "user_id")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1L)
+          .otherwise(0L)).as("n_anomalies"),
+        q6(min(col("med"))).as("med"), q6(min(col("mad"))).as("mad"))
+      .orderBy("user_id")
+  }
+
+  val c15AnomalyMadSql: String =
+    """WITH m AS (
+      |  SELECT user_id, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY user_id),
+      |d AS (
+      |  SELECT e.user_id, e.value, m.med
+      |  FROM events e JOIN m ON e.user_id = m.user_id),
+      |md AS (
+      |  SELECT user_id, quantile_cont(ABS(value - med), 0.5) AS mad
+      |  FROM d GROUP BY user_id)
+      |SELECT d.user_id, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN ABS(d.value - d.med) > 3.0 * md.mad
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+      |  FLOOR(MIN(d.med) * 1e6 + 0.5) / 1e6 AS med,
+      |  FLOOR(MIN(md.mad) * 1e6 + 0.5) / 1e6 AS mad
+      |FROM d JOIN md ON md.user_id = d.user_id
+      |GROUP BY d.user_id ORDER BY d.user_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "c15_anomaly_mad" -> c15AnomalyMad,
     "s3_chart_parse" -> s3ChartParse,
     "c11_outlier_iqr" -> c11OutlierIqr,
     "c10_interpolate" -> c10Interpolate,
@@ -308,6 +350,7 @@ object CleanQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "c15_anomaly_mad" -> c15AnomalyMadSql,
     "s3_chart_parse" -> s3ChartParseSql,
     "c11_outlier_iqr" -> c11OutlierIqrSql,
     "c10_interpolate" -> c10InterpolateSql,

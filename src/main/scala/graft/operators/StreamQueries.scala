@@ -196,7 +196,53 @@ object StreamQueries {
       |FROM est JOIN ex ON ex.wstart = est.wstart
       |ORDER BY est.wstart""".stripMargin
 
+  /** S-W7: per-hour event-type frequency via the windowed Count-Min
+    * sketch (depth 4 × width 64) next to the exact counts — the
+    * grouped-sketch form of t21 and the batch twin of the
+    * flatMapGroupsWithState cell-state stream (StreamingSpec). CMS
+    * guarantees est ≥ exact; with a tiny key domain the estimates are
+    * typically exact, and the plan moves ≤ windows·depth·width cells. */
+  val s7CmsWindow: Q = (s, dir) => {
+    val ev = Graft.table(s, dir, "events")
+      .withColumn("wstart", expr("date_trunc('hour', timestamp_micros(ts div 1000))"))
+    val cells = graft.sketch.Sketches.countMinCells(
+      ev, col("event_type"), 4, 64, Seq("wstart"))
+    val exact = ev.groupBy(col("wstart"), col("event_type").as("key"))
+      .agg(count(lit(1)).as("n_exact"))
+    graft.sketch.Sketches.countMinEstimate(
+        cells, exact.select("wstart", "key"), 4, 64, Seq("wstart"))
+      .join(exact, Seq("wstart", "key"))
+      .select(col("wstart"), col("key").as("event_type"),
+        col("n_exact"), col("cms_est"))
+      .orderBy("wstart", "event_type")
+  }
+
+  val s7CmsWindowSql: String =
+    """WITH w2 AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart,
+      |         event_type AS key
+      |  FROM events),
+      |h AS (SELECT wstart, key,
+      |        CAST(('0x' || substring(md5(key), 1, 15)) AS BIGINT) AS h1,
+      |        CAST(('0x' || substring(md5(key), 17, 14)) AS BIGINT) AS h2
+      |      FROM w2),
+      |cells AS (
+      |  SELECT wstart, i AS row, (h1 + i * h2) % 64 AS col, COUNT(*) AS n
+      |  FROM h CROSS JOIN range(4) r(i) GROUP BY 1, 2, 3),
+      |exact AS (SELECT wstart, key, COUNT(*) AS n_exact FROM w2 GROUP BY 1, 2),
+      |est AS (
+      |  SELECT e.wstart, e.key, MIN(c.n) AS cms_est
+      |  FROM exact e CROSS JOIN range(4) r(i)
+      |  JOIN cells c ON c.wstart = e.wstart AND c.row = r.i
+      |    AND c.col = (CAST(('0x' || substring(md5(e.key), 1, 15)) AS BIGINT)
+      |      + r.i * CAST(('0x' || substring(md5(e.key), 17, 14)) AS BIGINT)) % 64
+      |  GROUP BY 1, 2)
+      |SELECT e.wstart, e.key AS event_type, e.n_exact, est.cms_est
+      |FROM exact e JOIN est ON est.wstart = e.wstart AND est.key = e.key
+      |ORDER BY e.wstart, event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "s7_cms_window" -> s7CmsWindow,
     "s6_hll_window" -> s6HllWindow,
     "s5_trending" -> s5Trending,
     "s1_window_agg" -> s1WindowAgg,
@@ -206,6 +252,7 @@ object StreamQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "s7_cms_window" -> s7CmsWindowSql,
     "s6_hll_window" -> s6HllWindowSql,
     "s5_trending" -> s5TrendingSql,
     "s1_window_agg" -> s1WindowAggSql,

@@ -67,7 +67,8 @@ object Sketches {
     * 100 TB. Estimates are biased high only (Cormode & Muthukrishnan
     * 2005): est(x) = min_i cells[i][h_i(x)] ≥ true count, within
     * ε·N with probability 1−δ for width = e/ε, depth = ln(1/δ). */
-  def countMinCells(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
+  def countMinCells(df: DataFrame, key: Column, depth: Int, width: Int,
+      group: Seq[String] = Nil): DataFrame = {
     require(depth <= 112, s"depth=$depth overflows h1 + i*h2 (max 112)")
     val based = df
       .withColumn("__md5", md5(key.cast("string")))
@@ -76,8 +77,9 @@ object Sketches {
     val rows = (0 until depth).map(i =>
       struct(lit(i).as("row"),
         ((col("__h1") + lit(i.toLong) * col("__h2")) % width).as("col")))
-    based.select(explode(array(rows: _*)).as("cell"))
-      .groupBy(col("cell.row").as("row"), col("cell.col").as("col"))
+    based.select(group.map(col) :+ explode(array(rows: _*)).as("cell"): _*)
+      .select(group.map(col) :+ col("cell.row").as("row") :+ col("cell.col").as("col"): _*)
+      .groupBy((group ++ Seq("row", "col")).map(col): _*)
       .agg(count(lit(1)).as("n"))
   }
 
@@ -170,6 +172,39 @@ object Sketches {
       .select(group.map(col) :+ col("m") :+ col("zeros") :+ round(est, 6).as("est"): _*)
   }
 
+  /** Pure-Scala twin of [[countMinCells]]' per-occurrence update, for
+    * streaming state (a depth×width long array). Identical md5-derived
+    * 2-universal hashes, so state cells equal the engine's exactly. */
+  def cmsUpdateCells(cells: Array[Long], key: String, depth: Int, width: Int): Unit = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val h2 = java.lang.Long.parseLong(hex.substring(16, 30), 16)
+    var i = 0
+    while (i < depth) {
+      cells(i * width + ((h1 + i.toLong * h2) % width).toInt) += 1
+      i += 1
+    }
+  }
+
+  /** Point estimate from a streaming cell array: min over rows of the
+    * probed cell — pure integer math, bit-equal to the engine path. */
+  def cmsEstimateFromCells(cells: Array[Long], key: String, depth: Int,
+      width: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val h2 = java.lang.Long.parseLong(hex.substring(16, 30), 16)
+    var best = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val v = cells(i * width + ((h1 + i.toLong * h2) % width).toInt)
+      if (v < best) best = v
+      i += 1
+    }
+    best
+  }
+
   /** Pure-Scala twin of [[hllRegisters]]' per-key update, for streaming
     * state (a 2^p-byte array in the state store). Bit-for-bit the same
     * registers as the engine expression: md5 hex of the key's string
@@ -215,7 +250,7 @@ object Sketches {
     * `key` column): est = min over sketch rows of the probed cell. The
     * cells frame is tiny (≤ depth·width) and broadcasts. */
   def countMinEstimate(cells: DataFrame, probes: DataFrame, depth: Int,
-      width: Int): DataFrame = {
+      width: Int, group: Seq[String] = Nil): DataFrame = {
     val based = probes
       .withColumn("__md5", md5(col("key").cast("string")))
       .withColumn("__h1", conv(substring(col("__md5"), 1, 15), 16, 10).cast("long"))
@@ -223,10 +258,11 @@ object Sketches {
     val rows = (0 until depth).map(i =>
       struct(lit(i).as("row"),
         ((col("__h1") + lit(i.toLong) * col("__h2")) % width).as("col")))
-    based.select(col("key"), explode(array(rows: _*)).as("cell"))
-      .join(broadcast(cells),
-        col("cell.row") === cells("row") && col("cell.col") === cells("col"))
-      .groupBy("key")
+    based.select((group :+ "key").map(col) :+ explode(array(rows: _*)).as("cell"): _*)
+      .select((group :+ "key").map(col)
+        :+ col("cell.row").as("row") :+ col("cell.col").as("col"): _*)
+      .join(broadcast(cells), group ++ Seq("row", "col"))
+      .groupBy((group :+ "key").map(col): _*)
       .agg(min(col("n")).as("cms_est"))
   }
 }

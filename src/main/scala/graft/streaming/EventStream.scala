@@ -200,4 +200,33 @@ object EventStream {
             graft.sketch.Sketches.hllEstimateFromRegs(regs, p))
       }
   }
+
+  case class CmsUpdate(wstart: Long, key: String, est: Long)
+
+  /** Streaming frequency sketch per window: state = the depth×width
+    * Count-Min cell array (a few KB, constant in the key cardinality);
+    * each micro-batch increments cells for its occurrences and re-emits
+    * the updated estimate for every key it saw. Cell updates are
+    * integer adds — commutative across batches — so a key's final
+    * estimate equals the batch sketch's exactly
+    * (Sketches.cmsUpdateCells/cmsEstimateFromCells are the engine
+    * expressions' Scala twins). */
+  def cmsHeavyStream(events: Dataset[KeyedEv], depth: Int = 4,
+      width: Int = 64): Dataset[CmsUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.wstart)
+      .flatMapGroupsWithState[Array[Long], CmsUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (wstart, evs, state: GroupState[Array[Long]]) =>
+          val cells = state.getOption.getOrElse(new Array[Long](depth * width))
+          val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+          evs.foreach { e =>
+            graft.sketch.Sketches.cmsUpdateCells(cells, e.key, depth, width)
+            seen += e.key
+          }
+          state.update(cells)
+          seen.iterator.map(k => CmsUpdate(wstart, k,
+            graft.sketch.Sketches.cmsEstimateFromCells(cells, k, depth, width)))
+      }
+  }
 }

@@ -78,6 +78,46 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(got(3600L) - 300) / 300.0 < 0.2)
   }
 
+  test("CMS cell state: update-mode stream equals the batch sketch exactly") {
+    implicit val sc = spark.sqlContext
+    // occurrences split across micro-batches; cell increments are
+    // commutative integer adds, so the final estimates must EQUAL the
+    // batch sketch over the union (no float tolerance needed)
+    val batch1 = Seq.fill(30)(EventStream.KeyedEv(0L, "click")) ++
+      Seq.fill(10)(EventStream.KeyedEv(0L, "view")) ++
+      Seq.fill(5)(EventStream.KeyedEv(3600L, "buy"))
+    // the last batch touches every (window, key), so each key's LAST
+    // emitted update reflects the fully merged state
+    val batch2 = Seq.fill(20)(EventStream.KeyedEv(0L, "click")) ++
+      Seq.fill(15)(EventStream.KeyedEv(0L, "view")) ++
+      Seq.fill(7)(EventStream.KeyedEv(3600L, "buy"))
+
+    val stream = MemoryStream[EventStream.KeyedEv]
+    val q = EventStream.cmsHeavyStream(stream.toDS())
+      .writeStream.format("memory").queryName("cmswin").outputMode("update").start()
+    stream.addData(batch1)
+    q.processAllAvailable()
+    stream.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("cmswin")
+      .groupBy("wstart", "key").agg(last(col("est")).as("est"))
+      .as[(Long, String, Long)].collect()
+      .map { case (w, k, e) => (w, k) -> e }.toMap
+
+    val all = (batch1 ++ batch2).toDS().toDF()
+    val cells = graft.sketch.Sketches.countMinCells(
+      all, col("key"), 4, 64, Seq("wstart"))
+    val exp = graft.sketch.Sketches.countMinEstimate(
+        cells, all.select("wstart", "key").distinct(), 4, 64, Seq("wstart"))
+      .as[(Long, String, Long)].collect()
+      .map { case (w, k, e) => (w, k) -> e }.toMap
+    assert(got == exp, s"stream $got vs batch $exp")
+    // CMS never underestimates; with 3 keys over 64 columns it's exact
+    assert(got((0L, "click")) == 50 && got((0L, "view")) == 25 && got((3600L, "buy")) == 12)
+  }
+
   test("trending top-k: complete-mode stream equals the batch top-k heads") {
     implicit val sc = spark.sqlContext
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")

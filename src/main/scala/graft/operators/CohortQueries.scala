@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.Graft
+import graft.Graft.Q
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / calendar-structure analytics over `events`: cohort
+  * retention and weekday-seasonality decomposition. Both are
+  * aggregate-then-window shapes — the heavy table is reduced by a keyed
+  * aggregation FIRST, and every subsequent window runs over the small
+  * aggregate, so the event stream is shuffled at most twice regardless
+  * of scale.
+  *
+  * Numeric policy: date arithmetic is exact; return sums go through
+  * DECIMAL(28,12) (order-independent); each reported mean is a single
+  * IEEE division of the exact sum by an exact count, bit-identical
+  * across engines; display values quantize on the floor(x·1e6+0.5)
+  * grid.
+  */
+object CohortQueries {
+
+  private def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  private def eventsWithDay(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Graft.table(s, dir, "events")
+      .withColumn("day", to_date(expr("timestamp_micros(ts div 1000)")))
+
+  /** F6: weekly cohort retention — users bucketed by the ISO week of
+    * their first event (the cohort), then counted distinct per cohort ×
+    * week-offset. The classic retention triangle. Shape: one groupBy to
+    * find first days (reduces events to one row per user), a keyed join
+    * back (user_id — co-partitioned with the groupBy, no extra shuffle
+    * under AQE), one distinct-aggregate on (cohort, offset, user). */
+  val f6Cohort: Q = (s, dir) => {
+    val ev = eventsWithDay(s, dir).select("user_id", "day")
+    val cohorts = ev.groupBy("user_id")
+      .agg(min(col("day")).as("first_day"))
+      .withColumn("cohort", to_date(date_trunc("week", col("first_day"))))
+      .select("user_id", "cohort")
+    ev.join(cohorts, "user_id")
+      .withColumn("offset_w", floor(datediff(col("day"), col("cohort")) / lit(7.0)).cast("long"))
+      .groupBy("cohort", "offset_w")
+      .agg(countDistinct(col("user_id")).cast("long").as("active_users"))
+      .orderBy("cohort", "offset_w")
+  }
+
+  val f6CohortSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (
+      |  SELECT user_id,
+      |    CAST(date_trunc('week', MIN(day)) AS DATE) AS cohort
+      |  FROM ev GROUP BY 1)
+      |SELECT cohort,
+      |  CAST(floor((ev.day - c.cohort) / 7.0) AS BIGINT) AS offset_w,
+      |  CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS active_users
+      |FROM ev JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort, offset_w""".stripMargin
+
+  /** A21: weekday-seasonality decomposition of daily close-to-close
+    * returns — per (series, ISO weekday): day count, mean return, and
+    * the seasonal component (weekday mean − series mean). The "is
+    * Monday systematically different" question, answered with one bars
+    * aggregation, one lag window, one groupBy to 7 rows per series, and
+    * a window over those 7 rows (sums reused, not recomputed). ISO
+    * weekday (1 = Monday) on both engines: Spark `weekday()+1`, DuckDB
+    * `isodow()` — plain `dayofweek` disagrees between the two. */
+  val a21Seasonality: Q = (s, dir) => {
+    val bars = PatternQueries.dailyBars(s, dir)
+    val ret = bars
+      .withColumn("prev", lag(col("close"), 1).over(
+        Window.partitionBy("user_id").orderBy("day")))
+      .filter(col("prev").isNotNull && col("prev") =!= 0.0)
+      .withColumn("ret", col("close") / col("prev") - 1)
+      .withColumn("dow", (weekday(col("day")) + 1).cast("long"))
+    val byDow = ret.groupBy("user_id", "dow")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("ret").cast("decimal(28,12)")).as("sum_ret"))
+    val w = Window.partitionBy("user_id")
+    byDow
+      .withColumn("mean_dow", col("sum_ret").cast("double") / col("n_days"))
+      .withColumn("mean_all",
+        sum(col("sum_ret")).over(w).cast("double") / sum(col("n_days")).over(w))
+      .select(col("user_id"), col("dow"), col("n_days").cast("long").as("n_days"),
+        q6(col("mean_dow")).as("mean_ret"),
+        q6(col("mean_dow") - col("mean_all")).as("seasonal"))
+      .orderBy("user_id", "dow")
+  }
+
+  val a21SeasonalitySql: String = PatternQueries.barsCte +
+    """,
+      |r AS (
+      |  SELECT user_id, day, close,
+      |    lag(close) OVER (PARTITION BY user_id ORDER BY day) AS prev
+      |  FROM bars),
+      |ret AS (
+      |  SELECT user_id, isodow(day) AS dow, close / prev - 1 AS ret
+      |  FROM r WHERE prev IS NOT NULL AND prev <> 0),
+      |bydow AS (
+      |  SELECT user_id, dow, COUNT(*) AS n_days,
+      |    SUM(CAST(ret AS DECIMAL(28,12))) AS sum_ret
+      |  FROM ret GROUP BY 1, 2),
+      |m AS (
+      |  SELECT user_id, dow, n_days,
+      |    CAST(sum_ret AS DOUBLE) / n_days AS mean_dow,
+      |    CAST(SUM(sum_ret) OVER (PARTITION BY user_id) AS DOUBLE) /
+      |      SUM(n_days) OVER (PARTITION BY user_id) AS mean_all
+      |  FROM bydow)
+      |SELECT user_id, CAST(dow AS BIGINT) AS dow, CAST(n_days AS BIGINT) AS n_days,
+      |  floor(mean_dow * 1e6 + 0.5) / 1e6 AS mean_ret,
+      |  floor((mean_dow - mean_all) * 1e6 + 0.5) / 1e6 AS seasonal
+      |FROM m ORDER BY user_id, dow""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "f6_cohort" -> f6Cohort,
+    "a21_seasonality" -> a21Seasonality,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "f6_cohort" -> f6CohortSql,
+    "a21_seasonality" -> a21SeasonalitySql,
+  )
+}

@@ -319,10 +319,170 @@ object OpsQueries {
       |SELECT 'value', n_rows, null_value, d_value, min_value, max_value FROM a
       |ORDER BY "column"""".stripMargin
 
+  /** E4: Bloom-filter join pruning, measured — build a 2^16-bit / 3-hash
+    * Bloom filter over the urgent orders' keys, probe every distinct
+    * lineitem orderkey through it, and report the measured
+    * false-positive rate next to the occupancy-based prediction
+    * (bits_set/m)^k. This is the runtime-filter pattern (Spark's own
+    * `spark.sql.optimizer.runtime.bloomFilter`): at 100 TB the bit set
+    * broadcasts (8 KiB here) and prunes the big side's shuffle BEFORE
+    * the join; the query quantifies exactly how much slips through.
+    * Hash family: position_i = md5(i ':' key) — engine-neutral, same
+    * family as MinHash/KMV. The probe "all k positions set" is a keyed
+    * join on position + a count(*) = k group — no bit-array type needed
+    * in either engine. The FP prediction uses only mult/div of exact
+    * integers (no transcendentals), so it is bit-identical too. */
+  val e4BloomPrune: Q = (s, dir) => {
+    val m = 65536
+    val k = 3
+    def positions(key: Column): Column = array((1 to k).map(i =>
+      conv(substring(md5(concat_ws(":", lit(i), key.cast("string"))), 1, 8), 16, 10)
+        .cast("long") % m): _*)
+    val members = Graft.table(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("key")).distinct()
+    val bits = members.select(explode(positions(col("key"))).as("pos")).distinct()
+    val bitsM = Graft.materialize(bits)
+    val probes = Graft.table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("key")).distinct()
+    val passed = probes
+      .select(col("key"), explode(positions(col("key"))).as("ppos"))
+      .join(bitsM, col("ppos") === col("pos"))
+      .groupBy("key").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === k)
+    val stats = passed.join(members.withColumn("is_member", lit(1L)), Seq("key"), "left")
+      .agg(count(lit(1)).as("bloom_pass"),
+        sum(coalesce(col("is_member"), lit(0L))).as("true_pos"))
+    val counts = probes.agg(count(lit(1)).as("n_probes"))
+      .crossJoin(broadcast(members.agg(count(lit(1)).as("n_keys"))))
+      // members that never appear in lineitem cannot be probed; the
+      // no-false-negative guarantee is "every PROBED member passes",
+      // so the baseline is |members ∩ probes|, not |members|
+      .crossJoin(broadcast(probes.join(members, Seq("key"), "left_semi")
+        .agg(count(lit(1)).as("member_probes"))))
+    val nBits = bitsM.agg(count(lit(1)).as("bits_set"))
+    counts.crossJoin(broadcast(stats)).crossJoin(broadcast(nBits))
+      .select(
+        col("n_keys").cast("long").as("n_keys"),
+        col("n_probes").cast("long").as("n_probes"),
+        col("member_probes").cast("long").as("member_probes"),
+        col("bits_set").cast("long").as("bits_set"),
+        col("bloom_pass").cast("long").as("bloom_pass"),
+        col("true_pos").cast("long").as("true_pos"),
+        (col("bloom_pass") - col("true_pos")).cast("long").as("false_pos"),
+        (floor((col("bloom_pass") - col("true_pos")).cast("double") /
+          (col("n_probes") - col("member_probes")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("fp_rate"),
+        (floor(col("bits_set").cast("double") / m * (col("bits_set").cast("double") / m) *
+          (col("bits_set").cast("double") / m) * lit(1e6) + lit(0.5)) / lit(1e6)).as("fp_predicted"))
+  }
+
+  val e4BloomPruneSql: String =
+    """WITH members AS (
+      |  SELECT DISTINCT o_orderkey AS key FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'),
+      |bits AS (
+      |  SELECT DISTINCT
+      |    CAST(('0x' || substring(md5(i || ':' || CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) % 65536 AS pos
+      |  FROM members, UNNEST([1, 2, 3]) AS t(i)),
+      |probes AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+      |probe_pos AS (
+      |  SELECT key,
+      |    CAST(('0x' || substring(md5(i || ':' || CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) % 65536 AS pos
+      |  FROM probes, UNNEST([1, 2, 3]) AS t(i)),
+      |passed AS (
+      |  SELECT key FROM probe_pos JOIN bits USING (pos)
+      |  GROUP BY key HAVING COUNT(*) = 3),
+      |stats AS (
+      |  SELECT COUNT(*) AS bloom_pass,
+      |    CAST(SUM(CASE WHEN m.key IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS true_pos
+      |  FROM passed p LEFT JOIN members m USING (key)),
+      |counts AS (
+      |  SELECT (SELECT COUNT(*) FROM members) AS n_keys,
+      |         (SELECT COUNT(*) FROM probes) AS n_probes,
+      |         (SELECT COUNT(*) FROM probes p JOIN members m USING (key)) AS member_probes,
+      |         (SELECT COUNT(*) FROM bits) AS bits_set)
+      |SELECT CAST(n_keys AS BIGINT) AS n_keys, CAST(n_probes AS BIGINT) AS n_probes,
+      |  CAST(member_probes AS BIGINT) AS member_probes,
+      |  CAST(bits_set AS BIGINT) AS bits_set,
+      |  CAST(bloom_pass AS BIGINT) AS bloom_pass, true_pos,
+      |  CAST(bloom_pass - true_pos AS BIGINT) AS false_pos,
+      |  floor(CAST(bloom_pass - true_pos AS DOUBLE) / (n_probes - member_probes) * 1e6 + 0.5) / 1e6 AS fp_rate,
+      |  floor(CAST(bits_set AS DOUBLE) / 65536 * (CAST(bits_set AS DOUBLE) / 65536) *
+      |        (CAST(bits_set AS DOUBLE) / 65536) * 1e6 + 0.5) / 1e6 AS fp_predicted
+      |FROM counts, stats""".stripMargin
+
+  /** E5: zone-map (min/max statistics) pruning profile — the same
+    * lineitem rows under TWO layouts, with per-zone min/max price and
+    * the prunable flag for the predicate `l_extendedprice > 55000`:
+    *
+    *  - `by_month` (zone = ship month): every zone spans nearly the
+    *    full price range, so NOTHING prunes — the honest result for
+    *    stats on a column uncorrelated with the layout key;
+    *  - `by_price` (zone = 84 equal-frequency buckets of the price
+    *    order): most zones prune, quantifying what re-clustering by
+    *    the predicate column buys (the Z-order/liquid-clustering
+    *    argument, 1-D case; k8Zorder is the 2-D profile).
+    *
+    * The data-skipping math behind every columnar format's footer
+    * stats. The by_price layout uses one global ntile — a full sort,
+    * exactly what a real re-clustering write pays; at 100 TB the same
+    * profile would come from `repartitionByRange(price)` stats instead
+    * of a single-partition window. */
+  val e5ZonemapPrune: Q = (s, dir) => {
+    val threshold = 55000.0
+    val nZones = 84
+    val li = Graft.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("price"), col("l_shipdate"))
+    val byMonth = li.select(lit("by_month").as("layout"),
+      (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long").as("zone"),
+      col("price"))
+    val byPrice = li.select(lit("by_price").as("layout"),
+      ntile(nZones).over(
+        Window.orderBy(col("price"), col("l_orderkey"), col("l_linenumber")))
+        .cast("long").as("zone"),
+      col("price"))
+    byMonth.unionByName(byPrice)
+      .groupBy("layout", "zone")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"))
+      .select(col("layout"), col("zone"), col("n_rows").cast("long").as("n_rows"),
+        (floor(col("min_price") * lit(1e2) + lit(0.5)) / lit(1e2)).as("min_price"),
+        (floor(col("max_price") * lit(1e2) + lit(0.5)) / lit(1e2)).as("max_price"),
+        (col("max_price") <= threshold).cast("int").cast("long").as("prunable"))
+      .orderBy("layout", "zone")
+  }
+
+  val e5ZonemapPruneSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber, l_extendedprice AS price, l_shipdate
+      |  FROM lineitem),
+      |both_layouts AS (
+      |  SELECT 'by_month' AS layout,
+      |    CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS zone, price
+      |  FROM li
+      |  UNION ALL
+      |  SELECT 'by_price' AS layout,
+      |    CAST(ntile(84) OVER (ORDER BY price, l_orderkey, l_linenumber) AS BIGINT) AS zone,
+      |    price
+      |  FROM li),
+      |z AS (
+      |  SELECT layout, zone, COUNT(*) AS n_rows,
+      |    MIN(price) AS min_price, MAX(price) AS max_price
+      |  FROM both_layouts GROUP BY 1, 2)
+      |SELECT layout, zone, CAST(n_rows AS BIGINT) AS n_rows,
+      |  floor(min_price * 1e2 + 0.5) / 1e2 AS min_price,
+      |  floor(max_price * 1e2 + 0.5) / 1e2 AS max_price,
+      |  CAST(CASE WHEN max_price <= 55000.0 THEN 1 ELSE 0 END AS BIGINT) AS prunable
+      |FROM z ORDER BY layout, zone""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "e1_skew_profile" -> e1SkewProfile,
     "e2_hist_quantile" -> e2HistQuantile,
     "e3_column_profile" -> e3ColumnProfile,
+    "e4_bloom_prune" -> e4BloomPrune,
+    "e5_zonemap_prune" -> e5ZonemapPrune,
     "k8_zorder" -> k8Zorder,
     "g2_pagerank" -> g2Pagerank,
   )
@@ -331,6 +491,8 @@ object OpsQueries {
     "e1_skew_profile" -> e1SkewProfileSql,
     "e2_hist_quantile" -> e2HistQuantileSql,
     "e3_column_profile" -> e3ColumnProfileSql,
+    "e4_bloom_prune" -> e4BloomPruneSql,
+    "e5_zonemap_prune" -> e5ZonemapPruneSql,
     "k8_zorder" -> k8ZorderSql,
     "g2_pagerank" -> g2PagerankSql,
   )

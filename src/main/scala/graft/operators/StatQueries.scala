@@ -1,0 +1,321 @@
+package graft.operators
+
+import graft.Graft
+import graft.Graft.Q
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical-monitoring operators: hash-randomized experiment
+  * analysis, distribution-drift detection, rolling higher moments, and
+  * SAX-word motif discovery. The "is the pipeline's data still
+  * healthy / did the change move the metric" layer that runs alongside
+  * a production 100 TB pipeline.
+  *
+  * Scale shapes: A/B lift is two keyed aggregations (user, then arm →
+  * one row); PSI is one scan bucketed against a broadcast range + a
+  * 10-row spine join; rolling moments are one window per series with
+  * constant state; motif discovery shuffles once per series and groups
+  * fixed-length words — never a subsequence cross join.
+  *
+  * Numeric policy per CoreQueries: sums through DECIMAL (exact,
+  * order-independent); every derived double is one identical
+  * IEEE chain on exact inputs; ln/sqrt agree bit-for-bit between the
+  * JVM and DuckDB (established by t17/x7); outputs quantize on the
+  * floor(x·1e6+0.5) grid.
+  */
+object StatQueries {
+
+  private def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** F7: A/B conversion lift with a two-proportion z-statistic — users
+    * deterministically split by md5 parity (the hash-based bucketing
+    * every experimentation platform uses: stable, uniform, no RNG
+    * state), conversion = more purchases than views (every user in this
+    * stream eventually purchases once, so the binary "ever purchased"
+    * would saturate at 100% — the ratio metric stays informative at any
+    * scale), and the pooled z-score spelled out as one arithmetic
+    * chain, null when the pooled variance is zero. Also the template
+    * for "holdout vs treated" measurements over data ablations. */
+  val f7AbLift: Q = (s, dir) => {
+    val users = Graft.table(s, dir, "events")
+      .groupBy("user_id")
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)))
+        .cast("long").as("converted"))
+      .withColumn("arm",
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10).cast("long") % 2)
+    users.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+      .withColumn("rate_a", col("conv_a").cast("double") / col("n_a"))
+      .withColumn("rate_b", col("conv_b").cast("double") / col("n_b"))
+      .withColumn("p", (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b")))
+      .withColumn("se", sqrt(col("p") * (lit(1.0) - col("p")) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      .select(
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("conv_a").cast("long").as("conv_a"), col("conv_b").cast("long").as("conv_b"),
+        q6(col("rate_a")).as("rate_a"), q6(col("rate_b")).as("rate_b"),
+        q6(col("rate_b") - col("rate_a")).as("lift"),
+        when(col("se") > 0,
+          q6((col("rate_b") - col("rate_a")) / col("se"))).as("z_score"))
+  }
+
+  val f7AbLiftSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >
+      |         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+      |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM u),
+      |d AS (
+      |  SELECT *,
+      |    CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+      |    CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+      |    CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS p
+      |  FROM a),
+      |e AS (
+      |  SELECT *, sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b)) AS se FROM d)
+      |SELECT n_a, n_b, conv_a, conv_b,
+      |  floor(rate_a * 1e6 + 0.5) / 1e6 AS rate_a,
+      |  floor(rate_b * 1e6 + 0.5) / 1e6 AS rate_b,
+      |  floor((rate_b - rate_a) * 1e6 + 0.5) / 1e6 AS lift,
+      |  CASE WHEN se > 0
+      |       THEN floor((rate_b - rate_a) / se * 1e6 + 0.5) / 1e6 END AS z_score
+      |FROM e""".stripMargin
+
+  /** E6: population-stability index — the drift monitor run between a
+    * reference window (orders shipped 1995) and the current data
+    * (1996+), over 10 equal-width buckets of o_totalprice spanning the
+    * GLOBAL range (f13's bucket math), with +0.5 Laplace smoothing so
+    * an empty bucket cannot blow up the log-ratio. Per-bucket
+    * contributions emit on a fixed 10-row spine (left join + coalesce),
+    * so the row count is layout-independent — the same guard the x6
+    * lag spine uses. PSI > 0.2 is the conventional "investigate" line. */
+  val e6PsiDrift: Q = (s, dir) => {
+    val orders = Graft.table(s, dir, "orders")
+      .select(col("o_totalprice").as("x"), year(col("o_orderdate")).as("yr"))
+    val range = orders.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val counts = orders.crossJoin(broadcast(range))
+      .withColumn("bucket",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(9L), floor((col("x") - col("mn")) /
+            ((col("mx") - col("mn")) / 10.0)))).cast("long"))
+      .groupBy("bucket")
+      .agg(sum(when(col("yr") === 1995, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("yr") > 1995, 1L).otherwise(0L)).as("n_cur"))
+    val totals = counts.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    val spine = (s.range(10)).select(col("id").as("bucket"))
+    spine.join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(totals))
+      .withColumn("ref_share",
+        (col("n_ref") + lit(0.5)) / (col("t_ref") + lit(5.0)))
+      .withColumn("cur_share",
+        (col("n_cur") + lit(0.5)) / (col("t_cur") + lit(5.0)))
+      .select(col("bucket"), col("n_ref").cast("long").as("n_ref"),
+        col("n_cur").cast("long").as("n_cur"),
+        q6(col("ref_share")).as("ref_share"),
+        q6(col("cur_share")).as("cur_share"),
+        q6((col("cur_share") - col("ref_share")) *
+          log(col("cur_share") / col("ref_share"))).as("psi_contrib"))
+      .orderBy("bucket")
+  }
+
+  val e6PsiDriftSql: String =
+    """WITH o AS (
+      |  SELECT o_totalprice AS x, year(o_orderdate) AS yr FROM orders),
+      |r AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM o),
+      |c AS (
+      |  SELECT
+      |    CAST(CASE WHEN mx = mn THEN 0
+      |              ELSE LEAST(9, FLOOR((x - mn) / ((mx - mn) / 10.0)))
+      |         END AS BIGINT) AS bucket,
+      |    CAST(SUM(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+      |    CAST(SUM(CASE WHEN yr > 1995 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM o, r GROUP BY 1),
+      |t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM c),
+      |sp AS (SELECT unnest(range(0, 10)) AS bucket),
+      |j AS (
+      |  SELECT sp.bucket,
+      |    COALESCE(c.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur
+      |  FROM sp LEFT JOIN c USING (bucket)),
+      |sh AS (
+      |  SELECT bucket, n_ref, n_cur,
+      |    (n_ref + 0.5) / (t_ref + 5.0) AS ref_share,
+      |    (n_cur + 0.5) / (t_cur + 5.0) AS cur_share
+      |  FROM j, t)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, n_ref, n_cur,
+      |  floor(ref_share * 1e6 + 0.5) / 1e6 AS ref_share,
+      |  floor(cur_share * 1e6 + 0.5) / 1e6 AS cur_share,
+      |  floor((cur_share - ref_share) * ln(cur_share / ref_share) * 1e6 + 0.5) / 1e6 AS psi_contrib
+      |FROM sh ORDER BY bucket""".stripMargin
+
+  /** W13: rolling skewness and excess kurtosis (21-point trailing
+    * window) per series — the tail-risk / regime-change monitors next
+    * to w12's rolling median. Raw power sums accumulate as exact
+    * DECIMAL inside one window frame (constant state per row); the
+    * central-moment assembly is a single shared IEEE chain. Emits null
+    * during warm-up and when the window is numerically degenerate
+    * (m2 ≤ 1e-9 — also keeps the 1e6 display grid's floor() argument
+    * bounded). */
+  val w13RollingMoments: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val frame = w.rowsBetween(-20, 0)
+    val ev = Graft.events(s, dir)
+      .withColumn("v2", col("value") * col("value"))
+      .withColumn("v3", col("value") * col("value") * col("value"))
+      .withColumn("v4", (col("value") * col("value")) * (col("value") * col("value")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("s1", sum(col("value").cast("decimal(28,10)")).over(frame).cast("double"))
+      .withColumn("s2", sum(col("v2").cast("decimal(38,10)")).over(frame).cast("double"))
+      .withColumn("s3", sum(col("v3").cast("decimal(38,10)")).over(frame).cast("double"))
+      .withColumn("s4", sum(col("v4").cast("decimal(38,10)")).over(frame).cast("double"))
+      .withColumn("mean", col("s1") / 21)
+      .withColumn("m2", col("s2") / 21 - col("mean") * col("mean"))
+      .withColumn("m3", col("s3") / 21 - lit(3.0) * col("mean") * (col("s2") / 21)
+        + lit(2.0) * col("mean") * col("mean") * col("mean"))
+      .withColumn("m4", col("s4") / 21 - lit(4.0) * col("mean") * (col("s3") / 21)
+        + lit(6.0) * col("mean") * col("mean") * (col("s2") / 21)
+        - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+    ev.select(col("event_id"), col("user_id"),
+        when(col("rn") >= 21 && col("m2") > 1e-9,
+          q6(col("m3") / (sqrt(col("m2")) * col("m2")))).as("skew"),
+        when(col("rn") >= 21 && col("m2") > 1e-9,
+          q6(col("m4") / (col("m2") * col("m2")) - lit(3.0))).as("kurtosis"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val w13RollingMomentsSql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, ts, value,
+      |    value * value AS v2,
+      |    value * value * value AS v3,
+      |    (value * value) * (value * value) AS v4,
+      |    row_number() OVER w AS rn
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sums AS (
+      |  SELECT event_id, user_id, rn,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER f AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(v2 AS DECIMAL(38,10))) OVER f AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(v3 AS DECIMAL(38,10))) OVER f AS DOUBLE) AS s3,
+      |    CAST(SUM(CAST(v4 AS DECIMAL(38,10))) OVER f AS DOUBLE) AS s4
+      |  FROM p
+      |  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)),
+      |m AS (
+      |  SELECT event_id, user_id, rn,
+      |    s1 / 21 AS mean, s2, s3, s4
+      |  FROM sums),
+      |cm AS (
+      |  SELECT event_id, user_id, rn,
+      |    s2 / 21 - mean * mean AS m2,
+      |    s3 / 21 - 3.0 * mean * (s2 / 21) + 2.0 * mean * mean * mean AS m3,
+      |    s4 / 21 - 4.0 * mean * (s3 / 21) + 6.0 * mean * mean * (s2 / 21)
+      |      - 3.0 * mean * mean * mean * mean AS m4
+      |  FROM m)
+      |SELECT event_id, user_id,
+      |  CASE WHEN rn >= 21 AND m2 > 1e-9
+      |       THEN floor(m3 / (sqrt(m2) * m2) * 1e6 + 0.5) / 1e6 END AS skew,
+      |  CASE WHEN rn >= 21 AND m2 > 1e-9
+      |       THEN floor((m4 / (m2 * m2) - 3.0) * 1e6 + 0.5) / 1e6 END AS kurtosis
+      |FROM cm ORDER BY user_id, event_id""".stripMargin
+
+  /** X8: motif discovery via SAX words — z-normalize each series
+    * (x7's exact-stats recipe), give every point a 4-letter symbol,
+    * slide a 4-symbol word across the series with 3 lead()s, and
+    * count repeats per (series, word). Two windows + one group — the
+    * bucketed shape that replaces the O(n²·w) subsequence self-join a
+    * naive matrix-profile would do; repeated words ARE the candidate
+    * motifs (word length scales with series length: 4 symbols = 256
+    * shapes keeps repeats meaningful on hundred-point series). z snaps
+    * to the 1e-9 grid before the breakpoint cut, so symbol boundaries
+    * cannot disagree across engines. */
+  val x8SaxMotifs: Q = (s, dir) => {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = Graft.events(s, dir)
+    val stats = ev.groupBy("user_id").agg(
+        sum(col("value").cast("decimal(28,10)")).as("sx"),
+        sum((col("value") * col("value")).cast("decimal(38,12)")).as("sxx"),
+        count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+        (col("sx").cast("double") / col("cnt")).as("mean"),
+        sqrt(greatest(
+          (col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("cnt")) /
+            (col("cnt") - 1), lit(0.0))).as("std"))
+      .filter(col("std") > 0)
+    val sym = ev.join(broadcast(stats), "user_id")
+      .withColumn("z",
+        floor((col("value") - col("mean")) / col("std") * lit(1e9) + lit(0.5)) / lit(1e9))
+      .withColumn("sym",
+        when(col("z") < -0.6745, "a").when(col("z") < 0, "b")
+          .when(col("z") < 0.6745, "c").otherwise("d"))
+      .withColumn("rn", row_number().over(wOrd))
+    val words = sym.withColumn("word",
+        concat((0 to 3).map(i =>
+          if (i == 0) col("sym") else lead(col("sym"), i).over(wOrd)): _*))
+      .filter(col("word").isNotNull)
+    words.groupBy("user_id", "word")
+      .agg(count(lit(1)).as("n_occ"), min(col("rn")).cast("long").as("first_rn"))
+      .filter(col("n_occ") >= 2)
+      .orderBy(col("n_occ").desc, col("user_id"), col("word"))
+      .limit(50)
+  }
+
+  val x8SaxMotifsSql: String =
+    """WITH st AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sxd,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sxxd,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY user_id),
+      |m AS (
+      |  SELECT user_id, sxd / cnt AS mean,
+      |    sqrt(GREATEST((sxxd - sxd * sxd / cnt) / (cnt - 1), 0.0)) AS std
+      |  FROM st),
+      |sy AS (
+      |  SELECT e.user_id,
+      |    CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0 THEN 'b'
+      |         WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS sym,
+      |    row_number() OVER w AS rn, ts, event_id
+      |  FROM (
+      |    SELECT e.*,
+      |      floor((value - mean) / std * 1e9 + 0.5) / 1e9 AS z
+      |    FROM events e JOIN m ON e.user_id = m.user_id WHERE std > 0) e
+      |  WINDOW w AS (PARTITION BY e.user_id ORDER BY ts, event_id)),
+      |words AS (
+      |  SELECT user_id, rn,
+      |    sym || lead(sym, 1) OVER w || lead(sym, 2) OVER w || lead(sym, 3) OVER w AS word
+      |  FROM sy
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, word, COUNT(*) AS n_occ,
+      |  CAST(MIN(rn) AS BIGINT) AS first_rn
+      |FROM words WHERE word IS NOT NULL
+      |GROUP BY user_id, word HAVING COUNT(*) >= 2
+      |ORDER BY n_occ DESC, user_id, word LIMIT 50""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "f7_ab_lift" -> f7AbLift,
+    "e6_psi_drift" -> e6PsiDrift,
+    "w13_rolling_moments" -> w13RollingMoments,
+    "x8_sax_motifs" -> x8SaxMotifs,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "f7_ab_lift" -> f7AbLiftSql,
+    "e6_psi_drift" -> e6PsiDriftSql,
+    "w13_rolling_moments" -> w13RollingMomentsSql,
+    "x8_sax_motifs" -> x8SaxMotifsSql,
+  )
+}

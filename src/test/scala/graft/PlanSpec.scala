@@ -232,4 +232,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"k-row stats frame must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"no sort-merge against the stats:\n$p")
   }
+
+  test("t30 inverted index: postings cap inside the term shuffle, band filter after agg, top-100 as TakeOrderedAndProject") {
+    val p = plan(graft.operators.RetrievalQueries.t30InvertedIndex(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the one-row doc count must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cap join must broadcast:\n$p")
+  }
+
+  test("t33 KMV set ops: bottom-k flows through TakeOrderedAndProject, never a global sort") {
+    val p = plan(graft.operators.RetrievalQueries.t33KmvSetops(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-k must be per-partition top-k + merge:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"one-row frames must broadcast:\n$p")
+  }
+
+  test("e4 bloom prune: bit-set and one-row stats broadcast, probe join stays keyed") {
+    val p = plan(graft.operators.OpsQueries.e4BloomPrune(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"bit-set membership join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the probe:\n$p")
+  }
+
+  test("e6 PSI: global range broadcasts to the scan; no shuffle wider than the 10-bucket agg") {
+    val p = plan(graft.operators.StatQueries.e6PsiDrift(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"one-row range frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"spine and totals must broadcast:\n$p")
+  }
+
+  test("x8 SAX motifs: one series shuffle feeds symbols, words, and positions") {
+    val p = plan(graft.operators.StatQueries.x8SaxMotifs(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expect series shuffle + word-group shuffle only, got $exchanges:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"per-series stats must broadcast:\n$p")
+  }
+
+  test("f6 cohort: first-day aggregate joins back without a second events shuffle shape change") {
+    val p = plan(graft.operators.CohortQueries.f6Cohort(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cohort join must stay keyed:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "expect partial+final agg")
+  }
 }

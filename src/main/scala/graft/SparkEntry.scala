@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Graft.Q
-import graft.operators.{CleanQueries, CohortQueries, CoreQueries, CorpusQueries, CorrelatedQueries, ExtendedQueries, IndicatorQueries, MarketQueries, OpsQueries, PatternQueries, QualityQueries, RetrievalQueries, SegmentQueries, SimilarityQueries, StatQueries, StreamQueries, TextQueries, TpchQueries, TrainPrepQueries, TsQueries, VectorQueries}
+import graft.operators.{CleanQueries, CohortQueries, CoreQueries, CorpusQueries, CorrelatedQueries, ExtendedQueries, IndicatorQueries, MarketQueries, OpsQueries, PatternQueries, QualityQueries, RetrievalQueries, SegmentQueries, SimilarityQueries, StatQueries, StreamQueries, TextQueries, TpchQueries, TrainPrepQueries, TsQueries, VectorQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +33,7 @@ object SparkEntry {
     (RetrievalQueries.queries, RetrievalQueries.oracle),
     (CohortQueries.queries, CohortQueries.oracle),
     (StatQueries.queries, StatQueries.oracle),
+    (WarehouseQueries.queries, WarehouseQueries.oracle),
     (SimilarityQueries.queries, SimilarityQueries.oracle),
     (PatternQueries.queries, PatternQueries.oracle),
     (CleanQueries.queries, CleanQueries.oracle),

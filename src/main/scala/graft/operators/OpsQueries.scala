@@ -22,6 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object OpsQueries {
 
+  private def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
   /** E1: hot-key profile of the events stream — per-key counts, each
     * hot key's share of the table, and its skew factor (count / mean
     * count). The number that predicts shuffle stragglers: a skew factor
@@ -477,7 +479,65 @@ object OpsQueries {
       |  CAST(CASE WHEN max_price <= 55000.0 THEN 1 ELSE 0 END AS BIGINT) AS prunable
       |FROM z ORDER BY layout, zone""".stripMargin
 
+  /** E7: referential-integrity audit of the full star schema — for each
+    * child→parent edge, the child row count, null-key count, and orphan
+    * count (non-null key with no parent row), with the orphan share.
+    * The pipeline-health query run before trusting any join: an orphan
+    * share > 0 silently deletes rows from every inner join downstream.
+    * Shape: one left join per edge against the DISTINCT parent keys
+    * (dims broadcast; the two lineitem edges are keyed joins that AQE
+    * handles), each reduced to a one-row summary before the 7-row
+    * union. All-zero orphans is the healthy result, and the point. */
+  val e7FkAudit: Q = (s, dir) => {
+    def edge(rel: String, child: org.apache.spark.sql.DataFrame, key: String,
+        parent: org.apache.spark.sql.DataFrame, pkey: String) = {
+      val p = parent.select(col(pkey).as("__pk")).distinct()
+      child.select(col(key).as("__k"))
+        .join(p, col("__k") === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(col("__k").isNotNull && col("__pk").isNull, 1L).otherwise(0L)).as("n_orphan"))
+        .select(lit(rel).as("relation"),
+          col("n_child").cast("long").as("n_child"),
+          col("n_null").cast("long").as("n_null"),
+          col("n_orphan").cast("long").as("n_orphan"),
+          q6(col("n_orphan").cast("double") / col("n_child")).as("orphan_share"))
+    }
+    def t(n: String) = Graft.table(s, dir, n)
+    Seq(
+      edge("lineitem->orders", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
+      edge("lineitem->part", t("lineitem"), "l_partkey", t("part"), "p_partkey"),
+      edge("lineitem->supplier", t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey"),
+      edge("orders->customer", t("orders"), "o_custkey", t("customer"), "c_custkey"),
+      edge("customer->nation", t("customer"), "c_nationkey", t("nation"), "n_nationkey"),
+      edge("supplier->nation", t("supplier"), "s_nationkey", t("nation"), "n_nationkey"),
+      edge("nation->region", t("nation"), "n_regionkey", t("region"), "r_regionkey"))
+      .reduce(_ unionByName _)
+      .orderBy("relation")
+  }
+
+  val e7FkAuditSql: String = {
+    def edge(rel: String, child: String, key: String, parent: String, pkey: String) =
+      s"""SELECT '$rel' AS relation, COUNT(*) AS n_child,
+         |  CAST(SUM(CASE WHEN c.$key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(SUM(CASE WHEN c.$key IS NOT NULL AND p.$pkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+         |  floor(CAST(SUM(CASE WHEN c.$key IS NOT NULL AND p.$pkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / COUNT(*) * 1e6 + 0.5) / 1e6 AS orphan_share
+         |FROM $child c LEFT JOIN (SELECT DISTINCT $pkey FROM $parent) p
+         |  ON c.$key = p.$pkey""".stripMargin
+    Seq(
+      edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      edge("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+  }
+
   def queries: Map[String, Q] = Map(
+    "e7_fk_audit" -> e7FkAudit,
     "e1_skew_profile" -> e1SkewProfile,
     "e2_hist_quantile" -> e2HistQuantile,
     "e3_column_profile" -> e3ColumnProfile,
@@ -488,6 +548,7 @@ object OpsQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "e7_fk_audit" -> e7FkAuditSql,
     "e1_skew_profile" -> e1SkewProfileSql,
     "e2_hist_quantile" -> e2HistQuantileSql,
     "e3_column_profile" -> e3ColumnProfileSql,

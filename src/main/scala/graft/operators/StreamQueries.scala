@@ -241,7 +241,35 @@ object StreamQueries {
       |FROM exact e JOIN est ON est.wstart = e.wstart AND est.key = e.key
       |ORDER BY e.wstart, event_type""".stripMargin
 
+  /** S8: stream-static enrichment — every event joined to a static
+    * per-user dimension (here: the user's cohort week, itself one
+    * batch aggregation) and aggregated per window × segment. The
+    * batch twin of [[EventStream.enrichStream]]; StreamingSpec proves
+    * the broadcast stream-static join emits identical rows
+    * incrementally. */
+  val s8Enriched: Q = (s, dir) => {
+    val ev = Graft.table(s, dir, "events")
+      .withColumn("tsm", expr("timestamp_micros(ts div 1000)"))
+    val dim = ev.groupBy("user_id")
+      .agg(to_date(date_trunc("week", min(to_date(col("tsm"))))).as("segment"))
+    EventStream.enrichBatch(ev, dim)
+      .select(col("wstart"), col("segment"), col("n"),
+        round(col("sum_value"), 6).as("sum_value"))
+      .orderBy("wstart", "segment")
+  }
+
+  val s8EnrichedSql: String =
+    """WITH d AS (
+      |  SELECT user_id,
+      |    CAST(date_trunc('week', MIN(CAST(ts AS DATE))) AS DATE) AS segment
+      |  FROM events GROUP BY 1)
+      |SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS wstart, d.segment,
+      |  COUNT(*) AS n, ROUND(SUM(e.value), 6) AS sum_value
+      |FROM events e JOIN d USING (user_id)
+      |GROUP BY 1, 2 ORDER BY wstart, segment""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "s8_enriched" -> s8Enriched,
     "s7_cms_window" -> s7CmsWindow,
     "s6_hll_window" -> s6HllWindow,
     "s5_trending" -> s5Trending,
@@ -252,6 +280,7 @@ object StreamQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "s8_enriched" -> s8EnrichedSql,
     "s7_cms_window" -> s7CmsWindowSql,
     "s6_hll_window" -> s6HllWindowSql,
     "s5_trending" -> s5TrendingSql,

@@ -28,6 +28,26 @@ object EventStream {
       lateness: String = "10 minutes"): DataFrame =
     windowedAgg(events.withWatermark("tsm", lateness), width)
 
+  /** Stream-static enrichment: join each event against a STATIC
+    * dimension (`dim`: user_id → segment) and aggregate per window ×
+    * segment. The static side broadcasts — in a stream this is the only
+    * join flavor that needs no state store at all (the dim is re-read
+    * per micro-batch), which is why enrich-then-aggregate is the
+    * canonical first streaming stage at any scale. Inner join: events
+    * without a dim row are dropped (the stream-static contract). */
+  def enrichBatch(events: DataFrame, dim: DataFrame,
+      width: String = "1 hour"): DataFrame =
+    events.join(broadcast(dim), "user_id")
+      .groupBy(window(col("tsm"), width), col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("segment"),
+        col("n"), col("sum_value"))
+
+  /** Incremental form: watermarked stream, same broadcast static join. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      width: String = "1 hour", lateness: String = "10 minutes"): DataFrame =
+    enrichBatch(events.withWatermark("tsm", lateness), dim, width)
+
   /** Batch trending: top-k event types per tumbling window by count
     * (count desc, name tiebreak). The batch twin of [[trendingStream]];
     * the operator-catalog form over bucketed hours is

@@ -40,6 +40,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(_._2 != "late") == batch)
   }
 
+  test("stream-static enrichment join equals batch, events without a dim row drop") {
+    implicit val sc = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+    def ts(minOff: Int) = new java.sql.Timestamp(t0.getTime + minOff * 60000L)
+    val rows = Seq(
+      (ts(0), 1L, 1.0), (ts(10), 2L, 2.0), (ts(20), 1L, 3.0),
+      (ts(70), 3L, 99.0),  // user 3 has NO dim row -> dropped by the inner join
+      (ts(80), 2L, 5.0))
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val sdf = stream.toDF().toDF("tsm", "user_id", "value")
+    val q = EventStream.enrichStream(sdf, dim)
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    stream.addData(rows.take(3))
+    q.processAllAvailable()
+    stream.addData(rows.drop(3))
+    q.processAllAvailable()
+    stream.addData(Seq((ts(600), 1L, 0.0))) // advance watermark to close windows
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("enrich")
+      .select("wstart", "segment", "n", "sum_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batch = EventStream.enrichBatch(rows.toDF("tsm", "user_id", "value"), dim)
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    // the watermark-advance row's own 20:00 window never closes, so the
+    // emitted set must be exactly the batch result
+    assert(got == batch, s"stream/batch diverge: ${got.diff(batch)} / ${batch.diff(got)}")
+    // user 3 had no dim row: its sentinel value must not be in any sum
+    assert(!batch.exists(_._4 >= 99.0), "an event without a dim row leaked through")
+    assert(batch.map(_._2).subsetOf(Set("gold", "silver")))
+  }
+
   test("HLL register state: update-mode stream equals the batch sketch bit-for-bit") {
     implicit val sc = spark.sqlContext
     // two windows; keys split across micro-batches WITH overlap, so the

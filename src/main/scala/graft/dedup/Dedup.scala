@@ -220,12 +220,16 @@ object Dedup {
     * upgrade, not single-hop jumping. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b"): DataFrame = {
-    // materialize the edge list once: every iteration joins against it,
-    // and the pair-generation pipeline upstream (e.g. a shingle
-    // self-join) must not re-run per round.
+    // materialize the directed edge list FIRST, then symmetrize from the
+    // checkpoint: a union of `pairs` with its own swap would execute the
+    // pair-generation pipeline upstream (LSH banding, a shingle
+    // self-join…) once per union branch — measured 2× the dominant cost
+    // of d6/d7 — and every iteration joins against the result, so it
+    // must not re-run per round either.
+    val half = graft.Graft.materialize(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
     val sym = graft.Graft.materialize(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+      half.unionByName(half.select(col("dst").as("src"), col("src").as("dst"))))
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     // Convergence test: per-node min-labels are monotonically
@@ -239,7 +243,9 @@ object Dedup {
     var prevSum: java.math.BigDecimal = null
     var rounds = 0
     var done = false
+    val debug = sys.env.contains("SPARK_GRAFT_DEBUG")
     while (!done) {
+      val t0 = System.nanoTime
       val prop = labels.join(sym, col("node") === col("src"))
         .select(col("dst").as("node"), col("label"))
       val next = graft.Graft.materialize(
@@ -251,6 +257,8 @@ object Dedup {
       prevSum = s
       labels = next
       rounds += 1
+      if (debug)
+        System.err.println(f"[cc] round $rounds: ${(System.nanoTime - t0) / 1e9}%.2f s")
     }
     if (sys.env.contains("SPARK_GRAFT_DEBUG"))
       System.err.println(s"[cc] converged after $rounds rounds")

@@ -265,6 +265,75 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — O(log²) rounds regardless of component DIAMETER,
+    * where [[connectedComponents]]'s min-label propagation needs
+    * O(diameter) rounds. Same contract: (node, label), label = smallest
+    * transitively reachable id; ComponentProps proves both variants
+    * agree on random graphs. Use this one when components can be
+    * chain-shaped (measured: the d7 embedding near-dup graph takes 17
+    * propagation rounds but 4 star alternations); min-label stays the
+    * default for shallow clique-like dup clusters, where its 2-shuffle
+    * rounds are cheaper than the stars' 6.
+    *
+    * One alternation: large-star links every strictly-larger neighbor
+    * of each center u to m = min(N(u) ∪ {u}); small-star orients edges
+    * hi→lo and links each center's smaller neighbors (and itself) to
+    * their min. Star forests centered at component minima are the
+    * unique fixed point, detected exactly: canonical distinct edge sets
+    * of equal size are equal iff `next \ edges` is empty. */
+  def connectedComponentsStars(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    import graft.Graft.materialize
+    val half = materialize(pairs.select(
+      least(col(aCol), col(bCol)).as("lo"),
+      greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct())
+    val nodes = half.select(col("lo").as("node"))
+      .unionByName(half.select(col("hi").as("node"))).distinct()
+    var edges = half
+    var prevCount = edges.count()
+    var rounds = 0
+    var done = prevCount == 0L
+    val debug = sys.env.contains("SPARK_GRAFT_DEBUG")
+    while (!done) {
+      val t0 = System.nanoTime
+      // large-star over the symmetric neighborhood view
+      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val m1 = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = sym.join(m1, "u").filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .filter(col("lo") =!= col("hi")).distinct()
+      // small-star over the hi→lo orientation (lo < hi throughout, so
+      // min(Γ⁻(u) ∪ {u}) is just min(lo))
+      val m2 = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val next = materialize(
+        large.join(m2, "hi").select(col("m"), col("lo").as("x"))
+          .unionByName(m2.select(col("m"), col("hi").as("x")))
+          .filter(col("m") =!= col("x"))
+          .select(col("m").as("lo"), col("x").as("hi")).distinct())
+      val c = next.count()
+      done = c == prevCount && next.exceptAll(edges).isEmpty
+      prevCount = c
+      edges = next
+      rounds += 1
+      if (debug)
+        System.err.println(f"[cc*] round $rounds: ${(System.nanoTime - t0) / 1e9}%.2f s ($c edges)")
+    }
+    if (debug)
+      System.err.println(s"[cc*] converged after $rounds alternations")
+    // at the fixed point every non-center appears as hi exactly once,
+    // pointing at its component min; centers and isolated nodes label
+    // themselves
+    edges.select(col("hi").as("node"), col("lo").as("label"))
+      .unionByName(
+        nodes.join(edges.select(col("hi").as("node")), Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("label")))
+  }
+
   /** Triangle count over an oriented edge list (aCol < bCol): the basic
     * graph-cohesion statistic over a similarity graph. Two self-joins on
     * edge endpoints — each a keyed shuffle of the (small relative to the

@@ -433,11 +433,14 @@ object TextQueries {
     Graft.table(s, dir, "documents")
       .filter(col("text").rlike("^[ -~]*$"))
       .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      // split-to-chars FIRST: substr(norm, i, 1) inside the fold would be
+      // O(len) per character = O(len²) per doc (measured 4.3 s -> ~1 s at
+      // sf0.1). split('') emits a trailing "" (Java split limit -1) whose
+      // ascii is 0 — filter it so the fold sees exactly the characters.
       .select(col("doc_id"),
         when(length(col("norm")) === 0, lit(0L)).otherwise(expr(
-          """aggregate(transform(sequence(1, length(norm)),
-            |            i -> cast(ascii(substr(norm, i, 1)) as bigint)),
-            |          0L, (acc, c) -> (acc * 31L + c) % 1000000007L)""".stripMargin))
+          """aggregate(filter(split(norm, ''), c -> c <> ''),
+            |          0L, (acc, c) -> (acc * 31L + cast(ascii(c) as bigint)) % 1000000007L)""".stripMargin))
           .as("fp"))
       .orderBy("doc_id")
 

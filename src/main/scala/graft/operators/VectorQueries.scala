@@ -494,11 +494,13 @@ object VectorQueries {
 
   /** D7: semantic-dedup clusters — connected components over the d5
     * banded-LSH near-dup pairs (the embedding-space analogue of d6's
-    * text clusters; same min-label propagation, same recursive-CTE
-    * closure oracle). Cluster id = smallest transitively reachable
-    * vec_id. */
+    * text clusters; same recursive-CTE closure oracle). Cluster id =
+    * smallest transitively reachable vec_id. This graph is
+    * chain-shaped (17 min-label propagation rounds measured), so it
+    * uses the large-star/small-star variant — 4 alternations,
+    * diameter-independent at any scale. */
   val d7EmbeddingClusters: Q = (s, dir) =>
-    graft.dedup.Dedup.connectedComponents(nearDupLshPairs(s, dir), "vec_a", "vec_b")
+    graft.dedup.Dedup.connectedComponentsStars(nearDupLshPairs(s, dir), "vec_a", "vec_b")
       .select(col("node").as("vec_id"), col("label").as("cluster"))
       .orderBy("vec_id")
 

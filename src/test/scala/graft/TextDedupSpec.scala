@@ -111,6 +111,42 @@ class TextDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("large-star/small-star components equal min-label propagation and union-find") {
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra.max(rb)) = ra.min(rb)
+      }
+      // labels must be the component MIN, which union-by-min guarantees
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val rng = new scala.util.Random(42)
+    val graphs: Seq[Seq[(Long, Long)]] = Seq(
+      // the adversarial case for propagation: one long id-sorted chain
+      (0L until 40L).map(i => (i, i + 1)),
+      // chain with ids reversed (max-rooted)
+      (0L until 40L).map(i => (40L - i, 39L - i)),
+      // random sparse graph: several components, dup edges, both orders
+      Seq.fill(60)((rng.nextInt(50).toLong, rng.nextInt(50).toLong))
+        .filter { case (a, b) => a != b },
+      // two cliques bridged by one edge
+      (for (a <- 1L to 5L; b <- a + 1 to 5L) yield (a, b)) ++
+        (for (a <- 11L to 15L; b <- a + 1 to 15L) yield (b, a)) :+ (5L, 11L))
+    graphs.zipWithIndex.foreach { case (g, i) =>
+      val df = g.toDF("doc_a", "doc_b")
+      val want = unionFind(g)
+      val prop = Dedup.connectedComponents(df).as[(Long, Long)].collect().toMap
+      val stars = Dedup.connectedComponentsStars(df).as[(Long, Long)].collect().toMap
+      assert(prop == want, s"graph $i: propagation vs union-find")
+      assert(stars == want, s"graph $i: stars vs union-find")
+    }
+  }
+
   test("ngram jaccard: exact for hand-computed pair") {
     // shingles(1) = {a b c, b c d, c d e}; shingles(2) = {a b c, b c d, c d x}
     // inter = 2, union = 4 -> jaccard 0.5

@@ -273,4 +273,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cohort join must stay keyed:\n$p")
     assert("HashAggregate".r.findAllIn(p).length >= 2, "expect partial+final agg")
   }
+
+  test("e7 FK audit: every parent side broadcasts, no edge degenerates to cartesian") {
+    val p = plan(graft.operators.OpsQueries.e7FkAudit(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"FK probes must stay keyed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"distinct parent keys must broadcast at sf scale:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "expect partial+final agg per edge")
+  }
+
+  test("s8 enrichment: the static dimension broadcasts (the no-state-store join flavor)") {
+    val p = plan(graft.operators.StreamQueries.s8Enriched(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"stream-static dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join must not shuffle both sides:\n$p")
+  }
+
+  test("scd2: change detection and interval chaining share one series shuffle") {
+    val p = plan(graft.operators.WarehouseQueries.qScd2Intervals(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"lag-filter-lead must reuse the user_id partitioning, got $exchanges:\n$p")
+  }
+
+  test("f8 top paths: session build + path rollup = series shuffle, path shuffle, top-20 TakeOrdered") {
+    val p = plan(graft.operators.WarehouseQueries.f8TopPaths(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expect series + path-group shuffles only, got $exchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+  }
+
+  test("full-outer recon: two keyed partial aggs meet in one join, never a cartesian") {
+    val p = plan(graft.operators.WarehouseQueries.qFullOuterRecon(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"recon join must stay keyed:\n$p")
+    assert(p.contains("FullOuter"), s"must plan a genuine full-outer join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 4, "expect partial+final agg per side")
+  }
 }

@@ -403,6 +403,79 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Word-level edit-distance ≤ 1 near-dup pairs via deletion-
+    * neighborhood signatures (the FastSS / SymSpell scheme): every doc
+    * emits md5 of its normalized text plus md5 of each single-word
+    * deletion; two docs are within one word edit (insert / delete /
+    * substitute) IFF they share a signature — equal docs share the full
+    * hash, an insert/delete pair shares (full hash of the shorter =
+    * deletion hash of the longer), a substitution pair shares the
+    * deletion at the substituted position. Candidates come from one
+    * keyed equi-join carrying only (id, hash) — never an n² sweep.
+    *
+    * A signature is a PAIR of polynomial hashes over per-word integer
+    * hashes (md5-derived, engine-neutral), bases 31 and 131 mod 1e9+7
+    * (two independent hashes because one 1e9-sized space would
+    * birthday-collide across millions of signatures; the pair's
+    * collision odds are ~1e-18 per candidate). The build is O(len) per
+    * doc — NOT O(len²): with position weights W_j = w_j·B^(n-j), the
+    * deletion-at-i hash is
+    *   D_i = B⁻¹·Σ_{j<i} W_j  +  (F − Σ_{j<i} W_j − W_i)   (mod p)
+    * where F = Σ W_j is the full-text hash (≡ the left fold
+    * acc·B + w_j) and B⁻¹ is the modular inverse — so ONE windowed
+    * prefix sum over the posexploded words yields every deletion
+    * signature in constant work per word. Powers B^k come from a
+    * precomputed literal table (docs capped at [[MaxDelWords]] words;
+    * longer docs are dropped from this operator — chunk first). One
+    * shuffle on the doc id computes both window frames; the candidate
+    * join carries only (id, s1, s2). Collapse exact-dup classes FIRST
+    * (d1): a class of n identical docs is the only input that makes
+    * the signature join quadratic. */
+  val MaxDelWords = 4096
+
+  def deletionNeighborPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val P = 1000000007L
+    val Inv = Map(31 -> 129032259L, 131 -> 190839696L) // base⁻¹ mod p
+    def powTable(base: Long): Seq[Long] =
+      Iterator.iterate(1L)(_ * base % P).take(MaxDelWords + 1).toSeq
+    val rows = docs
+      .withColumn("__ws",
+        split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " "))
+      .filter(size(col("__ws")) <= MaxDelWords)
+      .withColumn("__n", size(col("__ws")))
+      .select(col(idCol), col("__n"),
+        posexplode(col("__ws")).as(Seq("__j0", "__w")))
+      .withColumn("__j", col("__j0") + 1)
+      .withColumn("__wh", conv(substring(md5(col("__w")), 1, 15), 16, 10)
+        .cast("long") % P)
+    def weighted(base: Int) = // W_j = w_j · B^(n-j) mod p, table is 1-indexed
+      col("__wh") * element_at(typedLit(powTable(base)), col("__n") - col("__j") + 1) % P
+    val w = Window.partitionBy(idCol).orderBy("__j")
+    val pre = w.rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy(idCol)
+    def sigCols(base: Int, tag: String): Seq[Column] = {
+      val W = weighted(base)
+      val preS = coalesce(sum(W).over(pre), lit(0L)) // ≤ MaxDelWords·p, fits long
+      val totS = sum(W).over(all)
+      Seq((((preS % P) * Inv(base)) % P +
+        (((totS - preS - W) % P) + P) % P).%(P).as(s"d$tag"),
+        (totS % P).as(s"f$tag"))
+    }
+    val withSigs = rows.select(
+      (col(idCol) +: col("__j") +: (sigCols(31, "1") ++ sigCols(131, "2"))): _*)
+    // deletion signatures: one per word; full-text signature: once per doc
+    val sigs = withSigs
+      .select(col(idCol), col("d1").as("s1"), col("d2").as("s2"))
+      .unionByName(withSigs.filter(col("__j") === 1)
+        .select(col(idCol), col("f1").as("s1"), col("f2").as("s2")))
+    sigs.select(col(idCol).as("doc_a"), col("s1"), col("s2"))
+      .join(sigs.select(col(idCol).as("doc_b"), col("s1"), col("s2")),
+        Seq("s1", "s2"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   /** Non-overlapping word segments of `segLen` words (the CCNet-style
     * unit for bulk boilerplate removal — vs `shingles`' overlapping
     * windows for pairwise similarity). The tail segment may be shorter.

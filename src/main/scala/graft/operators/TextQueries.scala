@@ -176,6 +176,81 @@ object TextQueries {
       |GROUP BY 1 HAVING COUNT(*) > 1
       |ORDER BY keeper""".stripMargin
 
+  /** D10: word-level edit-distance ≤ 1 near-dup pairs over the
+    * printable-ASCII corpus slice (so both engines count identical
+    * characters in the Levenshtein), via
+    * [[graft.dedup.Dedup.deletionNeighborPairs]] — the fourth near-dup
+    * modality next to d2 (MinHash estimate), d3 (SimHash hamming), d4
+    * (exact Jaccard): exact token-edit semantics with keyed-equi-join
+    * candidates. Each pair carries the character-level Levenshtein
+    * distance of the normalized texts, joined back by id so the
+    * signature shuffle moves only (id, hash). */
+  val d10EditNeighbors: Q = (s, dir) => {
+    val docs = nearCorpus(s, dir).filter(col("text").rlike("^[ -~]*$"))
+    val norm = docs.select(col("doc_id"),
+      regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+    graft.dedup.Dedup.deletionNeighborPairs(docs)
+      .join(norm.select(col("doc_id").as("doc_a"), col("norm").as("na")), "doc_a")
+      .join(norm.select(col("doc_id").as("doc_b"), col("norm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("na"), col("nb")).cast("long").as("char_lev"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The oracle replays the identical O(len) windowed scheme: powers
+    * via a linear recursive CTE, position weights, prefix/total window
+    * sums, and the same D_i = B⁻¹·pre + (tot − pre − W_i) identity with
+    * the same inverse constants. */
+  val d10EditNeighborsSql: String =
+    nearCorpusCte.replace("WITH ", "WITH RECURSIVE ") +
+    """,
+      |ascii_docs AS (
+      |  SELECT doc_id, text FROM corpus WHERE regexp_matches(text, '^[ -~]*$')),
+      |nw AS (SELECT doc_id,
+      |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |       FROM ascii_docs),
+      |wl AS (SELECT doc_id, norm, string_split(norm, ' ') AS l FROM nw
+      |       WHERE len(string_split(norm, ' ')) <= 4096),
+      |pows AS (
+      |  SELECT 0 AS k, CAST(1 AS BIGINT) AS p31, CAST(1 AS BIGINT) AS p131
+      |  UNION ALL
+      |  SELECT k + 1, (p31 * 31) % 1000000007, (p131 * 131) % 1000000007
+      |  FROM pows WHERE k < (SELECT COALESCE(MAX(len(l)), 0) FROM wl)),
+      |wr AS (
+      |  SELECT doc_id, len(l) AS n, j,
+      |    CAST(('0x' || substring(md5(l[j]), 1, 15)) AS BIGINT) % 1000000007 AS wh
+      |  FROM wl, UNNEST(range(1, len(l) + 1)) AS t(j)),
+      |ww AS (
+      |  SELECT r.doc_id, r.j,
+      |    (r.wh * p.p31) % 1000000007 AS w1, (r.wh * p.p131) % 1000000007 AS w2
+      |  FROM wr r JOIN pows p ON p.k = r.n - r.j),
+      |sums AS (
+      |  SELECT doc_id, j, w1, w2,
+      |    COALESCE(SUM(w1) OVER pre, 0) AS pre1, SUM(w1) OVER tot AS tot1,
+      |    COALESCE(SUM(w2) OVER pre, 0) AS pre2, SUM(w2) OVER tot AS tot2
+      |  FROM ww
+      |  WINDOW pre AS (PARTITION BY doc_id ORDER BY j
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |         tot AS (PARTITION BY doc_id)),
+      |sig AS (
+      |  SELECT doc_id,
+      |    ((pre1 % 1000000007) * 129032259 % 1000000007
+      |      + (((tot1 - pre1 - w1) % 1000000007) + 1000000007) % 1000000007)
+      |      % 1000000007 AS s1,
+      |    ((pre2 % 1000000007) * 190839696 % 1000000007
+      |      + (((tot2 - pre2 - w2) % 1000000007) + 1000000007) % 1000000007)
+      |      % 1000000007 AS s2
+      |  FROM sums
+      |  UNION ALL
+      |  SELECT doc_id, tot1 % 1000000007, tot2 % 1000000007 FROM sums WHERE j = 1),
+      |p AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sig a JOIN sig b ON a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(levenshtein(wa.norm, wb.norm) AS BIGINT) AS char_lev
+      |FROM p JOIN nw wa ON wa.doc_id = doc_a JOIN nw wb ON wb.doc_id = doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** D4: exact 3-gram Jaccard near-dup pairs (threshold 0.5), with the
     * hot-shingle document-frequency cap ACTIVE (maxDf=50): shingles in
     * more than 50 docs are dropped before the pair self-join — the skew
@@ -628,6 +703,7 @@ object TextQueries {
     "d9_lsh_eval" -> d9LshEval,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
+    "d10_edit_neighbors" -> d10EditNeighbors,
     "d6_dup_clusters" -> d6DupClusters,
     "g1_triangle_count" -> g1TriangleCount,
     "g3_kcore" -> g3Kcore,
@@ -648,6 +724,7 @@ object TextQueries {
     "d9_lsh_eval" -> d9LshEvalSql,
     "d3_simhash" -> d3SimhashSql,
     "d4_ngram_jaccard" -> d4NgramJaccardSql,
+    "d10_edit_neighbors" -> d10EditNeighborsSql,
     "d6_dup_clusters" -> d6DupClustersSql,
     "g1_triangle_count" -> g1TriangleCountSql,
     "g3_kcore" -> g3KcoreSql,

@@ -300,6 +300,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
   }
 
+  test("d10 deletion signatures: candidates stay a keyed equi-join, never a cartesian") {
+    val p = plan(graft.operators.TextQueries.d10EditNeighbors(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"signature join must stay keyed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no theta-join fallback:\n$p")
+  }
+
   test("full-outer recon: two keyed partial aggs meet in one join, never a cartesian") {
     val p = plan(graft.operators.WarehouseQueries.qFullOuterRecon(spark, sf))
     assert(!p.contains("CartesianProduct"), s"recon join must stay keyed:\n$p")

@@ -111,6 +111,20 @@ class TextDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("deletion-neighborhood pairs: exactly the word-edit<=1 pairs, none further") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),   // base
+      (2L, "alpha beta THETA delta"),   // substitution at pos 3 -> pair with 1
+      (3L, "alpha beta delta"),         // deletion of pos 3 -> pair with 1 AND 2
+      (4L, "alpha THETA gamma iota"),   // 2 edits from every doc above
+      (5L, "alpha  beta gamma  delta")  // whitespace-only variant: edit 0 of 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.deletionNeighborPairs(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 5L), (2L, 5L), (3L, 5L)),
+      s"got $got")
+  }
+
   test("large-star/small-star components equal min-label propagation and union-find") {
     def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
       val parent = scala.collection.mutable.Map[Long, Long]()

@@ -193,6 +193,48 @@ object EventStream {
       }
   }
 
+  // ---- streaming SCD2 (type-2 dimension history from a change stream) ----
+
+  case class Change(user_id: Long, ts_us: Long, event_type: String)
+  case class ScdState(curType: String, curFrom: Long)
+  case class ScdInterval(user_id: Long, event_type: String,
+      valid_from_us: Long, valid_to_us: Long)
+
+  /** Streaming SCD2 interval build: per key, each arriving change either
+    * extends the current validity interval (same type — absorbed) or
+    * closes it at the new change's timestamp, emitting the CLOSED
+    * interval; the open interval lives in state until the next change.
+    * State is one (type, from) pair per key — constant, not
+    * event-grain. Events are folded in ts order within each batch;
+    * cross-batch reordering would need event-time buffering (same
+    * declared caveat as [[sessionizeStream]]). Batch twin:
+    * [[graft.operators.WarehouseQueries.qScd2Intervals]] restricted to
+    * its closed rows (`is_current = 0`) — StreamingSpec proves the
+    * emitted sets equal. */
+  def scd2Stream(changes: Dataset[Change]): Dataset[ScdInterval] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdState, ScdInterval](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, state: GroupState[ScdState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts_us)
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ScdInterval]
+          sorted.foreach { e =>
+            cur match {
+              case Some(st) if st.curType == e.event_type => // absorbed
+              case Some(st) =>
+                closed += ScdInterval(user, st.curType, st.curFrom, e.ts_us)
+                cur = Some(ScdState(e.event_type, e.ts_us))
+              case None =>
+                cur = Some(ScdState(e.event_type, e.ts_us))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   // ---- streaming distinct-count sketch (HLL registers as state) ----
 
   case class KeyedEv(wstart: Long, key: String)

@@ -278,6 +278,47 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("streaming SCD2 emits exactly the batch twin's closed intervals") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.EventStream.{Change, ScdInterval}
+    // user 1: A A B A  (repeat absorbed, two changes -> two closed rows)
+    // user 2: X Y      (one change, split across micro-batches)
+    val b1 = Seq(Change(1, 100, "A"), Change(1, 200, "A"), Change(2, 50, "X"))
+    val b2 = Seq(Change(1, 300, "B"), Change(1, 400, "A"), Change(2, 75, "Y"))
+    val stream = MemoryStream[Change]
+    val q = EventStream.scd2Stream(stream.toDS())
+      .writeStream.format("memory").queryName("scd2").outputMode("append").start()
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("scd2").as[ScdInterval].collect().toSet
+    assert(got == Set(
+      ScdInterval(1, "A", 100, 300), ScdInterval(1, "B", 300, 400),
+      ScdInterval(2, "X", 50, 75)), s"got $got")
+
+    // batch-twin equivalence: the same changes as an events frame through
+    // qScd2Intervals; its closed rows (is_current = 0) must match. The
+    // batch operator keys change detection on every event row, so feed it
+    // the deduplicated change stream (ts in ns like the events table).
+    val all = (b1 ++ b2).zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.user_id, c.ts_us * 1000L, c.event_type)
+    }.toDF("event_id", "user_id", "ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("scd2twin")
+    try {
+      all.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = graft.operators.WarehouseQueries.qScd2Intervals(spark, dir.toString)
+        .filter(col("is_current") === 0)
+        .select("user_id", "event_type", "valid_from_us", "valid_to_us")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(batch == got.map(i => (i.user_id, i.event_type, i.valid_from_us, i.valid_to_us)),
+        s"stream/batch diverge: $batch vs $got")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("stateful sessionizer closes sessions across micro-batches like batch") {
     implicit val sc = spark.sqlContext
     val M = 60L * 1000 * 1000 * 1000 // one minute in ns

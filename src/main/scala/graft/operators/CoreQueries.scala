@@ -278,6 +278,28 @@ object CoreQueries {
       | COUNT(*) AS count
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Salted replicate JOIN (join-side skew path) — revenue per supplier
+    * nation through a salted lineitem⋈supplier join; must equal the
+    * plain join, which is exactly what the oracle computes. */
+  val qSaltedJoin: Q = (s, dir) => {
+    val li = Graft.table(s, dir, "lineitem")
+      .select(col("l_suppkey").as("s_suppkey"),
+        col("l_extendedprice").cast("decimal(18,4)").as("price_dec"))
+    val sup = Graft.table(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    graft.scale.Skew.saltedJoin(li, sup, "s_suppkey", 8)
+      .groupBy("s_nationkey")
+      .agg(sum(col("price_dec")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("s_nationkey")
+  }
+
+  val qSaltedJoinSql: String =
+    """SELECT s_nationkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   /** Distinct counting (exact; the approx_count_distinct sketch path is
     * available but not oracle-comparable across engines). */
   val qDistinctCount: Q = (s, dir) =>
@@ -330,6 +352,7 @@ object CoreQueries {
     "q_asof_join" -> qAsofJoin,
     "q_asof_forward" -> qAsofForward,
     "q_salted_agg" -> qSaltedAgg,
+    "q_salted_join" -> qSaltedJoin,
     "q_distinct_count" -> qDistinctCount,
     "q_rollup" -> qRollup,
     "q1_agg" -> q1Agg,
@@ -346,6 +369,7 @@ object CoreQueries {
     "q_asof_join" -> qAsofJoinSql,
     "q_asof_forward" -> qAsofForwardSql,
     "q_salted_agg" -> qSaltedAggSql,
+    "q_salted_join" -> qSaltedJoinSql,
     "q_distinct_count" -> qDistinctCountSql,
     "q_rollup" -> qRollupSql,
     "k2_multikey_encoded" -> k2MultikeyEncodedSql,

@@ -26,4 +26,24 @@ object Skew {
       .agg(sum(col("__psum")).as(s"sum_$valueCol"),
         sum(col("__pcnt")).as("count"))
   }
+
+  /** Salted replicate join for join-side skew: each fact row gets a
+    * salt in [0, salts); the build side is replicated once per salt
+    * value and the join runs on (key, salt), so a hot fact key spreads
+    * over `salts` reducer partitions instead of one straggler task.
+    * Results are EXACTLY the plain inner join's — the salt is a
+    * partitioning artifact, never a semantic key (SkewSpec pins the
+    * equality). The cost is `salts`× the build side, which is why the
+    * build side must be the small one. AQE's skew-join split does this
+    * automatically for sort-merge joins at runtime; explicit salting
+    * remains the tool when skew is known ahead of time (static layouts,
+    * bucketed joins AQE won't touch) or lives under an exchange reuse. */
+  def saltedJoin(fact: DataFrame, build: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -76,4 +76,20 @@ class AsOfJoinSpec extends SparkSpec {
       .orderBy("k").as[(String, Double, Long)].collect().toSeq
     assert(salted == direct)
   }
+
+  test("salted join equals the plain join, including keys missing from the build side") {
+    val rnd = new scala.util.Random(7)
+    // skewed fact: key 0 carries half the rows; key 99 has no build row
+    val fact = Seq.fill(3000)((if (rnd.nextBoolean()) 0L else 1L + rnd.nextInt(5), rnd.nextInt(100)))
+      .map { case (k, v) => (if (v == 0) 99L else k, v) }
+      .toDF("k", "v")
+    val build = (0L to 5L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = fact.join(build, Seq("k"))
+      .groupBy("k", "name").agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+      .orderBy("k").as[(Long, String, Long, Long)].collect().toSeq
+    val salted = Skew.saltedJoin(fact, build, "k", 8)
+      .groupBy("k", "name").agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+      .orderBy("k").as[(Long, String, Long, Long)].collect().toSeq
+    assert(salted == plain)
+  }
 }

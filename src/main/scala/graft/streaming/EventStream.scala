@@ -166,8 +166,10 @@ object EventStream {
 
   /** Per-user stateful sessionizer: closes a session when a later event
     * arrives more than gapNs after the last one; the open session stays
-    * in state across micro-batches. (Production hardening would add an
-    * event-time timeout to flush idle users; kept minimal here.) */
+    * in state across micro-batches — and stays FOREVER for a user who
+    * never returns. [[sessionizeStreamTimeout]] is the production form:
+    * same closed-session output, plus an event-time timeout that
+    * flushes idle users once the watermark passes last + gap. */
   def sessionizeStream(events: Dataset[Ev], gapNs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -190,6 +192,54 @@ object EventStream {
           }
           cur.foreach(state.update)
           closed.iterator
+      }
+  }
+
+  /** [[sessionizeStream]] hardened with an EVENT-TIME TIMEOUT: an idle
+    * user's open session flushes once the watermark passes its last
+    * event + gap, instead of waiting for that user's next event (which
+    * may never come — the unbounded-state leak the plain variant
+    * declares). State per key is still one (start, last, n) triple; the
+    * timeout timestamp is re-armed on every update. Closed-session
+    * output is identical to [[sessionizeStream]]'s — the timeout only
+    * adds the flush path (StreamingSpec pins both). */
+  def sessionizeStreamTimeout(events: Dataset[Ev], gapNs: Long,
+      lateness: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("tsm", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("tsm", lateness)
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(user, st.start, st.n, st.last - st.start))
+          } else {
+            val sorted = evs.toSeq.sortBy(_._2)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            sorted.foreach { e =>
+              cur match {
+                case Some(st) if e._2 - st.last <= gapNs =>
+                  cur = Some(st.copy(last = e._2, n = st.n + 1))
+                case Some(st) =>
+                  closed += Session(user, st.start, st.n, st.last - st.start)
+                  cur = Some(SessionState(e._2, e._2, 1))
+                case None =>
+                  cur = Some(SessionState(e._2, e._2, 1))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              // flush when the WATERMARK (event time) passes last + gap
+              state.setTimeoutTimestamp(st.last / 1000000L + gapNs / 1000000L)
+            }
+            closed.iterator
+          }
       }
   }
 

@@ -278,6 +278,60 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("event-time timeout flushes an idle user's session without another event from them") {
+    implicit val sc = spark.sqlContext
+    val M = 60L * 1000 * 1000 * 1000 // one minute in ns
+    val gap = 30 * M
+    val stream = MemoryStream[Ev]
+    val q = EventStream.sessionizeStreamTimeout(stream.toDS(), gap, "1 minute")
+      .writeStream.format("memory").queryName("sess_to").outputMode("append").start()
+    // user 1's only events (offset from epoch: time 0 would equal the
+    // initial watermark and be dropped as late); user 1 never appears again
+    stream.addData(Seq(Ev(1, 1000 * M, 1.0), Ev(1, 1005 * M, 1.0)))
+    q.processAllAvailable()
+    // other-user traffic advances the watermark far past 1005min + gap ...
+    stream.addData(Seq(Ev(2, 1500 * M, 1.0)))
+    q.processAllAvailable()
+    // ... and the NEXT batch applies it, firing user 1's timeout
+    stream.addData(Seq(Ev(2, 1501 * M, 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_to").as[Session].collect().toSet
+    assert(got.contains(Session(1, 1000 * M, 2, 5 * M)),
+      s"idle user 1's session must flush by timeout, got $got")
+    // user 2's session stays open (no timeout passed it): nothing else emitted
+    assert(got.forall(_.user_id == 1L), s"user 2 must still be open, got $got")
+  }
+
+  test("checkpoint restart resumes stateful SCD2 exactly-once (no dup, no loss)") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.EventStream.{Change, ScdInterval}
+    val root = java.nio.file.Files.createTempDirectory("scd2ckpt")
+    val (ckpt, out) = (s"$root/ckpt", s"$root/out")
+    val stream = MemoryStream[Change]
+    def start() = EventStream.scd2Stream(stream.toDS())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      val q1 = start()
+      stream.addData(Seq(Change(1, 100, "A"), Change(2, 50, "X")))
+      q1.processAllAvailable()
+      q1.stop() // crash/redeploy point: state + source offsets live in the checkpoint
+      val q2 = start()
+      stream.addData(Seq(Change(1, 300, "B"), Change(2, 75, "Y")))
+      q2.processAllAvailable()
+      q2.stop()
+      val got = spark.read.parquet(out).as[ScdInterval].collect().toSet
+      assert(got == Set(
+        ScdInterval(1, "A", 100, 300), ScdInterval(2, "X", 50, 75)),
+        s"restart must neither duplicate nor lose intervals, got $got")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("streaming SCD2 emits exactly the batch twin's closed intervals") {
     implicit val sc = spark.sqlContext
     import graft.streaming.EventStream.{Change, ScdInterval}

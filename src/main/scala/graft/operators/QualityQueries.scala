@@ -87,6 +87,47 @@ object QualityQueries {
       |      '${QualitySignals.PhonePattern}', '<PHONE>', 'g')) AS red_fp
       |FROM pii ORDER BY doc_id""".stripMargin
 
+  /** T34: per-source distinct-document estimation through the KMV typed
+    * Aggregator ([[Sketches.KmvDistinct]] via `functions.udaf`) vs the
+    * exact distinct — the grouped form of t13: map-side partial
+    * aggregation moves at most k longs per source group, where
+    * COUNT(DISTINCT) exchanges the whole key set. The oracle replays
+    * the bottom-k per group with a row_number window. */
+  val t34KmvBySource: Q = (s, dir) => {
+    val kmv = udaf(new Sketches.KmvDistinct(32))
+    Graft.table(s, dir, "documents")
+      .select(col("source"), Sketches.hash60(col("text")).as("h"))
+      .groupBy("source")
+      .agg(kmv(col("h")).as("est_raw"), countDistinct(col("h")).as("n_exact"))
+      .select(col("source"), col("n_exact"),
+        round(col("est_raw"), 6).as("est"),
+        round(abs(round(col("est_raw"), 6) - col("n_exact")) / col("n_exact"), 6)
+          .as("rel_err"))
+      .orderBy("source")
+  }
+
+  val t34KmvBySourceSql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT source,
+      |    CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+      |  FROM documents),
+      |r AS (SELECT source, h,
+      |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |      FROM h),
+      |k AS (SELECT source, COUNT(*) AS kk, MAX(h) AS hk
+      |      FROM r WHERE rn <= 32 GROUP BY source),
+      |ex AS (SELECT source, COUNT(DISTINCT h) AS n_exact FROM h GROUP BY source),
+      |est AS (
+      |  SELECT source,
+      |    ROUND(CASE WHEN kk < 32 THEN CAST(kk AS DOUBLE)
+      |          ELSE CAST(31 AS DOUBLE) /
+      |               (hk / CAST(1152921504606846976 AS DOUBLE)) END, 6) AS est
+      |  FROM k)
+      |SELECT source, n_exact, est,
+      |  ROUND(ABS(est - n_exact) / n_exact, 6) AS rel_err
+      |FROM est JOIN ex USING (source)
+      |ORDER BY source""".stripMargin
+
   /** T13: KMV distinct sketch over lineitem part keys vs the exact count. */
   val t13KmvDistinct: Q = (s, dir) => {
     val li = Graft.table(s, dir, "lineitem").select("l_partkey")
@@ -366,6 +407,7 @@ object QualityQueries {
     "t11_repetition" -> t11Repetition,
     "t12_pii_redact" -> t12PiiRedact,
     "t13_kmv_distinct" -> t13KmvDistinct,
+    "t34_kmv_by_source" -> t34KmvBySource,
     "t14_tfidf" -> t14Tfidf,
     "t21_cms_heavy_hitters" -> t21CmsHeavyHitters,
     "t24_hll_distinct" -> t24HllDistinct,
@@ -377,6 +419,7 @@ object QualityQueries {
     "t11_repetition" -> t11RepetitionSql,
     "t12_pii_redact" -> t12PiiRedactSql,
     "t13_kmv_distinct" -> t13KmvDistinctSql,
+    "t34_kmv_by_source" -> t34KmvBySourceSql,
     "t14_tfidf" -> t14TfidfSql,
     "t21_cms_heavy_hitters" -> t21CmsHeavyHittersSql,
     "t24_hll_distinct" -> t24HllDistinctSql,

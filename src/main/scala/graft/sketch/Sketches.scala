@@ -23,6 +23,38 @@ import scala.jdk.CollectionConverters._
   */
 object Sketches {
 
+  /** KMV as a typed [[org.apache.spark.sql.expressions.Aggregator]] —
+    * the per-GROUP form of [[kmvEstimate]], registered with
+    * `functions.udaf` so it drops into any `groupBy(...).agg(...)`.
+    * Buffer = the group's k smallest DISTINCT hashes (sorted, bounded);
+    * reduce inserts, merge is a sorted-merge-take-k. Both are
+    * order-invariant, so the estimate is deterministic under any
+    * partitioning (QualitySpec pins this) and a SQL oracle replays it
+    * per group. The Aggregator contract is what makes this the 100 TB
+    * shape: Spark runs `reduce` as map-side partial aggregation, so at
+    * most k longs per group cross the shuffle — per-group
+    * distinct-count estimation without a per-group key exchange. */
+  class KmvDistinct(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Seq[Long], Double] {
+    override def zero: Seq[Long] = Vector.empty
+    private def insert(b: Seq[Long], h: Long): Seq[Long] =
+      if (b.contains(h)) b
+      else {
+        val nb = (b :+ h).sorted
+        if (nb.size > k) nb.take(k) else nb
+      }
+    override def reduce(b: Seq[Long], h: Long): Seq[Long] = insert(b, h)
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      b.foldLeft(a)(insert)
+    override def finish(b: Seq[Long]): Double = // raw; callers round per the float policy
+      if (b.size < k) b.size.toDouble
+      else (k - 1).toDouble / (b.last / math.pow(2, 60))
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
   /** 60-bit md5-derived hash of the key's string form — the same
     * engine-neutral family dedup.Dedup uses, so DuckDB replays it as
     * CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT). */

@@ -8,6 +8,25 @@ import org.apache.spark.sql.functions._
 class QualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("KMV Aggregator: partition-invariant, exact below k, matches the global sketch") {
+    import org.apache.spark.sql.functions.{col, udaf}
+    val kmv = udaf(new graft.sketch.Sketches.KmvDistinct(16))
+    val df = (1L to 500L).map(i => ("g" + (i % 3), i)).toDF("g", "v")
+      .select(col("g"), graft.sketch.Sketches.hash60(col("v")).as("h"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("g").agg(kmv(col("h")).as("est")).orderBy("g")
+        .as[(String, Double)].collect().toSeq
+    val base = run(df)
+    // deterministic under any partitioning: reduce/merge are order-invariant
+    assert(run(df.repartition(13)) == base)
+    assert(run(df.repartition(1)) == base)
+    assert(run(df.orderBy(col("h").desc)) == base)
+    // a group with fewer than k distinct hashes is counted exactly
+    val tiny = Seq(("a", 1L), ("a", 2L), ("a", 1L), ("b", 9L)).toDF("g", "v")
+      .select(col("g"), graft.sketch.Sketches.hash60(col("v")).as("h"))
+    assert(run(tiny) == Seq(("a", 2.0), ("b", 1.0)))
+  }
+
   test("repetition: distinct text scores low, repeated text scores high") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

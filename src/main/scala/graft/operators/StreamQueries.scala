@@ -268,7 +268,40 @@ object StreamQueries {
       |FROM events e JOIN d USING (user_id)
       |GROUP BY 1, 2 ORDER BY wstart, segment""".stripMargin
 
+  /** S9: native merge-based sessionization (`session_window`) — same
+    * 30-minute gap as s2 but via the built-in session operator; see
+    * [[EventStream.sessionWindowBatch]] for the one-instant boundary
+    * difference vs the islands form, which the oracle replays (`>= gap`
+    * starts a new session; end = last + gap). */
+  val s9SessionWindow: Q = (s, dir) =>
+    EventStream.sessionWindowBatch(
+      Graft.table(s, dir, "events")
+        .withColumn("tsm", expr("timestamp_micros(ts div 1000)")))
+      .orderBy("user_id", "session_start")
+
+  val s9SessionWindowSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                            ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, tsu,
+      |    CASE WHEN prev IS NULL OR tsu - prev >= 1800000000 THEN 1 ELSE 0 END AS ns
+      |  FROM g),
+      |sid AS (
+      |  SELECT user_id, tsu,
+      |    SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m)
+      |SELECT user_id, make_timestamp(MIN(tsu)) AS session_start,
+      |  make_timestamp(MAX(tsu) + 1800000000) AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM sid GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "s9_session_window" -> s9SessionWindow,
     "s8_enriched" -> s8Enriched,
     "s7_cms_window" -> s7CmsWindow,
     "s6_hll_window" -> s6HllWindow,
@@ -280,6 +313,7 @@ object StreamQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "s9_session_window" -> s9SessionWindowSql,
     "s8_enriched" -> s8EnrichedSql,
     "s7_cms_window" -> s7CmsWindowSql,
     "s6_hll_window" -> s6HllWindowSql,

@@ -92,6 +92,29 @@ object EventStream {
         (max(col("ts")) - min(col("ts"))).as("duration_ns"))
   }
 
+  /** Spark's NATIVE sessionization — `session_window(tsm, gap)` merges
+    * each key's overlapping [t, t+gap) windows into sessions inside the
+    * aggregation itself (no lag/running-sum prelude, and in streaming
+    * it runs on the session-window state store rather than
+    * flatMapGroupsWithState). Boundary semantics differ from
+    * [[sessionizeBatch]] by one instant: a gap of EXACTLY `gap` starts
+    * a new session here (windows must overlap to merge) but continues
+    * the session there (`> gap` starts one) — the oracle implements
+    * this rule, `>= gap`, explicitly. Emitted bounds: start = first
+    * event, end = last event + gap. */
+  def sessionWindowBatch(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("tsm"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
+  /** Incremental form: watermarked stream, same merge-based operator;
+    * append mode emits a session once the watermark passes its end. */
+  def sessionWindowStream(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    sessionWindowBatch(events.withWatermark("tsm", lateness), gap)
+
   /** Exact dedup of re-delivered events on a content key (batch form):
     * keeps the lowest event_id per key and reports how often the key was
     * seen. One keyed shuffle — the same shape at any scale.

@@ -278,6 +278,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("native session_window stream emits the batch sessions once closed") {
+    implicit val sc = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(minOff: Int) = new java.sql.Timestamp(t0.getTime + minOff * 60000L)
+    val rows = Seq(
+      (ts(0), 1L), (ts(10), 1L),   // user 1 session A (2 events)
+      (ts(120), 1L),               // user 1 session B (gap 110min > 30)
+      (ts(5), 2L))                 // user 2 session (1 event)
+    val stream = MemoryStream[(java.sql.Timestamp, Long)]
+    val sdf = stream.toDF().toDF("tsm", "user_id")
+    val q = EventStream.sessionWindowStream(sdf)
+      .writeStream.format("memory").queryName("swin").outputMode("append").start()
+    stream.addData(rows.take(2)); q.processAllAvailable()
+    stream.addData(rows.drop(2)); q.processAllAvailable()
+    stream.addData(Seq((ts(600), 9L))) // advance watermark past every session end
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("swin")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    val batch = EventStream.sessionWindowBatch(rows.toDF("tsm", "user_id"))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    assert(batch.subsetOf(got) && got.filter(_._1 != 9L) == batch,
+      s"stream/batch diverge: $got vs $batch")
+  }
+
   test("event-time timeout flushes an idle user's session without another event from them") {
     implicit val sc = spark.sqlContext
     val M = 60L * 1000 * 1000 * 1000 // one minute in ns

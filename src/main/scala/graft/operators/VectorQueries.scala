@@ -237,6 +237,43 @@ object VectorQueries {
       |FROM cells GROUP BY centroid_id, pos
       |ORDER BY centroid_id, pos""".stripMargin
 
+  /** M3: multimodal near-dup — videos whose SAMPLED-FRAME fingerprint
+    * sets overlap at Jaccard ≥ 0.5, composing m2's frame sampler with
+    * the d4 set-similarity machinery (shared-fingerprint candidate
+    * join, never n²). The per-frame fingerprint is the stub feature as
+    * an exact integer (a real pipeline swaps in a 64-bit perceptual
+    * hash — NB the stub's 1000-value space is artificially dense; a
+    * perceptual hash space is sparse, which is what keeps the
+    * shared-fingerprint join skew-free at scale, and `maxDf` guards the
+    * dense case like d4). */
+  val m3MediaNeardup: Q = (s, dir) => {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.attachPayload(Graft.table(s, dir, "documents")), 1)
+    val fps = frames.select(col("doc_id"),
+      (col("n_bytes") * (col("frame_idx") + 3) % 1000)
+        .cast("string").as("shingle")).distinct()
+    graft.dedup.Dedup.ngramJaccardFromShingles(fps, 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val m3MediaNeardupSql: String =
+    """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      |f AS (SELECT doc_id, n, n % 7 + 1 AS n_frames FROM t),
+      |fp AS (SELECT DISTINCT doc_id, (n * (i + 3)) % 1000 AS fp
+      |       FROM f, UNNEST(range(0, n_frames, 1)) AS u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM fp GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |          FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** M2: multimodal frame-sample plumbing — video-shaped payloads,
     * every-2nd-frame sampling, per-frame stub features (see
     * Multimodal.sampleFrames for what's stub vs real). */
@@ -528,6 +565,7 @@ object VectorQueries {
     "v6_quantize" -> v6Quantize,
     "v7_kmeans2" -> v7Kmeans2,
     "m2_frame_sample" -> m2FrameSample,
+    "m3_media_neardup" -> m3MediaNeardup,
     "v5_centroid_update" -> v5CentroidUpdate,
     "v4_ivf_search" -> v4IvfSearch,
     "v1_knn_brute" -> v1KnnBrute,
@@ -544,6 +582,7 @@ object VectorQueries {
     "v6_quantize" -> v6QuantizeSql,
     "v7_kmeans2" -> v7Kmeans2Sql,
     "m2_frame_sample" -> m2FrameSampleSql,
+    "m3_media_neardup" -> m3MediaNeardupSql,
     "v5_centroid_update" -> v5CentroidUpdateSql,
     "v4_ivf_search" -> v4IvfSearchSql,
     "v1_knn_brute" -> v1KnnBruteSql,

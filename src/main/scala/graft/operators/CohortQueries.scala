@@ -113,13 +113,52 @@ object CohortQueries {
       |  floor((mean_dow - mean_all) * 1e6 + 0.5) / 1e6 AS seasonal
       |FROM m ORDER BY user_id, dow""".stripMargin
 
+  /** F9: DAU / trailing-7-day WAU stickiness per day. Sliding-window
+    * DISTINCT counts have no native Spark operator (windowed
+    * countDistinct isn't supported over range frames); the scalable
+    * rewrite is the bounded fan-out: each (user, day) contributes to
+    * the ≤7 window-end days it can appear in (explode of a 7-date
+    * sequence — fan-out bounded by window/slide, never data-dependent),
+    * then one keyed distinct aggregation per window day. Only days that
+    * exist in the data emit (inner join against DAU). */
+  val f9Stickiness: Q = (s, dir) => {
+    val ud = Graft.table(s, dir, "events")
+      .select(col("user_id"),
+        to_date(expr("timestamp_micros(ts div 1000)")).as("day"))
+      .distinct()
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
+      .groupBy("wday").agg(countDistinct("user_id").as("wau"))
+    ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      .join(wau, col("wday") === col("day"))
+      .select(col("day"), col("dau").cast("long").as("dau"),
+        col("wau").cast("long").as("wau"),
+        (floor(col("dau").cast("double") / col("wau") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
+  val f9StickinessSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, day + CAST(i AS INTEGER) AS wday
+      |      FROM ud, UNNEST(range(0, 7)) AS t(i)),
+      |wau AS (SELECT wday, COUNT(DISTINCT user_id) AS wau FROM c GROUP BY wday),
+      |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day)
+      |SELECT day, dau, wau,
+      |  floor(CAST(dau AS DOUBLE) / wau * 1e6 + 0.5) / 1e6 AS stickiness
+      |FROM dau JOIN wau ON wau.wday = dau.day
+      |ORDER BY day""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "f6_cohort" -> f6Cohort,
+    "f9_stickiness" -> f9Stickiness,
     "a21_seasonality" -> a21Seasonality,
   )
 
   def oracle: Map[String, String] = Map(
     "f6_cohort" -> f6CohortSql,
+    "f9_stickiness" -> f9StickinessSql,
     "a21_seasonality" -> a21SeasonalitySql,
   )
 }

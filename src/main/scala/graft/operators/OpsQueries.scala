@@ -536,7 +536,52 @@ object OpsQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
   }
 
+  /** E8: functional-dependency audit — for each candidate FD
+    * determinant → dependent, the number of determinant keys, how many
+    * map to MORE than one dependent value (violations), and the share.
+    * The profiling query behind schema inference and "can I use this as
+    * a join key" decisions; exact FDs (key → attribute) must audit to
+    * zero, and the deliberately-false candidates measure real fan-out.
+    * Shape: one countDistinct aggregation per FD (partial-agg friendly),
+    * reduced to a one-row summary before the 5-row union. */
+  val e8FdAudit: Q = (s, dir) => {
+    def fd(rel: String, t: org.apache.spark.sql.DataFrame,
+        det: String, dep: String) =
+      t.groupBy(col(det)).agg(countDistinct(col(dep)).as("nd"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(rel).as("fd"), col("n_keys").cast("long").as("n_keys"),
+          col("n_violating").cast("long").as("n_violating"),
+          q6(col("n_violating").cast("double") / col("n_keys")).as("violation_share"))
+    def t(n: String) = Graft.table(s, dir, n)
+    Seq(
+      fd("nation.key->name", t("nation"), "n_nationkey", "n_name"),
+      fd("customer.key->name", t("customer"), "c_custkey", "c_name"),
+      fd("customer.nation->segment", t("customer"), "c_nationkey", "c_mktsegment"),
+      fd("orders.cust->priority", t("orders"), "o_custkey", "o_orderpriority"),
+      fd("documents.source->lang", t("documents"), "source", "lang"))
+      .reduce(_ unionByName _)
+      .orderBy("fd")
+  }
+
+  val e8FdAuditSql: String = {
+    def fd(rel: String, table: String, det: String, dep: String) =
+      s"""SELECT '$rel' AS fd, COUNT(*) AS n_keys,
+         |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         |  floor(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / COUNT(*) * 1e6 + 0.5) / 1e6 AS violation_share
+         |FROM (SELECT $det, COUNT(DISTINCT $dep) AS nd FROM $table GROUP BY $det)""".stripMargin
+    Seq(
+      fd("nation.key->name", "nation", "n_nationkey", "n_name"),
+      fd("customer.key->name", "customer", "c_custkey", "c_name"),
+      fd("customer.nation->segment", "customer", "c_nationkey", "c_mktsegment"),
+      fd("orders.cust->priority", "orders", "o_custkey", "o_orderpriority"),
+      fd("documents.source->lang", "documents", "source", "lang"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
   def queries: Map[String, Q] = Map(
+    "e8_fd_audit" -> e8FdAudit,
     "e7_fk_audit" -> e7FkAudit,
     "e1_skew_profile" -> e1SkewProfile,
     "e2_hist_quantile" -> e2HistQuantile,
@@ -548,6 +593,7 @@ object OpsQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "e8_fd_audit" -> e8FdAuditSql,
     "e7_fk_audit" -> e7FkAuditSql,
     "e1_skew_profile" -> e1SkewProfileSql,
     "e2_hist_quantile" -> e2HistQuantileSql,

@@ -248,6 +248,63 @@ object TsQueries {
       |SELECT user_id, ROUND(MIN(dd), 6) AS max_drawdown, COUNT(*) AS n_points
       |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** A22: time underwater — how LONG each series spends below its
+    * running peak (a18 measures how deep; recovery time is the other
+    * half of drawdown risk). Underwater = value strictly below the
+    * running max; spells are consecutive-underwater islands (run id =
+    * running count of at-peak rows), and the report is total underwater
+    * points, the longest single spell, and whether the series ends
+    * underwater. Two windows over ONE series shuffle + a keyed
+    * aggregation. Equality on doubles is safe here: the running max is
+    * a copied input value, so value = peak is exact, not computed. */
+  val a22Underwater: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val uw = events(s, dir)
+      .withColumn("under",
+        (col("value") < max(col("value")).over(run)).cast("long"))
+      .withColumn("spell", sum(lit(1L) - col("under")).over(run))
+      .withColumn("mx", max(col("spell")).over(Window.partitionBy("user_id")))
+    val spells = uw.filter(col("under") === 1)
+      .groupBy("user_id", "spell").agg(count(lit(1)).as("len"))
+    uw.groupBy("user_id")
+      .agg(sum(col("under")).as("n_underwater"),
+        max(when(col("spell") === col("mx"), col("under"))).as("ends_under"))
+      .join(spells.groupBy("user_id").agg(max(col("len")).as("max_spell")),
+        Seq("user_id"), "left")
+      .select(col("user_id"), col("n_underwater").cast("long").as("n_underwater"),
+        coalesce(col("max_spell"), lit(0L)).cast("long").as("max_spell"),
+        col("ends_under").cast("long").as("ends_under"))
+      .orderBy("user_id")
+  }
+
+  val a22UnderwaterSql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN value < MAX(value) OVER w THEN 1 ELSE 0 END AS under
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |u AS (
+      |  SELECT user_id, under,
+      |    SUM(1 - under) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spell
+      |  FROM p),
+      |sp AS (
+      |  SELECT user_id, spell, COUNT(*) AS len FROM u WHERE under = 1
+      |  GROUP BY user_id, spell),
+      |agg AS (
+      |  SELECT user_id, SUM(under) AS n_underwater,
+      |    MAX(CASE WHEN spell = mx THEN under END) AS ends_under
+      |  FROM (SELECT *, MAX(spell) OVER (PARTITION BY user_id) AS mx FROM u)
+      |  GROUP BY user_id)
+      |SELECT a.user_id, CAST(a.n_underwater AS BIGINT) AS n_underwater,
+      |  CAST(COALESCE(s.max_spell, 0) AS BIGINT) AS max_spell,
+      |  CAST(a.ends_under AS BIGINT) AS ends_under
+      |FROM agg a LEFT JOIN (SELECT user_id, MAX(len) AS max_spell FROM sp
+      |                      GROUP BY user_id) s USING (user_id)
+      |ORDER BY a.user_id""".stripMargin
+
   /** C12: winsorization — clip each series' values into its own
     * [p05, p95] percentile band (the gentler alternative to c11's
     * outlier drop: extremes are pulled to the fence, not removed).
@@ -399,6 +456,7 @@ object TsQueries {
 
   def queries: Map[String, Q] = Map(
     "a18_max_drawdown" -> a18MaxDrawdown,
+    "a22_underwater" -> a22Underwater,
     "a19_var_cvar" -> a19VarCvar,
     "w12_rolling_median" -> w12RollingMedian,
     "a20_beta" -> a20Beta,
@@ -418,6 +476,7 @@ object TsQueries {
 
   def oracle: Map[String, String] = Map(
     "a18_max_drawdown" -> a18MaxDrawdownSql,
+    "a22_underwater" -> a22UnderwaterSql,
     "a19_var_cvar" -> a19VarCvarSql,
     "w12_rolling_median" -> w12RollingMedianSql,
     "a20_beta" -> a20BetaSql,

@@ -597,8 +597,11 @@ object TextQueries {
     val rows = (1 to 3).map { r =>
       val sym = edges.select(col("a").as("n"))
         .unionByName(edges.select(col("b").as("n")))
-      val keep = sym.groupBy("n").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= 2).select("n")
+      // materialized: the survivor set feeds BOTH filter joins and the
+      // n_nodes count — one degree aggregation per round, not three
+      val keep = graft.Graft.materialize(
+        sym.groupBy("n").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2).select("n"))
       edges = graft.Graft.materialize(
         edges.join(keep.select(col("n").as("a")), "a")
           .join(keep.select(col("n").as("b")), "b")

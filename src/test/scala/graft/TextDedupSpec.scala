@@ -111,6 +111,14 @@ class TextDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("deletion-neighborhood pairs drop docs over the word cap (documented bound)") {
+    val long = ("w " * (Dedup.MaxDelWords + 1)).trim + " unique"
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha beta gamma"), (3L, long))
+      .toDF("doc_id", "text")
+    val got = Dedup.deletionNeighborPairs(docs).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"over-cap doc must be excluded, got $got")
+  }
+
   test("deletion-neighborhood pairs: exactly the word-edit<=1 pairs, none further") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),   // base

@@ -300,6 +300,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
   }
 
+  test("f9 stickiness: bounded x7 fan-out feeds keyed distinct aggs, no cartesian") {
+    val p = plan(graft.operators.CohortQueries.f9Stickiness(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"DAU/WAU join must stay keyed:\n$p")
+    assert(p.contains("Generate explode") || p.contains("Generate"), s"window fan-out must be a generator:\n$p")
+  }
+
+  test("a22 underwater: both windows and the spell rollup share the series partitioning") {
+    val p = plan(graft.operators.TsQueries.a22Underwater(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"spell join must stay keyed:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expect series shuffle + keyed aggs only, got $exchanges:\n$p")
+  }
+
+  test("e8 FD audit: every countDistinct runs as partial+final aggregation") {
+    val p = plan(graft.operators.OpsQueries.e8FdAudit(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"FD probes must stay keyed:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 4, "expect partial+final agg per FD")
+  }
+
+  test("t34 KMV Aggregator: partial aggregation before the source-key shuffle") {
+    val p = plan(graft.operators.QualityQueries.t34KmvBySource(spark, sf))
+    // typed-Aggregator buffers aggregate via ObjectHashAggregate; partial+final
+    assert(p.contains("ObjectHashAggregate") || "HashAggregate".r.findAllIn(p).length >= 2,
+      s"expect partial+final aggregation for the sketch buffers:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("m3 media near-dup: shared-fingerprint candidates stay a keyed equi-join") {
+    val p = plan(graft.operators.VectorQueries.m3MediaNeardup(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"fingerprint join must stay keyed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no theta fallback:\n$p")
+  }
+
+  test("s9 session_window plans the native session-window aggregation") {
+    val p = plan(graft.operators.StreamQueries.s9SessionWindow(spark, sf))
+    assert(p.toLowerCase.contains("session_window") || p.contains("SessionWindow"),
+      s"must use the native session-window operator:\n$p")
+  }
+
   test("d10 deletion signatures: candidates stay a keyed equi-join, never a cartesian") {
     val p = plan(graft.operators.TextQueries.d10EditNeighbors(spark, sf))
     assert(!p.contains("CartesianProduct"), s"signature join must stay keyed:\n$p")

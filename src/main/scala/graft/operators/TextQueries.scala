@@ -496,6 +496,68 @@ object TextQueries {
       |GROUP BY node
       |ORDER BY doc_id""".stripMargin
 
+  /** D11: near-dup APPLY with quality-based keeper selection — the
+    * production end of the dedup pipeline: MinHash-LSH pairs → d6's
+    * clusters → keep the HIGHEST-QUALITY member of each cluster (t2's
+    * quality score, min doc_id tiebreak); unclustered docs survive as
+    * their own keeper. Contrast d1b, which applies EXACT dedup with a
+    * min-id keeper — at corpus scale the near-dup keeper must be
+    * quality-ranked or dedup silently prefers whichever near-copy has
+    * the smallest id. One row_number window over the cluster key. */
+  val d11KeeperApply: Q = (s, dir) => {
+    val docs = nearCorpus(s, dir)
+    val q = docs.select(col("doc_id"),
+      round(TextOps.qualityScore(col("text")), 6).as("quality"))
+    val cl = Dedup.connectedComponents(lshPairs(s, dir))
+    val labeled = q.join(cl, q("doc_id") === cl("node"), "left")
+      .select(col("doc_id"), col("quality"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("quality").desc, col("doc_id"))
+    labeled.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("cluster"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  val d11KeeperApplySql: String =
+    nearCorpusCte.replace("WITH ", "WITH RECURSIVE ") + lshPairsCte +
+    """,
+      |sym AS (SELECT doc_a AS src, doc_b AS dst FROM lshp
+      |        UNION ALL SELECT doc_b, doc_a FROM lshp),
+      |reach AS (
+      |  SELECT src, dst FROM sym
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN sym e ON e.src = r.dst
+      |),
+      |cl AS (
+      |  SELECT node, MIN(lbl) AS cluster FROM (
+      |    SELECT src AS node, dst AS lbl FROM reach
+      |    UNION ALL
+      |    SELECT DISTINCT src AS node, src AS lbl FROM sym)
+      |  GROUP BY node),
+      |qual AS (
+      |  SELECT doc_id, ROUND((
+      |    (CASE WHEN n >= 100 AND n <= 5000 THEN 1.0 WHEN n >= 20 THEN 0.5 ELSE 0.0 END) +
+      |    (CASE WHEN CAST(punct AS DOUBLE) / GREATEST(n, 1) <= 0.1 THEN 1.0
+      |          WHEN CAST(punct AS DOUBLE) / GREATEST(n, 1) <= 0.25 THEN 0.5 ELSE 0.0 END) +
+      |    (CASE WHEN toks >= 10 THEN 1.0 WHEN toks >= 3 THEN 0.5 ELSE 0.0 END)
+      |  ) / 3.0, 6) AS quality
+      |  FROM (SELECT doc_id, length(text) AS n,
+      |          CASE WHEN length(trim(text)) = 0 THEN 0
+      |               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+      |          length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct
+      |        FROM corpus)),
+      |labeled AS (
+      |  SELECT q.doc_id, q.quality, COALESCE(cl.cluster, q.doc_id) AS cluster
+      |  FROM qual q LEFT JOIN cl ON cl.node = q.doc_id),
+      |ranked AS (
+      |  SELECT doc_id, cluster, quality, row_number() OVER (
+      |    PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rk
+      |  FROM labeled)
+      |SELECT doc_id, cluster, quality FROM ranked WHERE rk = 1
+      |ORDER BY doc_id""".stripMargin
+
   /** T29: polynomial rolling-hash fingerprint (Rabin-Karp) of the
     * normalized text — h = fold((acc·31 + codepoint) mod 1e9+7), the
     * incremental-update fingerprint family behind substring dedup and
@@ -708,6 +770,7 @@ object TextQueries {
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d10_edit_neighbors" -> d10EditNeighbors,
     "d6_dup_clusters" -> d6DupClusters,
+    "d11_keeper_apply" -> d11KeeperApply,
     "g1_triangle_count" -> g1TriangleCount,
     "g3_kcore" -> g3Kcore,
   )
@@ -729,6 +792,7 @@ object TextQueries {
     "d4_ngram_jaccard" -> d4NgramJaccardSql,
     "d10_edit_neighbors" -> d10EditNeighborsSql,
     "d6_dup_clusters" -> d6DupClustersSql,
+    "d11_keeper_apply" -> d11KeeperApplySql,
     "g1_triangle_count" -> g1TriangleCountSql,
     "g3_kcore" -> g3KcoreSql,
   )

@@ -224,6 +224,38 @@ object CorpusQueries {
       |  (SELECT COUNT(*) FROM (SELECT fp FROM b EXCEPT SELECT fp FROM a)) AS only_b,
       |  (SELECT COUNT(*) FROM (SELECT fp FROM a INTERSECT SELECT fp FROM b)) AS n_both""".stripMargin
 
+  /** U4: BAG-semantics set operations — EXCEPT ALL / INTERSECT ALL on
+    * return flags between the low-quantity and high-quantity lineitem
+    * multisets. The multiset corner u3's distinct forms don't cover:
+    * EXCEPT ALL keeps max(m−n, 0) copies and INTERSECT ALL min(m, n),
+    * so duplicates carry through — the semantics reconciliation jobs
+    * need when row multiplicity IS the signal. Both engines implement
+    * true bag semantics; the result is summarized per flag so the
+    * oracle compares counts, not row order. */
+  val u4BagSetOps: Q = (s, dir) => {
+    val li = Graft.table(s, dir, "lineitem")
+    val a = li.filter(col("l_quantity") < 25).select("l_returnflag")
+    val b = li.filter(col("l_quantity") > 10).select("l_returnflag")
+    a.exceptAll(b).groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("l_returnflag"), col("n"))
+      .unionByName(
+        a.intersectAll(b).groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+          .select(lit("intersect_all").as("op"), col("l_returnflag"), col("n")))
+      .orderBy("op", "l_returnflag")
+  }
+
+  val u4BagSetOpsSql: String =
+    """WITH a AS (SELECT l_returnflag FROM lineitem WHERE l_quantity < 25),
+      |b AS (SELECT l_returnflag FROM lineitem WHERE l_quantity > 10)
+      |SELECT 'except_all' AS op, l_returnflag, COUNT(*) AS n
+      |FROM (SELECT l_returnflag FROM a EXCEPT ALL SELECT l_returnflag FROM b)
+      |GROUP BY l_returnflag
+      |UNION ALL
+      |SELECT 'intersect_all', l_returnflag, COUNT(*)
+      |FROM (SELECT l_returnflag FROM a INTERSECT ALL SELECT l_returnflag FROM b)
+      |GROUP BY l_returnflag
+      |ORDER BY op, l_returnflag""".stripMargin
+
   /** T25: Zipf rank-frequency slope — fit ln(freq) ~ ln(rank) over the
     * top-100 tokens, the one-number sanity check that a corpus has
     * natural-language frequency structure (slope ≈ −1) rather than
@@ -295,6 +327,7 @@ object CorpusQueries {
     "t26_bpe_pairs" -> t26BpePairs,
     "t25_zipf_slope" -> t25ZipfSlope,
     "u3_set_ops" -> u3SetOps,
+    "u4_bag_set_ops" -> u4BagSetOps,
     "t19_source_profile" -> t19SourceProfile,
     "t18_seq_export" -> t18SeqExport,
     "t15_balanced_sample" -> t15BalancedSample,
@@ -306,6 +339,7 @@ object CorpusQueries {
     "t26_bpe_pairs" -> t26BpePairsSql,
     "t25_zipf_slope" -> t25ZipfSlopeSql,
     "u3_set_ops" -> u3SetOpsSql,
+    "u4_bag_set_ops" -> u4BagSetOpsSql,
     "t19_source_profile" -> t19SourceProfileSql,
     "t18_seq_export" -> t18SeqExportSql,
     "t15_balanced_sample" -> t15BalancedSampleSql,

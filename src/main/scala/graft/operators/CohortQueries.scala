@@ -150,15 +150,79 @@ object CohortQueries {
       |FROM dau JOIN wau ON wau.wday = dau.day
       |ORDER BY day""".stripMargin
 
+  /** F15: RFM segmentation — per user: recency (days since last
+    * purchase, against the global max event day), frequency (purchase
+    * count), monetary (exact-decimal purchase value sum), each bucketed
+    * into quintiles (5 = best) with user_id tiebreaks, plus the
+    * standard champion/at-risk/new/regular read of the (r, f) cell.
+    * Shape: events reduce to one row per user FIRST, so the global
+    * quintile windows run over the user aggregate (users ≪ events —
+    * the same aggregate-then-rank posture as a6's risk ranking); at
+    * extreme user counts the windows swap for broadcast quantile
+    * boundaries without changing semantics. Determinism: the monetary
+    * ranking key is the exact DECIMAL sum, never a float. */
+  val f15Rfm: Q = (s, dir) => {
+    val ev = eventsWithDay(s, dir)
+    val maxDay = ev.agg(max(col("day")).as("max_day"))
+    val users = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col("value").cast("decimal(28,12)")).as("mon"))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("recency", datediff(col("max_day"), col("last_day")).cast("long"))
+    users
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("recency").desc, col("user_id"))).cast("long"))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("freq").asc, col("user_id"))).cast("long"))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("mon").asc, col("user_id"))).cast("long"))
+      .select(col("user_id"), col("recency"), col("freq").cast("long").as("freq"),
+        q6(col("mon").cast("double")).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "recent")
+          .otherwise("regular").as("segment"))
+      .orderBy("user_id")
+  }
+
+  val f15RfmSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, value, CAST(ts AS DATE) AS day FROM events),
+      |md AS (SELECT MAX(day) AS max_day FROM ev),
+      |u AS (
+      |  SELECT user_id, MAX(day) AS last_day, COUNT(*) AS freq,
+      |    SUM(CAST(value AS DECIMAL(28,12))) AS mon
+      |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
+      |r AS (
+      |  SELECT user_id,
+      |    CAST(max_day - last_day AS BIGINT) AS recency, freq, mon,
+      |    CAST(ntile(5) OVER (ORDER BY max_day - last_day DESC, user_id) AS BIGINT) AS r_score,
+      |    CAST(ntile(5) OVER (ORDER BY freq ASC, user_id) AS BIGINT) AS f_score,
+      |    CAST(ntile(5) OVER (ORDER BY mon ASC, user_id) AS BIGINT) AS m_score
+      |  FROM u CROSS JOIN md)
+      |SELECT user_id, recency, CAST(freq AS BIGINT) AS freq,
+      |  floor(CAST(mon AS DOUBLE) * 1e6 + 0.5) / 1e6 AS monetary,
+      |  r_score, f_score, m_score,
+      |  CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+      |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+      |       WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'
+      |       ELSE 'regular' END AS segment
+      |FROM r ORDER BY user_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "f6_cohort" -> f6Cohort,
     "f9_stickiness" -> f9Stickiness,
+    "f15_rfm" -> f15Rfm,
     "a21_seasonality" -> a21Seasonality,
   )
 
   def oracle: Map[String, String] = Map(
     "f6_cohort" -> f6CohortSql,
     "f9_stickiness" -> f9StickinessSql,
+    "f15_rfm" -> f15RfmSql,
     "a21_seasonality" -> a21SeasonalitySql,
   )
 }

@@ -438,7 +438,116 @@ object MarketQueries {
       |LEFT JOIN g USING (lag)
       |ORDER BY l.lag""".stripMargin
 
+  private def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** I16: Keltner channels over daily bars — mid = SMA(20) of the
+    * typical price (h+l+c)/3, band = mid ± 2·ATR(10) (SMA-of-true-range
+    * ATR, i8's kernel at span 10). Both frame averages run through exact
+    * DECIMAL sums (order-independent across engines); the band offsets
+    * are then one shared IEEE chain on those exact doubles, quantized on
+    * the floor(x·1e6+0.5) grid. Same one-shuffle shape as i8/i15: the
+    * bars groupBy keys by user_id and every window reuses that layout. */
+  val i16Keltner: Q = (s, dir) =>
+    PatternQueries.dailyBars(s, dir)
+      .withColumn("tp", (col("high") + col("low") + col("close")) / 3)
+      .withColumn("tr",
+        Indicators.trueRange(col("high"), col("low"), col("close"), barKeys, barOrder))
+      .withColumn("rn", row_number().over(barsW))
+      .withColumn("mid",
+        sum(col("tp").cast("decimal(28,12)")).over(barsW.rowsBetween(-19, 0))
+          .cast("double") / 20)
+      .withColumn("atr",
+        sum(col("tr").cast("decimal(28,12)")).over(barsW.rowsBetween(-9, 0))
+          .cast("double") / 10)
+      .select(col("user_id"), col("day"),
+        when(col("rn") >= 20, q6(col("mid"))).as("mid"),
+        when(col("rn") >= 20, q6(col("mid") + lit(2.0) * col("atr"))).as("upper"),
+        when(col("rn") >= 20, q6(col("mid") - lit(2.0) * col("atr"))).as("lower"))
+      .orderBy("user_id", "day")
+
+  val i16KeltnerSql: String = PatternQueries.barsCte +
+    """,
+      |t AS (
+      |  SELECT user_id, day, high, low, close,
+      |    (high + low + close) / 3 AS tp,
+      |    lag(close) OVER w AS prev, row_number() OVER w AS rn
+      |  FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |tr AS (
+      |  SELECT user_id, day, tp, rn,
+      |    CASE WHEN prev IS NULL THEN high - low
+      |         ELSE GREATEST(high - low, ABS(high - prev), ABS(low - prev))
+      |    END AS tr
+      |  FROM t),
+      |sums AS (
+      |  SELECT user_id, day, rn,
+      |    CAST(SUM(CAST(tp AS DECIMAL(28,12))) OVER f20 AS DOUBLE) / 20 AS mid,
+      |    CAST(SUM(CAST(tr AS DECIMAL(28,12))) OVER f10 AS DOUBLE) / 10 AS atr
+      |  FROM tr
+      |  WINDOW f20 AS (PARTITION BY user_id ORDER BY day
+      |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+      |         f10 AS (PARTITION BY user_id ORDER BY day
+      |                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, day,
+      |  CASE WHEN rn >= 20 THEN floor(mid * 1e6 + 0.5) / 1e6 END AS mid,
+      |  CASE WHEN rn >= 20 THEN floor((mid + 2.0 * atr) * 1e6 + 0.5) / 1e6 END AS upper,
+      |  CASE WHEN rn >= 20 THEN floor((mid - 2.0 * atr) * 1e6 + 0.5) / 1e6 END AS lower
+      |FROM sums ORDER BY user_id, day""".stripMargin
+
+  /** A23: per-series annualized return, Sharpe, and Sortino over daily
+    * close-to-close returns — the portfolio-grade risk summary one tier
+    * above a4's volatility. Every moment comes from exact decimal power
+    * sums (w13's policy): var = (Σr² − (Σr)²/n)/(n−1) and downside² =
+    * Σ min(r,0)²/n are then identical IEEE chains on exact doubles, so
+    * the √252-annualized ratios agree bit-for-bit before the final
+    * 1e-6 floor-grid. One shuffle (bars) + one keyed aggregation. */
+  val a23Sharpe: Q = (s, dir) => {
+    val rets = PatternQueries.dailyBars(s, dir)
+      .withColumn("ret", col("close") / lag(col("close"), 1).over(barsW) - 1.0)
+      .filter(col("ret").isNotNull)
+      .withColumn("dn", least(col("ret"), lit(0.0)))
+    rets.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("ret").cast("decimal(28,12)")).cast("double").as("s1"),
+        sum((col("ret") * col("ret")).cast("decimal(38,12)")).cast("double").as("s2"),
+        sum((col("dn") * col("dn")).cast("decimal(38,12)")).cast("double").as("sd2"))
+      .filter(col("n") >= 2)
+      .select(col("user_id"), col("n"),
+        q6(col("s1") / col("n") * lit(252.0)).as("ann_ret"),
+        when((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1) > 0,
+          q6((col("s1") / col("n")) /
+            sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)) *
+            sqrt(lit(252.0)))).as("sharpe"),
+        when(col("sd2") > 0,
+          q6((col("s1") / col("n")) / sqrt(col("sd2") / col("n")) *
+            sqrt(lit(252.0)))).as("sortino"))
+      .orderBy("user_id")
+  }
+
+  val a23SharpeSql: String = PatternQueries.barsCte +
+    """,
+      |r AS (
+      |  SELECT user_id,
+      |    close / lag(close) OVER (PARTITION BY user_id ORDER BY day) - 1.0 AS ret
+      |  FROM bars),
+      |m AS (
+      |  SELECT user_id, COUNT(*) AS n,
+      |    CAST(SUM(CAST(ret AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(ret * ret AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(LEAST(ret, 0.0) * LEAST(ret, 0.0) AS DECIMAL(38,12))) AS DOUBLE) AS sd2
+      |  FROM r WHERE ret IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, n,
+      |  floor(s1 / n * 252.0 * 1e6 + 0.5) / 1e6 AS ann_ret,
+      |  CASE WHEN (s2 - s1 * s1 / n) / (n - 1) > 0 THEN
+      |    floor((s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) * sqrt(252.0) * 1e6 + 0.5) / 1e6
+      |  END AS sharpe,
+      |  CASE WHEN sd2 > 0 THEN
+      |    floor((s1 / n) / sqrt(sd2 / n) * sqrt(252.0) * 1e6 + 0.5) / 1e6
+      |  END AS sortino
+      |FROM m WHERE n >= 2 ORDER BY user_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "i16_keltner" -> i16Keltner,
+    "a23_sharpe" -> a23Sharpe,
     "x6_crosscorr" -> x6CrossCorr,
     "z1_zscore_spread" -> z1ZscoreSpread,
     "i8_atr" -> i8Atr,
@@ -452,6 +561,8 @@ object MarketQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "i16_keltner" -> i16KeltnerSql,
+    "a23_sharpe" -> a23SharpeSql,
     "x6_crosscorr" -> x6CrossCorrSql,
     "z1_zscore_spread" -> z1ZscoreSpreadSql,
     "i8_atr" -> i8AtrSql,

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Graft
 import graft.Graft.Q
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -171,9 +171,13 @@ object OpsQueries {
     * (pure integer adds). Each new rank is then one fixed IEEE chain
     * over that exact integer — no decimal casts of doubles (those
     * disagree on virtual ties; see MarketQueries numeric policy). */
-  val g2Pagerank: Q = (s, dir) => {
+  /** Supplier-nation → customer-nation trade graph shared by g2/g4:
+    * edge (src, dst, w) = number of lineitems shipped from a supplier
+    * in src to a customer in dst (the q7-style fact join, one keyed
+    * shuffle per join, both nation sides broadcast). */
+  private def nationEdges(s: SparkSession, dir: String): DataFrame = {
     val nat = Graft.table(s, dir, "nation")
-    val edges = Graft.materialize(
+    Graft.materialize(
       Graft.table(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
         .join(Graft.table(s, dir, "orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
@@ -186,6 +190,19 @@ object OpsQueries {
         .join(broadcast(nat.select(col("n_nationkey").as("ck"), col("n_name").as("dst"))),
           col("c_nationkey") === col("ck"))
         .groupBy("src", "dst").agg(count(lit(1)).as("w")))
+  }
+
+  private val nationEdgesCte: String =
+    """edges AS (
+      |  SELECT n1.n_name AS src, n2.n_name AS dst, COUNT(*) AS w
+      |  FROM lineitem l, orders o, customer c, supplier s, nation n1, nation n2
+      |  WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+      |    AND l.l_suppkey = s.s_suppkey
+      |    AND s.s_nationkey = n1.n_nationkey AND c.c_nationkey = n2.n_nationkey
+      |  GROUP BY 1, 2)""".stripMargin
+
+  val g2Pagerank: Q = (s, dir) => {
+    val edges = nationEdges(s, dir)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst"))).distinct()
     val cnt = nodes.agg(count(lit(1)).as("n"))
@@ -223,13 +240,8 @@ object OpsQueries {
   }
 
   val g2PagerankSql: String =
-    """WITH edges AS (
-      |  SELECT n1.n_name AS src, n2.n_name AS dst, COUNT(*) AS w
-      |  FROM lineitem l, orders o, customer c, supplier s, nation n1, nation n2
-      |  WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
-      |    AND l.l_suppkey = s.s_suppkey
-      |    AND s.s_nationkey = n1.n_nationkey AND c.c_nationkey = n2.n_nationkey
-      |  GROUP BY 1, 2),
+    "WITH " + nationEdgesCte +
+    """,
       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
       |cnt AS (SELECT COUNT(*) AS n FROM nodes),
       |ow AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
@@ -249,6 +261,61 @@ object OpsQueries {
       |r2 AS (SELECT node, 0.15 / CAST(n AS DOUBLE) + 0.85 * ((COALESCE(mass, 0) + dmass) / 1e12) AS r
       |       FROM nodes CROSS JOIN cnt CROSS JOIN d2 LEFT JOIN c2 ON node = c2.dst)
       |SELECT node, r FROM r2 ORDER BY r DESC, node""".stripMargin
+
+  /** G4: community detection by synchronous weighted label propagation
+    * over the undirected nation trade graph (g2's edges, symmetrized,
+    * self-loops dropped) — 3 unrolled rounds of "adopt the label with
+    * the highest incident edge weight, ties to the lexicographically
+    * smallest label", seeded with each node's own name. Deterministic
+    * end to end (integer weights, total tie order), unlike the
+    * random-order LPA in the literature — a cluster run must reproduce.
+    * Scale shape: each round is ONE keyed join of the edge list against
+    * the 1-row-per-node label frame plus one aggregation — the same
+    * per-superstep cost as g2, nothing driver-side. */
+  val g4LabelProp: Q = (s, dir) => {
+    val e = nationEdges(s, dir)
+    val und = Graft.materialize(
+      e.select(col("src").as("u"), col("dst").as("v"), col("w"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v"), col("w")))
+        .filter(col("u") =!= col("v"))
+        .groupBy("u", "v").agg(sum("w").as("w")))
+    var labels = und.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    val rk = Window.partitionBy("u").orderBy(col("wsum").desc, col("lbl"))
+    for (_ <- 1 to 3) {
+      val votes = und
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy("u", "lbl").agg(sum("w").as("wsum"))
+      labels = Graft.materialize(
+        votes.withColumn("rk", row_number().over(rk)).filter(col("rk") === 1)
+          .select(col("u").as("node"), col("lbl")))
+    }
+    labels.select(col("node"), col("lbl").as("label")).orderBy("node")
+  }
+
+  val g4LabelPropSql: String = {
+    val round = (r: Int) =>
+      s""",
+        |v$r AS (
+        |  SELECT e.u, lb.lbl, SUM(e.w) AS wsum
+        |  FROM und e JOIN l${r - 1} lb ON lb.node = e.v GROUP BY 1, 2),
+        |l$r AS (
+        |  SELECT u AS node, lbl FROM (
+        |    SELECT u, lbl,
+        |      row_number() OVER (PARTITION BY u ORDER BY wsum DESC, lbl) AS rk
+        |    FROM v$r) WHERE rk = 1)""".stripMargin
+    "WITH " + nationEdgesCte +
+      """,
+        |und AS (
+        |  SELECT u, v, SUM(w) AS w FROM (
+        |    SELECT src AS u, dst AS v, w FROM edges
+        |    UNION ALL SELECT dst, src, w FROM edges)
+        |  WHERE u <> v GROUP BY u, v),
+        |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und)""".stripMargin +
+      (1 to 3).map(round).mkString +
+      """
+        |SELECT node, lbl AS label FROM l3 ORDER BY node""".stripMargin
+  }
 
   /** E3: column profile of the events table — per-column row/null/
     * distinct counts plus numeric min/max, the schema-drift and
@@ -590,6 +657,7 @@ object OpsQueries {
     "e5_zonemap_prune" -> e5ZonemapPrune,
     "k8_zorder" -> k8Zorder,
     "g2_pagerank" -> g2Pagerank,
+    "g4_label_prop" -> g4LabelProp,
   )
 
   def oracle: Map[String, String] = Map(
@@ -602,5 +670,6 @@ object OpsQueries {
     "e5_zonemap_prune" -> e5ZonemapPruneSql,
     "k8_zorder" -> k8ZorderSql,
     "g2_pagerank" -> g2PagerankSql,
+    "g4_label_prop" -> g4LabelPropSql,
   )
 }

@@ -305,7 +305,135 @@ object StatQueries {
       |GROUP BY user_id, word HAVING COUNT(*) >= 2
       |ORDER BY n_occ DESC, user_id, word LIMIT 50""".stripMargin
 
+  /** W14: two-sided CUSUM change detection over daily close-to-close
+    * returns — s⁺ₜ = max(0, s⁺ₜ₋₁ + rₜ − k), s⁻ₜ = max(0, s⁻ₜ₋₁ − rₜ − k)
+    * with slack k = 5e-4, alarm when either side crosses h = 0.05: the
+    * classic sequential drift detector a production pipeline runs beside
+    * its metrics. The recurrence is not a SQL window frame, so it runs
+    * as the EMA-family flatMapGroups kernel (one shuffle keyed by
+    * series, one in-memory scan per series — [[graft.ta.Indicators]]);
+    * the oracle replays it as a recursive CTE stepping rn → rn+1. Every
+    * step is the same IEEE chain on both engines (the max-with-zero is
+    * spelled `if (x > 0) x else 0` so a −0.0 can never leak out), so
+    * states match bit-for-bit before the final 1e-6 floor-grid. */
+  val w14Cusum: Q = (s, dir) => {
+    import s.implicits._
+    val k = 5e-4; val h = 0.05
+    PatternQueries.dailyBars(s, dir)
+      .select(col("user_id").cast("long"), col("day").cast("string"),
+        col("close").cast("double"))
+      .as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, String, Double)]) =>
+        val pts = it.toArray.sortBy(_._2) // ISO day strings sort chronologically
+        var sp = 0.0; var sn = 0.0
+        (1 until pts.length).iterator.map { i =>
+          val ret = pts(i)._3 / pts(i - 1)._3 - 1.0
+          val xp = sp + ret - k; sp = if (xp > 0) xp else 0.0
+          val xn = sn - ret - k; sn = if (xn > 0) xn else 0.0
+          (uid, pts(i)._2, sp, sn, sp > h || sn > h)
+        }
+      }
+      .toDF("user_id", "day", "sp", "sn", "alarm")
+      .select(col("user_id"), to_date(col("day")).as("day"),
+        q6(col("sp")).as("cusum_pos"), q6(col("sn")).as("cusum_neg"),
+        col("alarm"))
+      .orderBy("user_id", "day")
+  }
+
+  val w14CusumSql: String =
+    PatternQueries.barsCte.replace("WITH ", "WITH RECURSIVE ") +
+    """,
+      |r AS (
+      |  SELECT user_id, day, row_number() OVER w AS rn,
+      |    close / lag(close) OVER w - 1.0 AS ret
+      |  FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |c AS (
+      |  SELECT user_id, rn, day,
+      |    CAST(0 AS DOUBLE) AS sp, CAST(0 AS DOUBLE) AS sn
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.user_id, o.rn, o.day,
+      |    CASE WHEN p.sp + o.ret - 0.0005 > 0 THEN p.sp + o.ret - 0.0005 ELSE 0 END,
+      |    CASE WHEN p.sn - o.ret - 0.0005 > 0 THEN p.sn - o.ret - 0.0005 ELSE 0 END
+      |  FROM c p JOIN r o ON o.user_id = p.user_id AND o.rn = p.rn + 1)
+      |SELECT user_id, day,
+      |  floor(sp * 1e6 + 0.5) / 1e6 AS cusum_pos,
+      |  floor(sn * 1e6 + 0.5) / 1e6 AS cusum_neg,
+      |  (sp > 0.05 OR sn > 0.05) AS alarm
+      |FROM c WHERE rn >= 2 ORDER BY user_id, day""".stripMargin
+
+  /** T35: per-source token-distribution drift — Jensen–Shannon
+    * divergence (in bits) of each source's unigram distribution against
+    * the corpus-wide distribution: the "which feed changed its language"
+    * monitor that complements e6's numeric PSI. Support is the full
+    * corpus vocabulary per source (a source-absent term still contributes
+    * its q-side mass — dropping those understates drift), built as
+    * vocab × source with a left join of per-source counts, never a
+    * dense matrix. Probabilities are single divisions of exact integers;
+    * each JSD term goes through ln (bit-agreeing cross-engine, t17/x7),
+    * snaps to DECIMAL, and sums order-independently; /ln 2 converts to
+    * bits at the end. */
+  val t35JsdDrift: Q = (s, dir) => {
+    val tok = Graft.table(s, dir, "documents")
+      .withColumn("term",
+        explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")))
+      .filter(col("term") =!= "")
+    val bySrc = tok.groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val srcTot = bySrc.groupBy("source").agg(sum("c").as("stot"))
+    val glob = Graft.materialize(
+      bySrc.groupBy("term").agg(sum("c").as("g"))
+        .crossJoin(tok.agg(count(lit(1)).as("gtot"))))
+    val full = srcTot.crossJoin(glob)
+      .join(bySrc, Seq("source", "term"), "left")
+      .select(col("source"),
+        (coalesce(col("c"), lit(0L)).cast("double") / col("stot")).as("p"),
+        (col("g").cast("double") / col("gtot")).as("q"),
+        col("c").isNotNull.as("present"))
+    full
+      .withColumn("term_nats",
+        when(col("p") > 0, lit(0.5) * col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))))
+          .otherwise(lit(0.0)) +
+        lit(0.5) * col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
+      .groupBy("source")
+      .agg(sum(when(col("present"), 1L).otherwise(0L)).as("n_terms"),
+        sum(col("term_nats").cast("decimal(28,12)")).cast("double").as("nats"))
+      .select(col("source"), col("n_terms"),
+        q6(col("nats") / log(lit(2.0))).as("jsd_bits"))
+      .orderBy("source")
+  }
+
+  val t35JsdDriftSql: String =
+    """WITH tok AS (
+      |  SELECT source,
+      |    unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+      |  FROM documents),
+      |bysrc AS (
+      |  SELECT source, term, COUNT(*) AS c
+      |  FROM tok WHERE term <> '' GROUP BY 1, 2),
+      |stot AS (SELECT source, SUM(c) AS stot FROM bysrc GROUP BY source),
+      |gdist AS (SELECT term, SUM(c) AS g FROM bysrc GROUP BY term),
+      |gtot AS (SELECT SUM(c) AS gtot FROM bysrc),
+      |full_t AS (
+      |  SELECT st.source,
+      |    CAST(COALESCE(b.c, 0) AS DOUBLE) / st.stot AS p,
+      |    CAST(gl.g AS DOUBLE) / gt.gtot AS q,
+      |    b.c IS NOT NULL AS present
+      |  FROM stot st CROSS JOIN gdist gl CROSS JOIN gtot gt
+      |  LEFT JOIN bysrc b ON b.source = st.source AND b.term = gl.term),
+      |terms AS (
+      |  SELECT source, present,
+      |    CASE WHEN p > 0 THEN 0.5 * p * ln(2.0 * p / (p + q)) ELSE 0.0 END
+      |      + 0.5 * q * ln(2.0 * q / (p + q)) AS term_nats
+      |  FROM full_t)
+      |SELECT source,
+      |  CAST(SUM(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+      |  floor(CAST(SUM(CAST(term_nats AS DECIMAL(28,12))) AS DOUBLE) / ln(2.0) * 1e6 + 0.5) / 1e6 AS jsd_bits
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "w14_cusum" -> w14Cusum,
+    "t35_jsd_drift" -> t35JsdDrift,
     "f7_ab_lift" -> f7AbLift,
     "e6_psi_drift" -> e6PsiDrift,
     "w13_rolling_moments" -> w13RollingMoments,
@@ -313,6 +441,8 @@ object StatQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "w14_cusum" -> w14CusumSql,
+    "t35_jsd_drift" -> t35JsdDriftSql,
     "f7_ab_lift" -> f7AbLiftSql,
     "e6_psi_drift" -> e6PsiDriftSql,
     "w13_rolling_moments" -> w13RollingMomentsSql,

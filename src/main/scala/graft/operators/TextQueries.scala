@@ -261,6 +261,43 @@ object TextQueries {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** D12: incremental-ingestion novelty — per document, the share of its
+    * distinct 3-shingles whose FIRST corpus occurrence (min doc_id) is
+    * this document: ~1.0 means genuinely new content, ~0.0 means the doc
+    * is recombined from already-seen text. The pre-dedup signal a
+    * training pipeline uses to triage an incoming batch before paying
+    * for pairwise near-dup. Scale shape: one shingle explode + one
+    * min-aggregation keyed by shingle + one join back — no pair join at
+    * all, so it stays linear in corpus size where d4 is candidate-bound. */
+  val d12Novelty: Q = (s, dir) => {
+    val sh = Dedup.shingles(nearCorpus(s, dir), 3)
+    val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel").cast("long").as("n_novel"),
+        (floor(col("n_novel").cast("double") / col("n_shingles") * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val d12NoveltySql: String = nearCorpusCte +
+    """,
+      |w AS (SELECT doc_id,
+      |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |      FROM corpus),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+      |       WHERE len(ws) >= 3 AND length(ws[i] || ws[i+1] || ws[i+2]) > 0),
+      |f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+      |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  floor(CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*) * 1e6 + 0.5) / 1e6 AS novelty
+      |FROM sh JOIN f USING (shingle)
+      |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+
   val d4NgramJaccardSql: String = nearCorpusCte +
     """,
       |w AS (SELECT doc_id,
@@ -768,6 +805,7 @@ object TextQueries {
     "d9_lsh_eval" -> d9LshEval,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
+    "d12_novelty" -> d12Novelty,
     "d10_edit_neighbors" -> d10EditNeighbors,
     "d6_dup_clusters" -> d6DupClusters,
     "d11_keeper_apply" -> d11KeeperApply,
@@ -790,6 +828,7 @@ object TextQueries {
     "d9_lsh_eval" -> d9LshEvalSql,
     "d3_simhash" -> d3SimhashSql,
     "d4_ngram_jaccard" -> d4NgramJaccardSql,
+    "d12_novelty" -> d12NoveltySql,
     "d10_edit_neighbors" -> d10EditNeighborsSql,
     "d6_dup_clusters" -> d6DupClustersSql,
     "d11_keeper_apply" -> d11KeeperApplySql,

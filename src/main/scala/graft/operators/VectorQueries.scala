@@ -196,6 +196,78 @@ object VectorQueries {
       |SELECT query_id, neighbor_id, cos, rank FROM ranked
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** V10: ANN index quality evaluation — recall@5 of the IVF probe path
+    * (v4's exact configuration) against the brute-force exact top-5 over
+    * the same corpus and query set: the d9-style "measure before you
+    * trust the index at scale" gate, for vectors. Both sides rank on
+    * 6-dp-rounded cosine with id tiebreaks, so the recall numbers are
+    * engine-exact, not approximately compared. Scale shape: truth is the
+    * only brute-force piece and it is per-QUERY brute force (queries ×
+    * corpus, the standard eval harness on a sampled query set — the
+    * index path itself never sweeps). */
+  val v10RecallEval: Q = (s, dir) => {
+    val emb = Graft.table(s, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val queries = emb.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+    val truth = VectorOps.knnBrute(corpus, queries, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = VectorOps.ivfSearch(corpus, emb.filter(col("vec_id") < 8),
+        queries, k = 5, nprobe = 3)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_truth"), col("n_hit").cast("long").as("n_hit"),
+        (floor(col("n_hit").cast("double") / col("n_truth") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
+  val v10RecallEvalSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
+      |vec AS (SELECT vec_id, e FROM v WHERE vec_id >= 8),
+      |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id >= 8 AND vec_id < 13),
+      |truth AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, vec.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY ROUND(list_cosine_similarity(q.qe, vec.e), 6) DESC, vec.vec_id) AS rank
+      |    FROM vec CROSS JOIN q WHERE vec.vec_id <> q.query_id)
+      |  WHERE rank <= 5),
+      |assign AS (
+      |  SELECT vec_id AS neighbor_id, centroid_id FROM (
+      |    SELECT vec.vec_id, c.centroid_id,
+      |      row_number() OVER (PARTITION BY vec.vec_id
+      |        ORDER BY ROUND(list_cosine_similarity(vec.e, c.ce), 6) DESC, c.centroid_id) AS rk
+      |    FROM vec CROSS JOIN c)
+      |  WHERE rk = 1),
+      |probes AS (
+      |  SELECT query_id, qe, centroid_id FROM (
+      |    SELECT q.query_id, q.qe, c.centroid_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY ROUND(list_cosine_similarity(q.qe, c.ce), 6) DESC, c.centroid_id) AS crk
+      |    FROM q CROSS JOIN c)
+      |  WHERE crk <= 3),
+      |approx AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT p.query_id, a.neighbor_id,
+      |      row_number() OVER (PARTITION BY p.query_id
+      |        ORDER BY ROUND(list_cosine_similarity(p.qe, vv.e), 6) DESC, a.neighbor_id) AS rank
+      |    FROM probes p
+      |    JOIN assign a ON a.centroid_id = p.centroid_id
+      |    JOIN vec vv ON vv.vec_id = a.neighbor_id
+      |    WHERE a.neighbor_id <> p.query_id)
+      |  WHERE rank <= 5)
+      |SELECT t.query_id, COUNT(*) AS n_truth,
+      |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  floor(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*) * 1e6 + 0.5) / 1e6 AS recall
+      |FROM truth t LEFT JOIN approx a
+      |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+
   /** V5: k-means training step — element-wise mean of the vectors in
     * each IVF cluster (the centroid update that pairs with v2's assign).
     * posexplode → one (cluster, dim) keyed aggregation: d×k cells,
@@ -568,6 +640,7 @@ object VectorQueries {
     "m3_media_neardup" -> m3MediaNeardup,
     "v5_centroid_update" -> v5CentroidUpdate,
     "v4_ivf_search" -> v4IvfSearch,
+    "v10_recall_eval" -> v10RecallEval,
     "v1_knn_brute" -> v1KnnBrute,
     "v2_ivf_assign" -> v2IvfAssign,
     "v3_lsh_buckets" -> v3LshBuckets,
@@ -585,6 +658,7 @@ object VectorQueries {
     "m3_media_neardup" -> m3MediaNeardupSql,
     "v5_centroid_update" -> v5CentroidUpdateSql,
     "v4_ivf_search" -> v4IvfSearchSql,
+    "v10_recall_eval" -> v10RecallEvalSql,
     "v1_knn_brute" -> v1KnnBruteSql,
     "v2_ivf_assign" -> v2IvfAssignSql,
     "v3_lsh_buckets" -> v3LshBucketsSql,

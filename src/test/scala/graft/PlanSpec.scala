@@ -351,4 +351,57 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("FullOuter"), s"must plan a genuine full-outer join:\n$p")
     assert("HashAggregate".r.findAllIn(p).length >= 4, "expect partial+final agg per side")
   }
+
+  test("i16 Keltner: both frame windows share the single bars shuffle") {
+    val p = plan(graft.operators.MarketQueries.i16Keltner(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    // bars repartition + final orderBy range exchange; the mid/atr/rn
+    // windows all partition by the same user_id layout
+    assert(exchanges <= 3, s"frame windows must not re-shuffle:\n$p")
+  }
+
+  test("a23 Sharpe: events reduce through partial+final aggregation, no cartesian") {
+    val p = plan(graft.operators.MarketQueries.a23Sharpe(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "expect partial+final agg")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("w14 CUSUM: one series shuffle feeds the recurrence kernel") {
+    val p = plan(graft.operators.StatQueries.w14Cusum(spark, sf))
+    assert(p.contains("MapGroups"), s"expected the flatMapGroups kernel:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t35 JSD: vocab-by-source support build never degenerates to a cartesian of rows") {
+    val p = plan(graft.operators.StatQueries.t35JsdDrift(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"support join must broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "per-source and global distributions each need partial+final aggs")
+  }
+
+  test("f15 RFM: quintile windows run over the user aggregate, not raw events") {
+    val p = plan(graft.operators.CohortQueries.f15Rfm(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "users must aggregate first")
+    assert(p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("g4 label propagation: every vote round is a keyed equi-join on the edge list") {
+    val p = plan(graft.operators.OpsQueries.g4LabelProp(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"vote join must stay keyed:\n$p")
+  }
+
+  test("d12 novelty: first-occurrence join stays keyed on shingle, partial-agg reduced") {
+    val p = plan(graft.operators.TextQueries.d12Novelty(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"shingle join must stay keyed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no theta-join fallback:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "expect partial+final agg")
+  }
+
+  test("v10 recall eval: truth/approx compare joins stay equi-joins") {
+    val p = plan(graft.operators.VectorQueries.v10RecallEval(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"only the per-query brute-force scoring may fan out, as BNLJ:\n$p")
+  }
 }

@@ -293,7 +293,18 @@ object Dedup {
     val nodes = half.select(col("lo").as("node"))
       .unionByName(half.select(col("hi").as("node"))).distinct()
     var edges = half
-    var prevCount = edges.count()
+    // Cheap per-round fingerprint: (count, wrapping sum of per-edge
+    // xxhash64). One agg job; equality is necessary for set equality,
+    // so the EXACT exceptAll confirmation below only ever runs when the
+    // fingerprint already matches (≈ once, at the true fixed point) —
+    // not on every round where the count alone happens to tie (star
+    // alternations often preserve edge COUNT long before they
+    // converge; the count-only check paid an exceptAll job per round).
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum(xxhash64(col("lo"), col("hi"))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var (prevCount, prevChk) = fingerprint(edges)
     var rounds = 0
     var done = prevCount == 0L
     val debug = sys.env.contains("SPARK_GRAFT_DEBUG")
@@ -315,9 +326,10 @@ object Dedup {
           .unionByName(m2.select(col("m"), col("hi").as("x")))
           .filter(col("m") =!= col("x"))
           .select(col("m").as("lo"), col("x").as("hi")).distinct())
-      val c = next.count()
-      done = c == prevCount && next.exceptAll(edges).isEmpty
+      val (c, chk) = fingerprint(next)
+      done = c == prevCount && chk == prevChk && next.exceptAll(edges).isEmpty
       prevCount = c
+      prevChk = chk
       edges = next
       rounds += 1
       if (debug)

@@ -545,7 +545,85 @@ object MarketQueries {
       |  END AS sortino
       |FROM m WHERE n >= 2 ORDER BY user_id""".stripMargin
 
+  /** W15: RiskMetrics EWMA correlation (λ = 0.94) between the user-1 and
+    * user-2 series, positionally aligned — the decayed covariance /
+    * variance recurrences every risk engine runs instead of a boxcar
+    * rolling corr (w10): recent co-movement dominates, old shocks decay
+    * geometrically. cov_t = λ·cov_{t−1} + (1−λ)·ra·rb (vars likewise,
+    * seeded at the first aligned return pair). Not a SQL window frame,
+    * so it runs as a per-PAIR recurrence kernel (this query's one pair =
+    * one task; a pair UNIVERSE parallelizes by pair key) and the oracle
+    * replays the identical chain in a recursive CTE. The λ constants are
+    * written 0.94/0.06 on BOTH sides — deriving 1−0.94 at runtime gives
+    * 0.06000000000000005 and a bit-mismatch. */
+  val w15EwmCorr: Q = (s, dir) => {
+    import s.implicits._
+    def rets(uid: Int) = Graft.events(s, dir).filter(col("user_id") === uid)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")))
+      .withColumn("ret", col("value") / lag(col("value"), 1).over(
+        Window.partitionBy("user_id").orderBy("pos")) - 1.0)
+      .filter(col("ret").isNotNull)
+      .select(col("pos"), col("ret"))
+    val aligned = rets(1).withColumnRenamed("ret", "ra")
+      .join(rets(2).withColumnRenamed("ret", "rb"), "pos")
+      .select(col("pos").cast("long"), col("ra"), col("rb"))
+    aligned.as[(Long, Double, Double)]
+      .groupByKey(_ => 0L)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Double, Double)]) =>
+        val pts = it.toArray.sortBy(_._1)
+        var cov = 0.0; var va = 0.0; var vb = 0.0
+        pts.iterator.zipWithIndex.map { case ((pos, ra, rb), i) =>
+          if (i == 0) { cov = ra * rb; va = ra * ra; vb = rb * rb }
+          else {
+            cov = 0.94 * cov + 0.06 * (ra * rb)
+            va = 0.94 * va + 0.06 * (ra * ra)
+            vb = 0.94 * vb + 0.06 * (rb * rb)
+          }
+          // NaN = "undefined" sentinel (a boxed-null tuple field has no
+          // implicit encoder); nulled out right below
+          val corr =
+            if (va > 0 && vb > 0) math.floor(cov / math.sqrt(va * vb) * 1e6 + 0.5) / 1e6
+            else Double.NaN
+          (pos, corr)
+        }
+      }
+      .toDF("pos", "corr_raw")
+      .select(col("pos"),
+        when(isnan(col("corr_raw")), lit(null)).otherwise(col("corr_raw")).as("ewm_corr"))
+      .orderBy("pos")
+  }
+
+  val w15EwmCorrSql: String =
+    """WITH RECURSIVE p AS (
+      |  SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      |  FROM events WHERE user_id IN (1, 2)),
+      |r AS (
+      |  SELECT user_id, pos,
+      |    value / lag(value) OVER (PARTITION BY user_id ORDER BY pos) - 1.0 AS ret
+      |  FROM p),
+      |s AS (
+      |  SELECT a.pos, a.ret AS ra, b.ret AS rb,
+      |    row_number() OVER (ORDER BY a.pos) AS rn
+      |  FROM r a JOIN r b ON b.pos = a.pos AND a.user_id = 1 AND b.user_id = 2
+      |  WHERE a.ret IS NOT NULL AND b.ret IS NOT NULL),
+      |e AS (
+      |  SELECT rn, pos, ra * rb AS cov, ra * ra AS va, rb * rb AS vb
+      |  FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.rn, o.pos,
+      |    0.94 * e.cov + 0.06 * (o.ra * o.rb),
+      |    0.94 * e.va + 0.06 * (o.ra * o.ra),
+      |    0.94 * e.vb + 0.06 * (o.rb * o.rb)
+      |  FROM e JOIN s o ON o.rn = e.rn + 1)
+      |SELECT pos,
+      |  CASE WHEN va > 0 AND vb > 0
+      |       THEN floor(cov / sqrt(va * vb) * 1e6 + 0.5) / 1e6 END AS ewm_corr
+      |FROM e ORDER BY pos""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "w15_ewm_corr" -> w15EwmCorr,
     "i16_keltner" -> i16Keltner,
     "a23_sharpe" -> a23Sharpe,
     "x6_crosscorr" -> x6CrossCorr,
@@ -561,6 +639,7 @@ object MarketQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "w15_ewm_corr" -> w15EwmCorrSql,
     "i16_keltner" -> i16KeltnerSql,
     "a23_sharpe" -> a23SharpeSql,
     "x6_crosscorr" -> x6CrossCorrSql,

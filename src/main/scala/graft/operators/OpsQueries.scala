@@ -201,6 +201,24 @@ object OpsQueries {
       |    AND s.s_nationkey = n1.n_nationkey AND c.c_nationkey = n2.n_nationkey
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** Symmetrized (self-loop-free, weight-merged) view of [[nationEdges]],
+    * shared by g4's label propagation and g5's BFS. */
+  private def undNationEdges(s: SparkSession, dir: String): DataFrame = {
+    val e = nationEdges(s, dir)
+    Graft.materialize(
+      e.select(col("src").as("u"), col("dst").as("v"), col("w"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v"), col("w")))
+        .filter(col("u") =!= col("v"))
+        .groupBy("u", "v").agg(sum("w").as("w")))
+  }
+
+  private val undNationEdgesCte: String =
+    """und AS (
+      |  SELECT u, v, SUM(w) AS w FROM (
+      |    SELECT src AS u, dst AS v, w FROM edges
+      |    UNION ALL SELECT dst, src, w FROM edges)
+      |  WHERE u <> v GROUP BY u, v)""".stripMargin
+
   val g2Pagerank: Q = (s, dir) => {
     val edges = nationEdges(s, dir)
     val nodes = edges.select(col("src").as("node"))
@@ -273,12 +291,7 @@ object OpsQueries {
     * the 1-row-per-node label frame plus one aggregation — the same
     * per-superstep cost as g2, nothing driver-side. */
   val g4LabelProp: Q = (s, dir) => {
-    val e = nationEdges(s, dir)
-    val und = Graft.materialize(
-      e.select(col("src").as("u"), col("dst").as("v"), col("w"))
-        .unionByName(e.select(col("dst").as("u"), col("src").as("v"), col("w")))
-        .filter(col("u") =!= col("v"))
-        .groupBy("u", "v").agg(sum("w").as("w")))
+    val und = undNationEdges(s, dir)
     var labels = und.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     val rk = Window.partitionBy("u").orderBy(col("wsum").desc, col("lbl"))
@@ -304,18 +317,100 @@ object OpsQueries {
         |    SELECT u, lbl,
         |      row_number() OVER (PARTITION BY u ORDER BY wsum DESC, lbl) AS rk
         |    FROM v$r) WHERE rk = 1)""".stripMargin
-    "WITH " + nationEdgesCte +
+    "WITH " + nationEdgesCte + ",\n" + undNationEdgesCte +
       """,
-        |und AS (
-        |  SELECT u, v, SUM(w) AS w FROM (
-        |    SELECT src AS u, dst AS v, w FROM edges
-        |    UNION ALL SELECT dst, src, w FROM edges)
-        |  WHERE u <> v GROUP BY u, v),
         |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und)""".stripMargin +
       (1 to 3).map(round).mkString +
       """
         |SELECT node, lbl AS label FROM l3 ORDER BY node""".stripMargin
   }
+
+
+  /** G5: multi-source BFS hop distance — how many trade-graph hops each
+    * nation sits from the nearest ASIA nation (seeds at distance 0),
+    * 3 unrolled min-plus relaxation rounds: the reachability/radius
+    * primitive that complements g2 (mass flow), g4 (communities), and
+    * the CC family (membership). Each round is one keyed join of the
+    * edge list against the frontier distances + one min-aggregation —
+    * the Pregel superstep shape; unreached nodes stay absent (no
+    * sentinel ∞ row to keep dense at scale). */
+  val g5BfsHops: Q = (s, dir) => {
+    val und = undNationEdges(s, dir)
+    val seeds = und.select(col("u").as("node")).distinct()
+      .join(Graft.table(s, dir, "nation")
+          .select(col("n_name").as("node"), col("n_regionkey")), "node")
+      .join(broadcast(Graft.table(s, dir, "region")
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey").as("n_regionkey"))),
+        "n_regionkey")
+      .select(col("node"), lit(0L).as("dist"))
+    var dist = Graft.materialize(seeds)
+    for (_ <- 1 to 3) {
+      val relaxed = und.join(dist.withColumnRenamed("node", "v"), "v")
+        .select(col("u").as("node"), (col("dist") + 1L).as("dist"))
+      dist = Graft.materialize(
+        dist.unionByName(relaxed).groupBy("node").agg(min("dist").as("dist")))
+    }
+    dist.orderBy("node")
+  }
+
+  val g5BfsHopsSql: String = {
+    val round = (r: Int) =>
+      s""",
+        |d$r AS (
+        |  SELECT node, MIN(dist) AS dist FROM (
+        |    SELECT node, dist FROM d${r - 1}
+        |    UNION ALL
+        |    SELECT e.u AS node, d.dist + 1 AS dist
+        |    FROM und e JOIN d${r - 1} d ON d.node = e.v)
+        |  GROUP BY node)""".stripMargin
+    "WITH " + nationEdgesCte + ",\n" + undNationEdgesCte +
+      """,
+        |seeds AS (
+        |  SELECT DISTINCT und.u AS node FROM und
+        |  JOIN nation n ON n.n_name = und.u
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'),
+        |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds)""".stripMargin +
+      (1 to 3).map(round).mkString +
+      """
+        |SELECT node, dist FROM d3 ORDER BY node""".stripMargin
+  }
+
+  /** E10: small-file compaction plan — the table-maintenance pass a
+    * 100 TB events table needs: per (event_type, day) partition cells
+    * (the "files"), bin-pack day-ordered cells into output files of
+    * ~5000 rows via bucket = floor(preceding-rows / target). One cell
+    * aggregation + one per-type running sum + one plan aggregation —
+    * all exact integer arithmetic, and the plan itself (files in, rows
+    * out, day span per output file) is the operator's output, exactly
+    * what an OPTIMIZE/compaction job would execute. */
+  val e10CompactionPlan: Q = (s, dir) => {
+    val cells = Graft.table(s, dir, "events")
+      .withColumn("day", to_date(expr("timestamp_micros(ts div 1000)")))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n_rows"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("bucket",
+        floor(coalesce(sum(col("n_rows")).over(w), lit(0L)) / lit(5000L)).cast("long"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).cast("long").as("rows_out"),
+        min(col("day")).as("day_min"), max(col("day")).as("day_max"))
+      .orderBy("event_type", "bucket")
+  }
+
+  val e10CompactionPlanSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_rows
+      |  FROM events GROUP BY 1, 2),
+      |b AS (
+      |  SELECT event_type, day, n_rows,
+      |    CAST(FLOOR(COALESCE(SUM(n_rows) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 5000) AS BIGINT) AS bucket
+      |  FROM cells)
+      |SELECT event_type, bucket, COUNT(*) AS n_files,
+      |  CAST(SUM(n_rows) AS BIGINT) AS rows_out,
+      |  MIN(day) AS day_min, MAX(day) AS day_max
+      |FROM b GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
 
   /** E3: column profile of the events table — per-column row/null/
     * distinct counts plus numeric min/max, the schema-drift and
@@ -658,6 +753,8 @@ object OpsQueries {
     "k8_zorder" -> k8Zorder,
     "g2_pagerank" -> g2Pagerank,
     "g4_label_prop" -> g4LabelProp,
+    "g5_bfs_hops" -> g5BfsHops,
+    "e10_compaction_plan" -> e10CompactionPlan,
   )
 
   def oracle: Map[String, String] = Map(
@@ -671,5 +768,7 @@ object OpsQueries {
     "k8_zorder" -> k8ZorderSql,
     "g2_pagerank" -> g2PagerankSql,
     "g4_label_prop" -> g4LabelPropSql,
+    "g5_bfs_hops" -> g5BfsHopsSql,
+    "e10_compaction_plan" -> e10CompactionPlanSql,
   )
 }

@@ -300,7 +300,79 @@ object StreamQueries {
       |FROM sid GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** S10: late-data audit — the measurement that SIZES a watermark
+    * before anyone turns on event-time streaming over this feed: per
+    * user (the stream's key), arrival order = event_id, lateness of
+    * each event = high-watermark-so-far − its event time. Emits the
+    * lateness histogram over operational bands (on-time / <1 s / <10 s /
+    * <60 s / ≥60 s) with counts, share, and the worst lateness per band
+    * — read "p99 < 10 s" straight off the cumulative shares, set
+    * `withWatermark("ts", …)` accordingly (the flush-timeout and
+    * dropDuplicatesWithinWatermark ops downstream inherit it). One
+    * running-max window + one 5-group aggregate; all exact integers.
+    * The driver's synthetic events arrive perfectly ordered (the audit
+    * would be one all-on-time row), so a deterministic 10 % slice
+    * (event_id % 10 = 3) is re-sequenced 50 arrival slots late — the
+    * delivery-delay shape a real ingest bus exhibits. */
+  val s10LateDataAudit: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("arr", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val late = Graft.events(s, dir)
+      .withColumn("tsu", expr("ts div 1000"))
+      .withColumn("arr",
+        col("event_id") + when(col("event_id") % 10 === 3, 50L).otherwise(0L))
+      .withColumn("late_us", max(col("tsu")).over(w) - col("tsu"))
+      .withColumn("bucket",
+        when(col("late_us") === 0, 0L)
+          .when(col("late_us") < 1000000L, 1L)
+          .when(col("late_us") < 10000000L, 2L)
+          .when(col("late_us") < 60000000L, 3L)
+          .otherwise(4L))
+    val total = late.agg(count(lit(1)).as("total"))
+    late.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), max(col("late_us")).cast("long").as("max_late_us"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"),
+        when(col("bucket") === 0, "on_time").when(col("bucket") === 1, "lt_1s")
+          .when(col("bucket") === 2, "lt_10s").when(col("bucket") === 3, "lt_60s")
+          .otherwise("ge_60s").as("band"),
+        col("n"),
+        (floor(col("n").cast("double") / col("total") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("share"),
+        col("max_late_us"))
+      .orderBy("bucket")
+  }
+
+  val s10LateDataAuditSql: String =
+    """WITH a AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+      |    event_id + CASE WHEN event_id % 10 = 3 THEN 50 ELSE 0 END AS arr
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id, event_id, tsu,
+      |    MAX(tsu) OVER (PARTITION BY user_id ORDER BY arr, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tsu AS late_us
+      |  FROM a),
+      |b AS (
+      |  SELECT CASE WHEN late_us = 0 THEN 0 WHEN late_us < 1000000 THEN 1
+      |              WHEN late_us < 10000000 THEN 2 WHEN late_us < 60000000 THEN 3
+      |              ELSE 4 END AS bucket,
+      |         late_us
+      |  FROM l),
+      |t AS (SELECT COUNT(*) AS total FROM b)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CASE WHEN bucket = 0 THEN 'on_time' WHEN bucket = 1 THEN 'lt_1s'
+      |       WHEN bucket = 2 THEN 'lt_10s' WHEN bucket = 3 THEN 'lt_60s'
+      |       ELSE 'ge_60s' END AS band,
+      |  COUNT(*) AS n,
+      |  floor(CAST(COUNT(*) AS DOUBLE) / t.total * 1e6 + 0.5) / 1e6 AS share,
+      |  CAST(MAX(late_us) AS BIGINT) AS max_late_us
+      |FROM b CROSS JOIN t
+      |GROUP BY bucket, t.total ORDER BY bucket""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "s10_late_data_audit" -> s10LateDataAudit,
     "s9_session_window" -> s9SessionWindow,
     "s8_enriched" -> s8Enriched,
     "s7_cms_window" -> s7CmsWindow,
@@ -313,6 +385,7 @@ object StreamQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "s10_late_data_audit" -> s10LateDataAuditSql,
     "s9_session_window" -> s9SessionWindowSql,
     "s8_enriched" -> s8EnrichedSql,
     "s7_cms_window" -> s7CmsWindowSql,

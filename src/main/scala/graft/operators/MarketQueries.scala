@@ -622,7 +622,110 @@ object MarketQueries {
       |       THEN floor(cov / sqrt(va * vb) * 1e6 + 0.5) / 1e6 END AS ewm_corr
       |FROM e ORDER BY pos""".stripMargin
 
+  /** I17: parabolic SAR (Wilder) over daily bars — the stop-and-reverse
+    * trail: while long, SAR ratchets toward the price by af·(EP − SAR)
+    * (af 0.02 → 0.2, +0.02 per new extreme), clamps at the previous
+    * bar's low, and a pierce flips the trend, restarting from the old
+    * EP. Genuinely ITERATIVE state (trend, SAR, EP, af) with
+    * data-dependent resets — no window frame expresses it, so it runs
+    * as the per-series recurrence kernel, and the oracle replays the
+    * identical CASE/arithmetic chain in a recursive CTE. One documented
+    * variant choice: the clamp uses only the PRIOR bar's extreme (some
+    * charting stacks use the prior two); both sides implement the same
+    * choice, so the oracle pins it. */
+  val i17Psar: Q = (s, dir) => {
+    import s.implicits._
+    PatternQueries.dailyBars(s, dir)
+      .select(col("user_id").cast("long"), col("day").cast("string"),
+        col("high").cast("double"), col("low").cast("double"),
+        col("close").cast("double"))
+      .as[(Long, String, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, String, Double, Double, Double)]) =>
+        val b = it.toArray.sortBy(_._2) // ISO day strings sort chronologically
+        if (b.length < 2) Iterator.empty
+        else {
+          var up = b(1)._5 >= b(0)._5
+          var sar = if (up) b(0)._4 else b(0)._3
+          var ep = if (up) b(1)._3 else b(1)._4
+          var af = 0.02
+          val out = Array.newBuilder[(Long, String, Double, Long)]
+          out += ((uid, b(1)._2, sar, if (up) 1L else -1L))
+          var i = 2
+          while (i < b.length) {
+            val h = b(i)._3; val l = b(i)._4
+            val hp = b(i - 1)._3; val lp = b(i - 1)._4
+            var s1 = sar + af * (ep - sar)
+            if (up) {
+              if (s1 > lp) s1 = lp
+              if (l < s1) { up = false; sar = ep; ep = l; af = 0.02 }
+              else { sar = s1; if (h > ep) { ep = h; af = if (af + 0.02 < 0.2) af + 0.02 else 0.2 } }
+            } else {
+              if (s1 < hp) s1 = hp
+              if (h > s1) { up = true; sar = ep; ep = h; af = 0.02 }
+              else { sar = s1; if (l < ep) { ep = l; af = if (af + 0.02 < 0.2) af + 0.02 else 0.2 } }
+            }
+            out += ((uid, b(i)._2, sar, if (up) 1L else -1L))
+            i += 1
+          }
+          out.result().iterator
+        }
+      }
+      .toDF("user_id", "day", "sar_raw", "trend")
+      .select(col("user_id"), to_date(col("day")).as("day"),
+        q6(col("sar_raw")).as("psar"), col("trend"))
+      .orderBy("user_id", "day")
+  }
+
+  val i17PsarSql: String = PatternQueries.barsCte.replace("WITH ", "WITH RECURSIVE ") +
+    """,
+      |o AS (
+      |  SELECT user_id, day, high, low, close,
+      |    row_number() OVER w AS rn,
+      |    lag(high) OVER w AS hp, lag(low) OVER w AS lp,
+      |    lag(close) OVER w AS cp
+      |  FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |r AS (
+      |  SELECT user_id, rn, day,
+      |    (close >= cp) AS up,
+      |    CASE WHEN close >= cp THEN lp ELSE hp END AS sar,
+      |    CASE WHEN close >= cp THEN high ELSE low END AS ep,
+      |    CAST(0.02 AS DOUBLE) AS af
+      |  FROM o WHERE rn = 2
+      |  UNION ALL
+      |  SELECT o.user_id, o.rn, o.day,
+      |    CASE WHEN r.up THEN NOT (o.low  < LEAST(r.sar + r.af * (r.ep - r.sar), o.lp))
+      |         ELSE          (o.high > GREATEST(r.sar + r.af * (r.ep - r.sar), o.hp)) END,
+      |    CASE WHEN r.up THEN
+      |           CASE WHEN o.low < LEAST(r.sar + r.af * (r.ep - r.sar), o.lp)
+      |                THEN r.ep ELSE LEAST(r.sar + r.af * (r.ep - r.sar), o.lp) END
+      |         ELSE
+      |           CASE WHEN o.high > GREATEST(r.sar + r.af * (r.ep - r.sar), o.hp)
+      |                THEN r.ep ELSE GREATEST(r.sar + r.af * (r.ep - r.sar), o.hp) END END,
+      |    CASE WHEN r.up THEN
+      |           CASE WHEN o.low < LEAST(r.sar + r.af * (r.ep - r.sar), o.lp) THEN o.low
+      |                WHEN o.high > r.ep THEN o.high ELSE r.ep END
+      |         ELSE
+      |           CASE WHEN o.high > GREATEST(r.sar + r.af * (r.ep - r.sar), o.hp) THEN o.high
+      |                WHEN o.low < r.ep THEN o.low ELSE r.ep END END,
+      |    CASE WHEN r.up THEN
+      |           CASE WHEN o.low < LEAST(r.sar + r.af * (r.ep - r.sar), o.lp) THEN CAST(0.02 AS DOUBLE)
+      |                WHEN o.high > r.ep THEN
+      |                  CASE WHEN r.af + 0.02 < 0.2 THEN r.af + 0.02 ELSE CAST(0.2 AS DOUBLE) END
+      |                ELSE r.af END
+      |         ELSE
+      |           CASE WHEN o.high > GREATEST(r.sar + r.af * (r.ep - r.sar), o.hp) THEN CAST(0.02 AS DOUBLE)
+      |                WHEN o.low < r.ep THEN
+      |                  CASE WHEN r.af + 0.02 < 0.2 THEN r.af + 0.02 ELSE CAST(0.2 AS DOUBLE) END
+      |                ELSE r.af END END
+      |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+      |SELECT user_id, day,
+      |  floor(sar * 1e6 + 0.5) / 1e6 AS psar,
+      |  CAST(CASE WHEN up THEN 1 ELSE -1 END AS BIGINT) AS trend
+      |FROM r ORDER BY user_id, day""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "i17_psar" -> i17Psar,
     "w15_ewm_corr" -> w15EwmCorr,
     "i16_keltner" -> i16Keltner,
     "a23_sharpe" -> a23Sharpe,
@@ -639,6 +742,7 @@ object MarketQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "i17_psar" -> i17PsarSql,
     "w15_ewm_corr" -> w15EwmCorrSql,
     "i16_keltner" -> i16KeltnerSql,
     "a23_sharpe" -> a23SharpeSql,

@@ -248,7 +248,69 @@ object RetrievalQueries {
       |              ELSE i_in_k * est_u / 128 END) * 1e6 + 0.5) / 1e6 AS est_intersect
       |FROM tot, e""".stripMargin
 
+  /** T36: PMI-scored collocations — the top-20 word bigrams by pointwise
+    * mutual information, pmi = ln((c_xy/N₂)/((c_x/N₁)·(c_y/N₁))), with a
+    * c_xy ≥ 5 occurrence floor: the association miner behind multi-word
+    * vocab entries and tokenizer merges (t26's BPE pair counts rank by
+    * raw frequency; PMI surfaces the STICKY pairs a frequency rank
+    * buries). Occurrence counts, not doc-distinct. Shape: one token
+    * explode, adjacency via per-doc lead (one series window — never a
+    * positional self-join), two keyed aggregations, broadcast totals;
+    * the ranking key is the 1e-6-quantized PMI with a bigram tiebreak,
+    * so top-20 is engine-exact. */
+  val t36PmiBigrams: Q = (s, dir) => {
+    val tok = docWords(s, dir)
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val bi = tok
+      .withColumn("b", lead(col("w"), 1).over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("b").isNotNull)
+      .select(col("w").as("a"), col("b"))
+    val uni = tok.groupBy("w").agg(count(lit(1)).as("cx"))
+    val n1 = tok.agg(count(lit(1)).as("n1"))
+    val n2 = bi.agg(count(lit(1)).as("n2"))
+    bi.groupBy("a", "b").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 5)
+      .join(uni.select(col("w").as("a"), col("cx").as("cxa")), "a")
+      .join(uni.select(col("w").as("b"), col("cx").as("cxb")), "b")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(concat_ws(" ", col("a"), col("b")).as("bigram"),
+        col("cxy"),
+        q6(log((col("cxy").cast("double") / col("n2")) /
+          ((col("cxa").cast("double") / col("n1")) *
+            (col("cxb").cast("double") / col("n1"))))).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val t36PmiBigramsSql: String =
+    """WITH wl AS (SELECT doc_id,
+      |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |      FROM documents),
+      |tok AS (SELECT doc_id, i AS pos, ws[i] AS w
+      |        FROM wl, UNNEST(range(1, len(ws) + 1)) AS t(i)
+      |        WHERE ws[i] <> ''),
+      |bi AS (
+      |  SELECT w AS a, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+      |  FROM tok),
+      |bi2 AS (SELECT a, b FROM bi WHERE b IS NOT NULL),
+      |uni AS (SELECT w, COUNT(*) AS cx FROM tok GROUP BY w),
+      |t1 AS (SELECT COUNT(*) AS n1 FROM tok),
+      |t2 AS (SELECT COUNT(*) AS n2 FROM bi2),
+      |cooc AS (SELECT a, b, COUNT(*) AS cxy FROM bi2 GROUP BY a, b HAVING COUNT(*) >= 5)
+      |SELECT c.a || ' ' || c.b AS bigram, c.cxy,
+      |  floor(ln((CAST(c.cxy AS DOUBLE) / n2) /
+      |           ((CAST(ua.cx AS DOUBLE) / n1) * (CAST(ub.cx AS DOUBLE) / n1)))
+      |        * 1e6 + 0.5) / 1e6 AS pmi
+      |FROM cooc c
+      |JOIN uni ua ON ua.w = c.a
+      |JOIN uni ub ON ub.w = c.b
+      |CROSS JOIN t1 CROSS JOIN t2
+      |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "t36_pmi_bigrams" -> t36PmiBigrams,
     "t30_inverted_index" -> t30InvertedIndex,
     "t31_entropy" -> t31Entropy,
     "t32_priority_sample" -> t32PrioritySample,
@@ -256,6 +318,7 @@ object RetrievalQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "t36_pmi_bigrams" -> t36PmiBigramsSql,
     "t30_inverted_index" -> t30InvertedIndexSql,
     "t31_entropy" -> t31EntropySql,
     "t32_priority_sample" -> t32PrioritySampleSql,

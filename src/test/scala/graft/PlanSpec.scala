@@ -399,6 +399,38 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, "expect partial+final agg")
   }
 
+  test("w15/i17 recurrence kernels: one series shuffle feeds MapGroups") {
+    for (q <- Seq(graft.operators.MarketQueries.w15EwmCorr,
+        graft.operators.MarketQueries.i17Psar)) {
+      val p = plan(q(spark, sf))
+      assert(p.contains("MapGroups"), s"expected the flatMapGroups kernel:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("g5 BFS: every relaxation round is a keyed join + min-aggregate") {
+    val p = plan(graft.operators.OpsQueries.g5BfsHops(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"frontier join must stay keyed:\n$p")
+  }
+
+  test("e10 compaction plan: cells aggregate partial+final before the running sum") {
+    val p = plan(graft.operators.OpsQueries.e10CompactionPlan(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "expect partial+final agg")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("s10 late-data audit: running max and bands share one series shuffle") {
+    val p = plan(graft.operators.StreamQueries.s10LateDataAudit(spark, sf))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t36 PMI: adjacency via per-doc lead window, totals broadcast, no row cartesian") {
+    val p = plan(graft.operators.RetrievalQueries.t36PmiBigrams(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"totals must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must plan as partial top-K")
+  }
+
   test("v10 recall eval: truth/approx compare joins stay equi-joins") {
     val p = plan(graft.operators.VectorQueries.v10RecallEval(spark, sf))
     assert(!p.contains("CartesianProduct"),

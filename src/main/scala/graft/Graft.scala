@@ -43,14 +43,43 @@ object Graft {
     s
   }
 
-  /** Load one driver-generated parquet table from an sf directory. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Load one driver-generated parquet table from an sf directory.
+    *
+    * `events.ts` is normalized to the engine's canonical ns-long time
+    * axis regardless of how the generator wrote it: ns-precision
+    * parquet timestamps arrive as longs already (via `nanosAsLong`),
+    * while us-precision ones arrive as TIMESTAMP(_NTZ) and are
+    * converted here (session TZ is pinned to UTC, so the NTZ→LTZ cast
+    * is the identity and matches DuckDB's `epoch_us(ts)` reading of
+    * the same file). Every operator downstream can then assume ts is
+    * epoch-ns, and the oracle SQL stays timestamp-native. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        df.schema.fieldNames.contains("ts") &&
+        df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts").cast("timestamp")) *
+          org.apache.spark.sql.functions.lit(1000L))
+    else df
+  }
 
   /** The events table projected as a time series: user_id = series key,
     * ts (ns-long) = time axis, value = price. */
   def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events").select("event_id", "user_id", "ts", "value")
+
+  /** us-precision timestamp from an events frame's time axis, whatever
+    * physical type `ts` arrived as (ns-long from [[table]]'s canonical
+    * form, or a raw parquet TIMESTAMP(_NTZ) on paths that bypass it,
+    * e.g. a file-stream source reading the generator's parquet
+    * directly). */
+  def tsMicros(df: DataFrame): org.apache.spark.sql.Column =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+    else
+      org.apache.spark.sql.functions.col("ts").cast("timestamp")
 
   /** Materialize an intermediate frame that feeds multiple branches of
     * ONE query. Lazy localCheckpoint, deliberately not cache():

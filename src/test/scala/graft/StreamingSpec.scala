@@ -189,10 +189,10 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"))
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val stream = spark.readStream.schema(raw.schema)
       .parquet(staged.toString)
-      .withColumn("tsm", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("tsm", Graft.tsMicros(raw))
     val q = EventStream.windowedAgg(stream)
       .writeStream.format("memory").queryName("filewin").outputMode("complete").start()
     q.processAllAvailable()
@@ -200,8 +200,7 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("filewin")
       .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
     val batch = EventStream.windowedAgg(
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("tsm", expr("timestamp_micros(ts div 1000)")))
+      raw.withColumn("tsm", Graft.tsMicros(raw)))
       .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
     assert(got == batch)
     assert(got.nonEmpty)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Graft.Q
-import graft.operators.{CleanQueries, CohortQueries, CoreQueries, CorpusQueries, CorrelatedQueries, ExtendedQueries, IndicatorQueries, MarketQueries, OpsQueries, PatternQueries, QualityQueries, RetrievalQueries, SegmentQueries, SimilarityQueries, StatQueries, StreamQueries, TextQueries, TpchQueries, TrainPrepQueries, TsQueries, VectorQueries, WarehouseQueries}
+import graft.operators.{CleanQueries, CohortQueries, CoreQueries, CorpusQueries, CorrelatedQueries, ExtendedQueries, FrontierQueries, IndicatorQueries, MarketQueries, OpsQueries, PatternQueries, QualityQueries, RetrievalQueries, SegmentQueries, SimilarityQueries, StatQueries, StreamQueries, TextQueries, TpchQueries, TrainPrepQueries, TsQueries, VectorQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,6 +41,7 @@ object SparkEntry {
     (QualityQueries.queries, QualityQueries.oracle),
     (VectorQueries.queries, VectorQueries.oracle),
     (StreamQueries.queries, StreamQueries.oracle),
+    (FrontierQueries.queries, FrontierQueries.oracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,300 @@
+package graft.operators
+
+import graft.Graft
+import graft.Graft.Q
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Frontier / distribution-audit operators: Pareto skyline, Benford
+  * first-digit conformance, contingency-table association, two-sample
+  * Kolmogorov–Smirnov distance, and the Gini concentration index. The
+  * "is this table statistically what we think it is" layer — fraud
+  * screens (Benford), segment dependence (chi²), distribution equality
+  * (KS), inequality (Gini), and multi-objective best-choice (skyline).
+  *
+  * Scale shapes: every operator aggregates FIRST (per-digit / per-cell
+  * / per-value / per-customer / per-size) so the ordered or windowed
+  * tail runs over a bounded frame, never the raw fact table. The
+  * skyline uses the low-cardinality-dimension trick (per-size min
+  * price, then one running-min sweep) instead of the O(n²) dominance
+  * join; the KS statistic compares exact integer jump counts, not
+  * floating CDFs.
+  *
+  * Numeric policy per CoreQueries: counts stay integers as long as
+  * possible; cross-engine-sensitive products go through DECIMAL;
+  * probability constants are shared literal text so both engines parse
+  * the identical double; outputs quantize on floor(x·1e6+0.5)/1e6.
+  */
+object FrontierQueries {
+
+  private def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** K9: 2-D Pareto skyline of the part catalog — the parts for which
+    * no other part is both cheaper-or-equal and larger-or-equal (strict
+    * in one): minimize p_retailprice, maximize p_size. Computed by the
+    * aggregate-then-sweep plan: per-size minimum price (one keyed
+    * aggregation — the only pass over the table) and a running-min
+    * sweep down the ≤50-row size ladder; a size survives iff its best
+    * price beats every larger size's best. Identical output to the
+    * textbook NOT-EXISTS dominance self-join (which the oracle runs as
+    * an independent formulation) at a tiny fraction of the cost — the
+    * O(n²) join never materializes at any scale. */
+  val k9Skyline: Q = (s, dir) => {
+    val best = Graft.table(s, dir, "part")
+      .groupBy(col("p_size").as("size"))
+      .agg(min(col("p_retailprice")).as("price"))
+    val sweep = Window.orderBy(col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    best
+      .withColumn("prevmin", min(col("price")).over(sweep))
+      .filter(col("prevmin").isNull || col("price") < col("prevmin"))
+      .select(col("size"), col("price"))
+      .orderBy("size")
+  }
+
+  /** Oracle: the direct dominance definition over distinct points —
+    * structurally independent of the Spark plan, so agreement checks
+    * the semantics, not the trick. */
+  val k9SkylineSql: String =
+    """WITH pts AS (
+      |  SELECT DISTINCT p_size AS size, p_retailprice AS price FROM part)
+      |SELECT size, price FROM pts a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts b
+      |  WHERE b.price <= a.price AND b.size >= a.size
+      |    AND (b.price < a.price OR b.size > a.size))
+      |ORDER BY size""".stripMargin
+
+  /** Shared Benford expectation spine: digit → P(first digit = d) =
+    * log10(1 + 1/d), as literal text identical on both engines. */
+  private val benfordP = Seq(
+    1 -> "0.3010299956639812", 2 -> "0.17609125905568124",
+    3 -> "0.12493873660829992", 4 -> "0.09691001300805642",
+    5 -> "0.07918124604762482", 6 -> "0.06694678963061322",
+    7 -> "0.05799194697768673", 8 -> "0.05115252244738129",
+    9 -> "0.04575749056067514")
+
+  /** E11: Benford first-digit audit of o_totalprice — the classic
+    * fabricated-numbers screen. First significant digit extracted via
+    * exact integer cents (floor(x·100) → BIGINT → first char of its
+    * plain decimal string: no double→string formatting, no E-notation
+    * divergence, no cents-rounding flip at the 999.995 boundary), one
+    * digit-keyed aggregation, expected counts from the shared literal
+    * spine, χ² as the exact-decimal sum of per-digit quantized terms.
+    * One scan + one 9-row aggregate at any scale. */
+  val e11Benford: Q = (s, dir) => {
+    val digits = Graft.table(s, dir, "orders")
+      .select(substring(
+        floor(col("o_totalprice") * lit(100.0)).cast("long").cast("string"),
+        1, 1).as("digit"))
+      .filter(col("digit").between("1", "9"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val spine = benfordP
+      .map { case (d, p) => s"SELECT '$d' AS digit, CAST($p AS DOUBLE) AS p" }
+      .mkString(" UNION ALL ")
+    val sp = s.sql(spine)
+    val tot = Window.partitionBy()
+    sp.join(digits, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("n", sum(col("n_obs")).over(tot))
+      .withColumn("expected", col("p") * col("n"))
+      .withColumn("term",
+        q6(pow(col("n_obs") - col("expected"), 2) / col("expected")))
+      .withColumn("chi2", q6(
+        sum(col("term").cast("decimal(28,6)")).over(tot).cast("double")))
+      .select(col("digit").cast("int").as("digit"),
+        col("n_obs").cast("long").as("n_obs"),
+        q6(col("expected")).as("expected"), col("term"), col("chi2"))
+      .orderBy("digit")
+  }
+
+  val e11BenfordSql: String = {
+    val spine = benfordP
+      .map { case (d, p) => s"SELECT '$d' AS digit, CAST($p AS DOUBLE) AS p" }
+      .mkString("\n      UNION ALL ")
+    s"""WITH spine AS (
+       |  $spine),
+       |obs AS (
+       |  SELECT substring(CAST(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+       |    COUNT(*) AS n_obs
+       |  FROM orders
+       |  WHERE substring(CAST(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS VARCHAR), 1, 1) BETWEEN '1' AND '9'
+       |  GROUP BY 1),
+       |j AS (
+       |  SELECT spine.digit, spine.p, COALESCE(obs.n_obs, 0) AS n_obs,
+       |    SUM(COALESCE(obs.n_obs, 0)) OVER () AS n
+       |  FROM spine LEFT JOIN obs ON spine.digit = obs.digit),
+       |t AS (
+       |  SELECT digit, n_obs, p * n AS expected,
+       |    floor(pow(n_obs - p * n, 2) / (p * n) * 1e6 + 0.5) / 1e6 AS term
+       |  FROM j)
+       |SELECT CAST(digit AS INTEGER) AS digit, CAST(n_obs AS BIGINT) AS n_obs,
+       |  floor(expected * 1e6 + 0.5) / 1e6 AS expected, term,
+       |  floor(CAST(SUM(CAST(term AS DECIMAL(28,6))) OVER () AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2
+       |FROM t ORDER BY digit""".stripMargin
+  }
+
+  /** F16: χ² test of independence between event_type and ISO weekday —
+    * "does behavior depend on the day of week". Contingency cells from
+    * one keyed aggregation; marginals are two tiny re-aggregations of
+    * the cells (never a second scan); expected = row·col/n as one
+    * IEEE chain on exact integers; χ² sums the per-cell terms through
+    * DECIMAL (order-independent), with dof and Cramér's V alongside.
+    * Weekday via Spark weekday()+1 = DuckDB isodow (Mon=1..Sun=7). */
+  val f16Chi2Assoc: Q = (s, dir) => {
+    val cells = Graft.table(s, dir, "events")
+      .withColumn("day", to_date(expr("timestamp_micros(ts div 1000)")))
+      .select(col("event_type"), (weekday(col("day")) + 1).cast("long").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("event_type").agg(sum("o").cast("long").as("r"))
+    val cols = cells.groupBy("dow").agg(sum("o").cast("long").as("c"))
+    cells.join(broadcast(rows), "event_type").join(broadcast(cols), "dow")
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      // r·c through decimal: two ~n-sized marginals multiplied as longs
+      // would overflow past n ≈ 3e9 rows
+      .withColumn("e",
+        (col("r").cast("decimal(20,0)") * col("c")).cast("double") / col("n"))
+      .withColumn("term", pow(col("o") - col("e"), 2) / col("e"))
+      .agg(
+        sum(col("term").cast("decimal(28,12)")).as("chi2d"),
+        countDistinct(col("event_type")).as("nr"),
+        countDistinct(col("dow")).as("nc"),
+        sum(col("o")).cast("long").as("n"))
+      .select(
+        q6(col("chi2d").cast("double")).as("chi2"),
+        ((col("nr") - 1) * (col("nc") - 1)).cast("long").as("dof"),
+        q6(sqrt(col("chi2d").cast("double") /
+          (col("n") * least(col("nr") - 1, col("nc") - 1)))).as("cramers_v"),
+        col("n"))
+  }
+
+  val f16Chi2AssocSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+      |    COUNT(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rc AS (
+      |  SELECT event_type, dow, o,
+      |    SUM(o) OVER (PARTITION BY event_type) AS r,
+      |    SUM(o) OVER (PARTITION BY dow) AS c,
+      |    SUM(o) OVER () AS n
+      |  FROM cells),
+      |t AS (
+      |  SELECT o, CAST(r * c AS DOUBLE) / n AS e, n, event_type, dow FROM rc)
+      |SELECT
+      |  floor(CAST(SUM(CAST(pow(o - e, 2) / e AS DECIMAL(28,12))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2,
+      |  CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof,
+      |  floor(sqrt(CAST(SUM(CAST(pow(o - e, 2) / e AS DECIMAL(28,12))) AS DOUBLE) /
+      |    (MAX(n) * LEAST(COUNT(DISTINCT event_type) - 1, COUNT(DISTINCT dow) - 1))) * 1e6 + 0.5) / 1e6 AS cramers_v,
+      |  CAST(MAX(n) AS BIGINT) AS n
+      |FROM t""".stripMargin
+
+  /** W16: two-sample Kolmogorov–Smirnov distance between the value
+    * distributions of click and purchase events — the canonical "are
+    * these two samples from the same distribution" screen (feature
+    * drift between cohorts, A/B invariance checks). Exact: per-value
+    * jump counts from one keyed aggregation, one ordered sweep over the
+    * DISTINCT values (bounded by value cardinality, not row count),
+    * and D = max |cumA·nB − cumB·nA| in DECIMAL integers — the CDFs
+    * are never floated, so there is no accumulation error to disagree
+    * on; the single division happens once at the end. */
+  val w16KsTest: Q = (s, dir) => {
+    val ev = Graft.table(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("value").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cb"))
+    val sweep = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy()
+    ev
+      .withColumn("cuma", sum(col("ca")).over(sweep))
+      .withColumn("cumb", sum(col("cb")).over(sweep))
+      .withColumn("na", sum(col("ca")).over(tot))
+      .withColumn("nb", sum(col("cb")).over(tot))
+      .agg(
+        max(abs(col("cuma").cast("decimal(18,0)") * col("nb") -
+          col("cumb").cast("decimal(18,0)") * col("na"))).as("dnum"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .select(col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        q6(col("dnum").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double"))).as("d_stat"))
+  }
+
+  val w16KsTestSql: String =
+    """WITH g AS (
+      |  SELECT value,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+      |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value),
+      |c AS (
+      |  SELECT
+      |    SUM(ca) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    SUM(cb) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+      |    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+      |  FROM g)
+      |SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+      |  floor(CAST(MAX(ABS(CAST(cuma AS DECIMAL(18,0)) * CAST(nb AS DECIMAL(18,0)) -
+      |                     CAST(cumb AS DECIMAL(18,0)) * CAST(na AS DECIMAL(18,0)))) AS DOUBLE) /
+      |    (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS d_stat
+      |FROM c""".stripMargin
+
+  /** A24: Gini concentration of customer spend — how unequal revenue
+    * is across customers (the whale-dependence metric every marketplace
+    * tracks). Per-customer spend through exact DECIMAL cents, one
+    * ranked sweep over the 1-row-per-customer frame (bounded by
+    * customer count), G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) on sorted
+    * spend — all DECIMAL until the final division. Rank ties (equal
+    * spend) cannot change the sum, so the custkey tiebreak is for
+    * determinism of the sweep only. */
+  val a24Gini: Q = (s, dir) => {
+    val spend = Graft.table(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("spend"))
+    val rk = Window.orderBy(col("spend"), col("o_custkey"))
+    spend
+      .withColumn("i", row_number().over(rk).cast("long"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("spend")).as("s"),
+        sum(col("spend") * col("i")).as("w"))
+      .select(col("n").cast("long").as("n_customers"),
+        col("s").cast("decimal(38,2)").as("total_spend"),
+        q6((lit(2.0) * col("w").cast("double") -
+          (col("n") + 1).cast("double") * col("s").cast("double")) /
+          (col("n").cast("double") * col("s").cast("double"))).as("gini"))
+  }
+
+  val a24GiniSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders GROUP BY o_custkey),
+      |rk AS (
+      |  SELECT CAST(spend AS DECIMAL(18,2)) AS spend,
+      |    CAST(row_number() OVER (ORDER BY spend, o_custkey) AS BIGINT) AS i
+      |  FROM spend)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(spend) AS DECIMAL(38,2)) AS total_spend,
+      |  floor((2.0 * CAST(SUM(spend * i) AS DOUBLE) -
+      |    CAST(COUNT(*) + 1 AS DOUBLE) * CAST(SUM(spend) AS DOUBLE)) /
+      |    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(spend) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS gini
+      |FROM rk""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "k9_skyline" -> k9Skyline,
+    "e11_benford" -> e11Benford,
+    "f16_chi2_assoc" -> f16Chi2Assoc,
+    "w16_ks_test" -> w16KsTest,
+    "a24_gini" -> a24Gini,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "k9_skyline" -> k9SkylineSql,
+    "e11_benford" -> e11BenfordSql,
+    "f16_chi2_assoc" -> f16Chi2AssocSql,
+    "w16_ks_test" -> w16KsTestSql,
+    "a24_gini" -> a24GiniSql,
+  )
+}

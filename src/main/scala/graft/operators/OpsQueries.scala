@@ -375,6 +375,53 @@ object OpsQueries {
         |SELECT node, dist FROM d3 ORDER BY node""".stripMargin
   }
 
+  /** G6: single-source weighted shortest paths (≤4 hops) — Bellman-Ford
+    * min-plus relaxation from the lexicographically first node (a
+    * deterministic seed that survives any regeneration of the synthetic
+    * nation names) over the undirected trade graph, edge cost = the
+    * trade weight itself (a deterministic
+    * integer cost; "cheapest heavily-audited route" semantics is the
+    * caller's remap). Exactly g5's superstep shape — one keyed join +
+    * one min-aggregation per round, frontier stays sparse, nothing
+    * driver-side — but carrying an additive integer distance instead of
+    * a hop count, so the same loop is the template for any weighted
+    * reachability at cluster scale. 4 rounds bounds the answer to paths
+    * of ≤4 edges (documented, deterministic — NOT run-to-fixpoint, so
+    * the round count is part of the operator's contract, mirrored
+    * exactly by the oracle's 4-step relaxation). */
+  val g6Sssp: Q = (s, dir) => {
+    val und = undNationEdges(s, dir)
+    var dist = Graft.materialize(
+      und.agg(min(col("u")).as("node"))
+        .select(col("node"), lit(0L).as("dist")))
+    for (_ <- 1 to 4) {
+      val relaxed = und.join(dist.withColumnRenamed("node", "v"), "v")
+        .select(col("u").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = Graft.materialize(
+        dist.unionByName(relaxed).groupBy("node").agg(min("dist").as("dist")))
+    }
+    dist.orderBy("node")
+  }
+
+  val g6SsspSql: String = {
+    val round = (r: Int) =>
+      s""",
+        |s$r AS (
+        |  SELECT node, MIN(dist) AS dist FROM (
+        |    SELECT node, dist FROM s${r - 1}
+        |    UNION ALL
+        |    SELECT e.u AS node, d.dist + CAST(e.w AS BIGINT) AS dist
+        |    FROM und e JOIN s${r - 1} d ON d.node = e.v)
+        |  GROUP BY node)""".stripMargin
+    "WITH " + nationEdgesCte + ",\n" + undNationEdgesCte +
+      """,
+        |s0 AS (
+        |  SELECT MIN(u) AS node, CAST(0 AS BIGINT) AS dist FROM und)""".stripMargin +
+      (1 to 4).map(round).mkString +
+      """
+        |SELECT node, dist FROM s4 ORDER BY node""".stripMargin
+  }
+
   /** E10: small-file compaction plan — the table-maintenance pass a
     * 100 TB events table needs: per (event_type, day) partition cells
     * (the "files"), bin-pack day-ordered cells into output files of
@@ -754,6 +801,7 @@ object OpsQueries {
     "g2_pagerank" -> g2Pagerank,
     "g4_label_prop" -> g4LabelProp,
     "g5_bfs_hops" -> g5BfsHops,
+    "g6_sssp" -> g6Sssp,
     "e10_compaction_plan" -> e10CompactionPlan,
   )
 
@@ -769,6 +817,7 @@ object OpsQueries {
     "g2_pagerank" -> g2PagerankSql,
     "g4_label_prop" -> g4LabelPropSql,
     "g5_bfs_hops" -> g5BfsHopsSql,
+    "g6_sssp" -> g6SsspSql,
     "e10_compaction_plan" -> e10CompactionPlanSql,
   )
 }

@@ -1,0 +1,146 @@
+package graft
+
+import graft.operators.FrontierQueries
+import org.apache.spark.sql.functions._
+
+/** Semantic fixtures for the frontier / distribution-audit operators
+  * (k9 skyline, e11 Benford, f16 chi², w16 KS, a24 Gini, g6 SSSP) —
+  * known tiny inputs with hand-computed answers, independent of the
+  * DuckDB oracle rows. */
+class FrontierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("skyline keeps exactly the non-dominated (min price, max size) points") {
+    // per-size best prices: size 1 -> 5.0, size 2 -> 3.0, size 3 -> 4.0
+    // size 1 dominated by size 2 (bigger & cheaper); sizes 2,3 survive
+    val parts = Seq(
+      (1, 5.0), (1, 9.0), (2, 3.0), (2, 8.0), (3, 4.0), (3, 7.0))
+      .toDF("p_size", "p_retailprice")
+    val tmp = java.nio.file.Files.createTempDirectory("skyl")
+    try {
+      parts.write.mode("overwrite").parquet(s"$tmp/part.parquet")
+      val got = FrontierQueries.k9Skyline(spark, tmp.toString)
+        .as[(Int, Double)].collect().toList
+      assert(got == List((2, 3.0), (3, 4.0)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
+  test("benford first digit comes from exact integer cents, not float formatting") {
+    // 999.995 floors to 99999 cents -> digit 9 (never rounds up to 1000.00),
+    // 0.004 floors to 0 cents -> excluded, 123456.78 -> digit 1
+    val got = spark.sql(
+      """SELECT substring(CAST(CAST(FLOOR(v * 100.0) AS BIGINT) AS STRING), 1, 1) AS d
+        |FROM VALUES (999.995), (0.004), (123456.78) AS t(v)""".stripMargin)
+      .as[String].collect().toList
+    assert(got == List("9", "0", "1"))
+  }
+
+  test("benford chi2 over the real orders table is consistent with its own terms") {
+    val rows = FrontierQueries.e11Benford(spark, sf).collect()
+    assert(rows.length == 9)
+    val terms = rows.map(r => BigDecimal(r.getAs[Double]("term")).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+    val chi2 = BigDecimal(rows.head.getAs[Double]("chi2")).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert((terms - chi2).abs <= BigDecimal("0.000002"))
+    assert(rows.map(_.getAs[Long]("n_obs")).sum > 0)
+  }
+
+  test("KS distance is exact on a hand-computed pair of samples") {
+    // A = {1,2,3}, B = {3,4}: F_A jumps 1/3 at 1,2,3; F_B jumps 1/2 at 3,4
+    // D = max|F_A - F_B| = 2/3 at x=2
+    val ev = Seq(
+      (1L, "click", 1.0), (2L, "click", 2.0), (3L, "click", 3.0),
+      (4L, "purchase", 3.0), (5L, "purchase", 4.0))
+      .toDF("event_id", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("ks")
+    try {
+      ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val r = FrontierQueries.w16KsTest(spark, tmp.toString).collect().head
+      assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 2)
+      assert(approx(r.getAs[Double]("d_stat"), 0.666667, 1e-6))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
+  test("gini is 0 for equal spend and (n-1)/n-scaled for one-whale spend") {
+    def giniOf(rows: Seq[(Long, Double)]): Double = {
+      val tmp = java.nio.file.Files.createTempDirectory("gini")
+      try {
+        rows.toDF("o_custkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+        FrontierQueries.a24Gini(spark, tmp.toString)
+          .collect().head.getAs[Double]("gini")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+    }
+    assert(approx(giniOf(Seq((1L, 10.0), (2L, 10.0), (3L, 10.0), (4L, 10.0))), 0.0, 1e-6))
+    // one customer holds all spend among n=4 (others epsilon-small but
+    // nonzero to keep S > 0): G -> (n-1)/n = 0.75 as eps -> 0; with
+    // eps = 0.01 of 1000 the exact value is 0.749978...
+    val g = giniOf(Seq((1L, 1000.0), (2L, 0.01), (3L, 0.01), (4L, 0.01)))
+    assert(g > 0.7499 && g < 0.75)
+  }
+
+  test("chi2 is 0 when the contingency table is exactly independent") {
+    // 2 types x 2 days, counts 10/20 replicated across days -> independence
+    val base = java.sql.Timestamp.valueOf("2024-01-01 12:00:00") // a Monday
+    def at(dayOff: Int) = new java.sql.Timestamp(base.getTime + dayOff * 86400000L)
+    val rows = (1 to 10).map(i => (i.toLong, "a", at(0))) ++
+      (1 to 20).map(i => (100 + i.toLong, "b", at(0))) ++
+      (1 to 10).map(i => (200 + i.toLong, "a", at(1))) ++
+      (1 to 20).map(i => (300 + i.toLong, "b", at(1)))
+    val tmp = java.nio.file.Files.createTempDirectory("chi2")
+    try {
+      rows.toDF("event_id", "event_type", "tsm")
+        .withColumn("ts", expr("unix_micros(tsm) * 1000")).drop("tsm")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val r = FrontierQueries.f16Chi2Assoc(spark, tmp.toString).collect().head
+      assert(approx(r.getAs[Double]("chi2"), 0.0, 1e-6))
+      assert(r.getAs[Long]("dof") == 1)
+      assert(r.getAs[Long]("n") == 60)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
+  test("g6 SSSP relaxes to true weighted distances within the round budget") {
+    val got = graft.operators.OpsQueries.g6Sssp(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.exists(_ == 0L), "seed at distance 0")
+    assert(got.values.forall(_ >= 0L))
+    // triangle inequality over the already-relaxed frame: no single edge
+    // re-relaxation can improve any distance (4 rounds reached fixpoint
+    // on this dense 25-node graph)
+    val dists = got
+    val edges = {
+      // rebuild the undirected edge list the operator used
+      graft.Graft.table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(graft.Graft.table(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(graft.Graft.table(spark, sf, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(graft.Graft.table(spark, sf, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(graft.Graft.table(spark, sf, "nation")
+            .select(col("n_nationkey").as("sk"), col("n_name").as("src")),
+          col("s_nationkey") === col("sk"))
+        .join(graft.Graft.table(spark, sf, "nation")
+            .select(col("n_nationkey").as("ck"), col("n_name").as("dst")),
+          col("c_nationkey") === col("ck"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    }
+    val undirected = (edges ++ edges.map(e => (e._2, e._1, e._3)))
+      .filter(e => e._1 != e._2)
+      .groupBy(e => (e._1, e._2)).map { case ((u, v), es) => (u, v, es.map(_._3).sum) }
+    for ((u, v, w) <- undirected if dists.contains(v)) {
+      assert(dists.get(u).forall(_ <= dists(v) + w),
+        s"edge ($u,$v,$w) still relaxable: ${dists.get(u)} > ${dists(v)} + $w")
+    }
+  }
+}

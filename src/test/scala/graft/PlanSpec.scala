@@ -436,4 +436,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"only the per-query brute-force scoring may fan out, as BNLJ:\n$p")
   }
+
+  test("k9 skyline: per-size aggregate before the sweep, never a dominance self-join") {
+    val p = plan(graft.operators.FrontierQueries.k9Skyline(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "expect partial+final min(price)")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the O(n²) dominance join must not materialize:\n$p")
+  }
+
+  test("e11 benford: one scan, digit aggregation partial+final, 9-row spine joined") {
+    val p = plan(graft.operators.FrontierQueries.e11Benford(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("f16 chi2: marginals broadcast back onto the cells, no cartesian") {
+    val p = plan(graft.operators.FrontierQueries.f16Chi2Assoc(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"row/col marginals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("w16 KS: the ordered sweep runs over the per-value aggregate, not raw rows") {
+    val p = plan(graft.operators.FrontierQueries.w16KsTest(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "per-value jump counts must reduce partial+final before the window")
+    assert(p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("a24 gini: ranked sweep over the per-customer aggregate only") {
+    val p = plan(graft.operators.FrontierQueries.a24Gini(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("g6 SSSP: every relaxation round is a keyed join + min-aggregate") {
+    val p = plan(graft.operators.OpsQueries.g6Sssp(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"frontier join must stay keyed:\n$p")
+  }
 }

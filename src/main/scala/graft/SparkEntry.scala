@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Graft.Q
-import graft.operators.{CleanQueries, CohortQueries, CoreQueries, CorpusQueries, CorrelatedQueries, ExtendedQueries, FrontierQueries, IndicatorQueries, MarketQueries, OpsQueries, PatternQueries, QualityQueries, RetrievalQueries, SegmentQueries, SimilarityQueries, StatQueries, StreamQueries, TextQueries, TpchQueries, TrainPrepQueries, TsQueries, VectorQueries, WarehouseQueries}
+import graft.operators.{CleanQueries, CohortQueries, CoreQueries, CorpusQueries, CorrelatedQueries, ExtendedQueries, FrontierQueries, IndicatorQueries, LedgerQueries, MarketQueries, OpsQueries, PatternQueries, QualityQueries, RetrievalQueries, SegmentQueries, SimilarityQueries, StatQueries, StreamQueries, TextQueries, TpchQueries, TrainPrepQueries, TsQueries, VectorQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,6 +42,7 @@ object SparkEntry {
     (VectorQueries.queries, VectorQueries.oracle),
     (StreamQueries.queries, StreamQueries.oracle),
     (FrontierQueries.queries, FrontierQueries.oracle),
+    (LedgerQueries.queries, LedgerQueries.oracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -108,6 +108,62 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("inventory balance clamps to [0, cap] and follows the add-then-clamp chain") {
+    // user 1: purchase +600, click -500/4=-125 -> 475, purchase +600 -> 1000 (cap),
+    // click -2000/4 -> 500, click -3000/4 -> 0 (floor)
+    val rows = Seq(
+      (1L, 1L, "purchase", 600.0), (2L, 2L, "click", 500.0),
+      (3L, 3L, "purchase", 600.0), (4L, 4L, "click", 2000.0),
+      (5L, 5L, "click", 3000.0))
+      .map { case (id, t, ty, v) => (id, t * 1000000000L, 1L, ty, v) }
+    val tmp = java.nio.file.Files.createTempDirectory("inv")
+    try {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val got = graft.operators.LedgerQueries.w17Inventory(spark, tmp.toString)
+        .select("balance").as[Double].collect().toList
+      assert(got == List(600.0, 475.0, 1000.0, 500.0, 0.0))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
+  test("MWU matches the hand-computed rank sum with ties") {
+    // A(click) = {1, 2, 2}, B(purchase) = {2, 3}
+    // ranks: 1->1, 2s share (2+3+4)/3=3, 3->5
+    // R_A = 1 + 3 + 3 = 7, U = 7 - 3*4/2 = 1, rho = 1/6
+    val ev = Seq(
+      (1L, "click", 1.0), (2L, "click", 2.0), (3L, "click", 2.0),
+      (4L, "purchase", 2.0), (5L, "purchase", 3.0))
+      .toDF("event_id", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("mwu")
+    try {
+      ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val r = graft.operators.LedgerQueries.w18Mwu(spark, tmp.toString).collect().head
+      assert(r.getAs[Double]("u_stat") == 1.0)
+      assert(approx(r.getAs[Double]("rho"), 0.166667, 1e-6))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
+  test("TWAP weights by holding time, not by tick count") {
+    // value 10 held 9s, value 100 held 1s (last tick unweighted):
+    // twap = (10*9 + 100*1) / 10 = 19
+    val ev = Seq(
+      (1L, 0L, 1L, 10.0), (2L, 9000000000L, 1L, 100.0), (3L, 10000000000L, 1L, 7.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("twap")
+    try {
+      ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val r = graft.operators.LedgerQueries.i18Twap(spark, tmp.toString).collect().head
+      assert(r.getAs[Long]("n_holds") == 2)
+      assert(approx(r.getAs[Double]("twap"), 19.0, 1e-6))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("g6 SSSP relaxes to true weighted distances within the round budget") {
     val got = graft.operators.OpsQueries.g6Sssp(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

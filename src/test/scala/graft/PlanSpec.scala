@@ -474,4 +474,38 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.operators.OpsQueries.g6Sssp(spark, sf))
     assert(!p.contains("CartesianProduct"), s"frontier join must stay keyed:\n$p")
   }
+
+  test("w17 inventory: one series shuffle feeds the clamp kernel") {
+    val p = plan(graft.operators.LedgerQueries.w17Inventory(spark, sf))
+    assert(p.contains("MapGroups"), s"expected the flatMapGroups kernel:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("i18 TWAP: lead and aggregation share the series partitioning") {
+    val p = plan(graft.operators.LedgerQueries.i18Twap(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    // series hash shuffle + final orderBy range shuffle only
+    assert(exchanges <= 3, s"unexpected extra shuffles:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("w18 MWU: rank sweep runs over the per-value aggregate") {
+    val p = plan(graft.operators.LedgerQueries.w18Mwu(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "per-value jump counts must reduce partial+final before the window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("f17 Theil-Sen: pair fan-out is a keyed equi-join on the series key") {
+    val p = plan(graft.operators.LedgerQueries.f17Theilsen(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"per-user pairs must come from a keyed self-join:\n$p")
+  }
+
+  test("d13 SNM: block-partitioned window sweep, no join at all") {
+    val p = plan(graft.operators.LedgerQueries.d13SnmPairs(spark, sf))
+    assert(!p.contains("Join"), s"the sweep must not plan any join:\n$p")
+    assert(p.contains("Window"))
+  }
 }

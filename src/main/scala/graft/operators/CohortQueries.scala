@@ -212,7 +212,71 @@ object CohortQueries {
       |       ELSE 'regular' END AS segment
       |FROM r ORDER BY user_id""".stripMargin
 
+  /** F18: market-basket association rules over order contents — for
+    * every unordered brand pair bought together in ≥5 orders: support,
+    * both conditional confidences, and lift. The canonical
+    * co-occurrence mining shape: baskets reduce to DISTINCT
+    * (order, brand) first (so the pair join fans out by the per-order
+    * brand count — bounded small — never by line count), pairs come
+    * from ONE keyed self-join on the order key, and the brand marginals
+    * broadcast back onto the ~|brands|² pair aggregate. Counts stay
+    * integers; each ratio is one IEEE chain on exact counts; the top-20
+    * selection orders by the quantized lift with a total (a,b)
+    * tiebreak, so both engines cut the same boundary. */
+  val f18AssocRules: Q = (s, dir) => {
+    val items = Graft.materialize(
+      Graft.table(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        .join(broadcast(Graft.table(s, dir, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+        .distinct())
+    val n = items.select("okey").distinct().count()
+    val cnt = items.groupBy("brand").agg(count(lit(1)).as("c"))
+    val a = items.as("a"); val b = items.as("b")
+    val pairs = a.join(b, col("a.okey") === col("b.okey") &&
+        col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= 5)
+    pairs
+      .join(broadcast(cnt.select(col("brand").as("brand_a"), col("c").as("ca"))), "brand_a")
+      .join(broadcast(cnt.select(col("brand").as("brand_b"), col("c").as("cb"))), "brand_b")
+      .select(col("brand_a"), col("brand_b"),
+        col("nab").cast("long").as("n_both"),
+        q6(col("nab").cast("double") / lit(n.toDouble)).as("support"),
+        q6(col("nab").cast("double") / col("ca")).as("conf_a_b"),
+        q6(col("nab").cast("double") / col("cb")).as("conf_b_a"),
+        q6(col("nab").cast("double") * lit(n.toDouble) /
+          (col("ca").cast("double") * col("cb").cast("double"))).as("lift"))
+      .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+      .limit(20)
+  }
+
+  val f18AssocRulesSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |n AS (SELECT COUNT(DISTINCT okey) AS n FROM items),
+      |cnt AS (SELECT brand, COUNT(*) AS c FROM items GROUP BY brand),
+      |pairs AS (
+      |  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS nab
+      |  FROM items a JOIN items b ON a.okey = b.okey AND a.brand < b.brand
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      |SELECT brand_a, brand_b, CAST(nab AS BIGINT) AS n_both,
+      |  floor(CAST(nab AS DOUBLE) / CAST(n.n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS support,
+      |  floor(CAST(nab AS DOUBLE) / ca.c * 1e6 + 0.5) / 1e6 AS conf_a_b,
+      |  floor(CAST(nab AS DOUBLE) / cb.c * 1e6 + 0.5) / 1e6 AS conf_b_a,
+      |  floor(CAST(nab AS DOUBLE) * CAST(n.n AS DOUBLE) /
+      |    (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS lift
+      |FROM pairs
+      |JOIN cnt ca ON ca.brand = pairs.brand_a
+      |JOIN cnt cb ON cb.brand = pairs.brand_b
+      |CROSS JOIN n
+      |ORDER BY lift DESC, brand_a, brand_b
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "f18_assoc_rules" -> f18AssocRules,
     "f6_cohort" -> f6Cohort,
     "f9_stickiness" -> f9Stickiness,
     "f15_rfm" -> f15Rfm,
@@ -220,6 +284,7 @@ object CohortQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "f18_assoc_rules" -> f18AssocRulesSql,
     "f6_cohort" -> f6CohortSql,
     "f9_stickiness" -> f9StickinessSql,
     "f15_rfm" -> f15RfmSql,

@@ -422,6 +422,60 @@ object OpsQueries {
         |SELECT node, dist FROM s4 ORDER BY node""".stripMargin
   }
 
+  /** G7: harmonic closeness centrality within 3 hops — for every node,
+    * Σ 1/d(n, m) over nodes reachable in ≤3 hops: the "how near is
+    * everything" score that complements g2 (flow mass) and g5 (radius
+    * from a seed set). All-pairs BFS runs as ONE min-plus loop over a
+    * (src, node, dist) frame seeded with every node as its own source —
+    * the same keyed-join superstep as g5, with the source id riding
+    * along as a grouping key, so V sources cost the same number of
+    * rounds as one (each round's join fans out by the edge list, keyed,
+    * never cartesian). The 1/d terms snap to DECIMAL(18,12) before the
+    * per-node sum, so the harmonic total is order-independent. */
+  val g7Closeness: Q = (s, dir) => {
+    val und = undNationEdges(s, dir)
+    val nodes = und.select(col("u").as("node")).distinct()
+    var dist = Graft.materialize(
+      nodes.select(col("node").as("src"), col("node"), lit(0L).as("dist")))
+    for (_ <- 1 to 3) {
+      val relaxed = und.join(dist.withColumnRenamed("node", "v"), "v")
+        .select(col("src"), col("u").as("node"), (col("dist") + 1L).as("dist"))
+      dist = Graft.materialize(
+        dist.unionByName(relaxed).groupBy("src", "node").agg(min("dist").as("dist")))
+    }
+    dist.filter(col("dist") > 0)
+      .withColumn("invd",
+        (lit(1.0) / col("dist").cast("double")).cast("decimal(18,12)"))
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("n_reached"),
+        floor(sum(col("invd")).cast("double") * lit(1e6) + lit(0.5)).cast("long")
+          .as("h6"))
+      .select(col("node"), col("n_reached"), (col("h6") / lit(1e6)).as("harmonic"))
+      .orderBy("node")
+  }
+
+  val g7ClosenessSql: String = {
+    val round = (r: Int) =>
+      s""",
+        |c$r AS (
+        |  SELECT src, node, MIN(dist) AS dist FROM (
+        |    SELECT src, node, dist FROM c${r - 1}
+        |    UNION ALL
+        |    SELECT d.src, e.u AS node, d.dist + 1 AS dist
+        |    FROM und e JOIN c${r - 1} d ON d.node = e.v)
+        |  GROUP BY src, node)""".stripMargin
+    "WITH " + nationEdgesCte + ",\n" + undNationEdgesCte +
+      """,
+        |c0 AS (
+        |  SELECT DISTINCT u AS src, u AS node, CAST(0 AS BIGINT) AS dist FROM und)""".stripMargin +
+      (1 to 3).map(round).mkString +
+      """
+        |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS n_reached,
+        |  CAST(floor(CAST(SUM(CAST(1.0 / dist AS DECIMAL(18,12))) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6 AS harmonic
+        |FROM c3 WHERE dist > 0
+        |GROUP BY src ORDER BY src""".stripMargin
+  }
+
   /** E10: small-file compaction plan — the table-maintenance pass a
     * 100 TB events table needs: per (event_type, day) partition cells
     * (the "files"), bin-pack day-ordered cells into output files of
@@ -802,6 +856,7 @@ object OpsQueries {
     "g4_label_prop" -> g4LabelProp,
     "g5_bfs_hops" -> g5BfsHops,
     "g6_sssp" -> g6Sssp,
+    "g7_closeness" -> g7Closeness,
     "e10_compaction_plan" -> e10CompactionPlan,
   )
 
@@ -818,6 +873,7 @@ object OpsQueries {
     "g4_label_prop" -> g4LabelPropSql,
     "g5_bfs_hops" -> g5BfsHopsSql,
     "g6_sssp" -> g6SsspSql,
+    "g7_closeness" -> g7ClosenessSql,
     "e10_compaction_plan" -> e10CompactionPlanSql,
   )
 }

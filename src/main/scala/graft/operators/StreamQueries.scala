@@ -371,7 +371,33 @@ object StreamQueries {
       |FROM b CROSS JOIN t
       |GROUP BY bucket, t.total ORDER BY bucket""".stripMargin
 
+  /** S11: unattributed purchases — s4's complement: purchases with NO
+    * view of the same user in the preceding hour, as a left-anti join
+    * on the same user-keyed time band (the batch twin of the
+    * stream-stream LEFT OUTER join's null-side output, whose
+    * watermark-expiry emission StreamingSpec pins). Runs on µs time
+    * like s4. */
+  val s11Unattributed: Q = (s, dir) =>
+    EventStream.unattributedBatch(
+        Graft.table(s, dir, "events").withColumn("ts", expr("ts div 1000")),
+        3600L * 1000 * 1000)
+      .select(col("purchase_id"), col("user_id"), col("p_ts").as("p_us"))
+      .orderBy("user_id", "purchase_id")
+
+  val s11UnattributedSql: String =
+    """WITH v AS (SELECT user_id, epoch_us(ts) AS tsu
+      |           FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, epoch_us(ts) AS tsu, event_id
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.tsu AS p_us
+      |FROM p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM v WHERE v.user_id = p.user_id
+      |    AND v.tsu < p.tsu AND v.tsu >= p.tsu - 3600000000)
+      |ORDER BY 2, 1""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "s11_unattributed" -> s11Unattributed,
     "s10_late_data_audit" -> s10LateDataAudit,
     "s9_session_window" -> s9SessionWindow,
     "s8_enriched" -> s8Enriched,
@@ -385,6 +411,7 @@ object StreamQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "s11_unattributed" -> s11UnattributedSql,
     "s10_late_data_audit" -> s10LateDataAuditSql,
     "s9_session_window" -> s9SessionWindowSql,
     "s8_enriched" -> s8EnrichedSql,

@@ -181,6 +181,46 @@ object EventStream {
       .select("purchase_id", "user_id", "view_id")
   }
 
+  /** Batch complement of [[attributionBatch]]: purchases with NO view of
+    * the same user in the preceding window — the unattributed-revenue
+    * audit. A left-anti join on the same keyed band: one user_id
+    * shuffle, the band as the join condition, no pair ever
+    * materializes. */
+  def unattributedBatch(events: DataFrame, windowNs: Long): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") < col("p_ts") && col("v_ts") >= col("p_ts") - windowNs,
+        "left_anti")
+      .select("purchase_id", "user_id", "p_ts")
+  }
+
+  /** Streaming form: a stream-stream LEFT OUTER join under watermarks —
+    * Spark emits the matched pairs eagerly and holds each unmatched
+    * purchase in state until the watermark proves no in-band view can
+    * still arrive, THEN emits it with a null view_id (the outer-side
+    * null row is a watermark-driven event, not a per-batch one — the
+    * semantics the inner form cannot express). Filtering the output to
+    * null view_ids yields exactly [[unattributedBatch]] once the stream
+    * drains (StreamingSpec pins the equivalence). */
+  def attributionStreamLeftOuter(views: DataFrame, purchases: DataFrame,
+      windowSpec: String = "1 hour", lateness: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("tsm", lateness)
+      .select(col("user_id").as("v_user"), col("tsm").as("v_tsm"),
+        col("event_id").as("view_id"))
+    val p = purchases.withWatermark("tsm", lateness)
+      .select(col("user_id"), col("tsm").as("p_tsm"),
+        col("event_id").as("purchase_id"))
+    p.join(v, col("user_id") === col("v_user") &&
+      col("v_tsm") < col("p_tsm") &&
+      col("v_tsm") >= col("p_tsm") - expr(s"INTERVAL $windowSpec"),
+      "left_outer")
+      .select("purchase_id", "user_id", "p_tsm", "view_id")
+  }
+
   // ---- streaming sessionization (custom state, flatMapGroupsWithState) ----
 
   case class Ev(user_id: Long, ts: Long, value: Double)
@@ -363,5 +403,51 @@ object EventStream {
           seen.iterator.map(k => CmsUpdate(wstart, k,
             graft.sketch.Sketches.cmsEstimateFromCells(cells, k, depth, width)))
       }
+  }
+
+  case class InvEv(user_id: Long, ts: Long, event_id: Long, delta: Double)
+  case class InvOut(user_id: Long, event_id: Long, balance: Double)
+
+  /** Per-user clamped-inventory processor for [[inventoryStream]] —
+    * Spark 4's transformWithState API (the arbitrary-state successor to
+    * flatMapGroupsWithState, RocksDB-backed): state is ONE double per
+    * user (the current balance), each micro-batch folds its rows in
+    * (ts, event_id) order through the identical add-then-clamp chain as
+    * the batch kernel (operators.LedgerQueries.w17Inventory). */
+  class InventoryProcessor(cap: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, InvEv, InvOut] {
+    @transient private var bal: org.apache.spark.sql.streaming.ValueState[Double] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      bal = getHandle.getValueState[Double]("bal",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[InvEv],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[InvOut] = {
+      var b = if (bal.exists()) bal.get() else 0.0
+      val out = rows.toArray.sortBy(e => (e.ts, e.event_id)).map { e =>
+        val x = b + e.delta
+        b = if (x < 0) 0.0 else if (x > cap) cap else x
+        InvOut(key, e.event_id, b)
+      }
+      bal.update(b)
+      out.iterator
+    }
+  }
+
+  /** Streaming twin of the clamped-inventory ledger: balances evolve
+    * across micro-batches with O(1) state per user. Output equals the
+    * batch kernel's when each user's events arrive in ts order across
+    * batches (the same in-order-delivery caveat as dedupStream;
+    * within a batch any order is fine — the processor sorts).
+    * StreamingSpec drives both and compares. */
+  def inventoryStream(events: Dataset[InvEv], cap: Double = 1000.0): Dataset[InvOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new InventoryProcessor(cap),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
   }
 }

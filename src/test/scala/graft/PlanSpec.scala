@@ -508,4 +508,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"the sweep must not plan any join:\n$p")
     assert(p.contains("Window"))
   }
+
+  test("g7 closeness: all-sources BFS rounds stay keyed joins") {
+    val p = plan(graft.operators.OpsQueries.g7Closeness(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"superstep must stay keyed:\n$p")
+  }
+
+  test("f18 association rules: basket self-join keyed on order, marginals broadcast, top-20 partial") {
+    val p = plan(graft.operators.CohortQueries.f18AssocRules(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), s"brand marginals must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "limit 20 must plan as partial top-K")
+  }
+
+  test("s11 unattributed: the anti join stays a keyed user join with the band as condition") {
+    val p = plan(graft.operators.StreamQueries.s11Unattributed(spark, sf))
+    assert(p.contains("LeftAnti"), s"expected a left-anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band must ride the user_id equi-join, not a nested loop:\n$p")
+  }
 }

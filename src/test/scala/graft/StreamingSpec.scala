@@ -430,4 +430,95 @@ class StreamingSpec extends SparkSpec {
     val closed = got.map(s => (s.user_id, s.session_start, s.n_events, s.duration_ns))
     assert(closed.subsetOf(batch))
   }
+
+  test("stream-stream left outer join emits unattributed purchases at watermark expiry") {
+    implicit val sc = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = EventStream.attributionStreamLeftOuter(
+        views.toDF().toDF("event_id", "user_id", "tsm"),
+        purchases.toDF().toDF("event_id", "user_id", "tsm"))
+      .writeStream.format("memory").queryName("attrlo").outputMode("append").start()
+    // user 1's purchase has an in-window view; user 2's has none
+    views.addData((1L, 1L, ts(0)))
+    purchases.addData((10L, 1L, ts(30)), (11L, 2L, ts(30)))
+    q.processAllAvailable()
+    // advance the watermark (min across BOTH inputs) past 10:30 + 1h
+    // band + 10m lateness so purchase 11's null row can flush
+    views.addData((2L, 9L, ts(300)))
+    purchases.addData((12L, 9L, ts(300)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attrlo").select("purchase_id", "view_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows.contains((10L, 1L)), "matched purchase emits eagerly")
+    assert(rows.contains((11L, -1L)), "unmatched purchase emits null at expiry")
+    val streamNulls = rows.filter(_._2 == -1L).map(_._1)
+    assert(streamNulls == Set(11L),
+      "purchase 12 is still held in state (watermark never passed it)")
+
+    // batch twin over the full event set: 11 AND 12 are unattributed
+    // (12's same-instant view is not strictly earlier); the stream's
+    // flushed nulls are a prefix of the batch answer
+    val M = 60L * 1000000L // one minute in us
+    val all = Seq(
+      (1L, 1L, 0 * M, "view"), (10L, 1L, 30 * M, "purchase"),
+      (11L, 2L, 30 * M, "purchase"), (2L, 9L, 300 * M, "view"),
+      (12L, 9L, 300 * M, "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val batch = EventStream.unattributedBatch(all, 3600L * 1000000L)
+      .select("purchase_id").as[Long].collect().toSet
+    assert(batch == Set(11L, 12L))
+    assert(streamNulls.subsetOf(batch))
+  }
+
+  test("transformWithState inventory stream equals the batch clamp kernel") {
+    implicit val sc = spark.sqlContext
+    // transformWithState requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // same ledger as the batch operator: purchase adds value, other
+      // types drain value/4; user 1 hits the cap then drains, user 2
+      // floors at 0 then caps
+      val raw = Seq(
+        (1L, 1L, 1L, "purchase", 600.0), (2L, 2L, 1L, "click", 500.0),
+        (3L, 3L, 1L, "purchase", 600.0), (4L, 4L, 1L, "click", 2000.0),
+        (5L, 1L, 2L, "click", 200.0), (6L, 2L, 2L, "purchase", 2000.0))
+      def delta(ty: String, v: Double) = if (ty == "purchase") v else -v / 4
+      val (b1, b2) = raw.map { case (id, t, u, ty, v) =>
+        EventStream.InvEv(u, t * 1000000000L, id, delta(ty, v))
+      }.partition(_.ts <= 2000000000L) // per-user ts order across batches
+
+      val stream = MemoryStream[EventStream.InvEv]
+      val q = EventStream.inventoryStream(stream.toDS())
+        .writeStream.format("memory").queryName("invtws").outputMode("append").start()
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("invtws").as[EventStream.InvOut].collect()
+        .map(o => (o.user_id, o.event_id) -> o.balance).toMap
+
+      val tmp = java.nio.file.Files.createTempDirectory("invtws")
+      try {
+        raw.toDF("event_id", "tsec", "user_id", "event_type", "value")
+          .withColumn("ts", col("tsec") * 1000000000L).drop("tsec")
+          .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+        val batch = graft.operators.LedgerQueries.w17Inventory(spark, tmp.toString)
+          .collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+            r.getAs[Double]("balance")).toMap
+        assert(got == batch)
+        assert(got((1L, 3L)) == 1000.0 && got((2L, 5L)) == 0.0)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }

@@ -280,7 +280,99 @@ object IndicatorQueries {
         |FROM h ORDER BY user_id, event_id""".stripMargin
   }
 
+  private def q6i(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** I19: additive Holt-Winters triple exponential smoothing over
+    * daily closes — level + trend + a period-7 seasonal ring (α=0.3,
+    * β=0.1, γ=0.2): the seasonality-aware forecaster i14's
+    * double-smoothing cannot express. Nine state variables
+    * (l, t, S₁..S₇), initialized at day 7 from the exact-decimal frame
+    * mean (L₀ = Σdecimal(y₁..y₇)/7, T₀ = 0, Sᵢ = yᵢ − L₀), then one
+    * data-dependent update per day; `fitted` is the one-step-ahead
+    * forecast L+T+S_{t−7} BEFORE observing day t. Runs as the
+    * flatMapGroups kernel (one series shuffle, O(period) state); the
+    * oracle replays the full 9-column state vector through a recursive
+    * CTE, shifting the seasonal ring by column rotation — every step
+    * is the same IEEE chain on both engines. */
+  val i19HoltWinters: Q = (s, dir) => {
+    import s.implicits._
+    val al = 3.0 / 10; val be = 1.0 / 10; val ga = 2.0 / 10; val m = 7
+    PatternQueries.dailyBars(s, dir)
+      .select(col("user_id").cast("long"), col("day").cast("string"),
+        col("close").cast("double"))
+      .as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, String, Double)]) =>
+        val pts = it.toArray.sortBy(_._2)
+        if (pts.length <= m) Iterator.empty
+        else {
+          val dsum = pts.take(m)
+            .map(p => BigDecimal(p._3).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+            .sum
+          var l = dsum.toDouble / m
+          var t = 0.0
+          val sea = Array.tabulate(m)(i => pts(i)._3 - l)
+          var idx = 0
+          (m until pts.length).iterator.map { i =>
+            val y = pts(i)._3
+            val sOld = sea(idx)
+            val fitted = l + t + sOld
+            val lNew = al * (y - sOld) + (1 - al) * (l + t)
+            val tNew = be * (lNew - l) + (1 - be) * t
+            val sNew = ga * (y - lNew) + (1 - ga) * sOld
+            l = lNew; t = tNew; sea(idx) = sNew; idx = (idx + 1) % m
+            (uid, pts(i)._2, l, t, sNew, fitted)
+          }
+        }
+      }
+      .toDF("user_id", "day", "level", "trend", "seasonal", "fitted")
+      .select(col("user_id"), to_date(col("day")).as("day"),
+        q6i(col("level")).as("level"), q6i(col("trend")).as("trend"),
+        q6i(col("seasonal")).as("seasonal"), q6i(col("fitted")).as("fitted"))
+      .orderBy("user_id", "day")
+  }
+
+  val i19HoltWintersSql: String = {
+    val a = "(CAST(3 AS DOUBLE)/10)"
+    val b = "(CAST(1 AS DOUBLE)/10)"
+    val g = "(CAST(2 AS DOUBLE)/10)"
+    val lNew = s"$a * (o.close - p.s1) + (1 - $a) * (p.l + p.t)"
+    graft.operators.PatternQueries.barsCte.replace("WITH ", "WITH RECURSIVE ") +
+      s""",
+        |r AS (
+        |  SELECT user_id, day, close,
+        |    row_number() OVER w AS rn,
+        |    CAST(SUM(CAST(close AS DECIMAL(28,12)))
+        |      OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 7 AS l0,
+        |    lag(close, 6) OVER w AS y1, lag(close, 5) OVER w AS y2,
+        |    lag(close, 4) OVER w AS y3, lag(close, 3) OVER w AS y4,
+        |    lag(close, 2) OVER w AS y5, lag(close, 1) OVER w AS y6
+        |  FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        |h AS (
+        |  SELECT user_id, rn, day, l0 AS l, CAST(0 AS DOUBLE) AS t,
+        |    y1 - l0 AS s1, y2 - l0 AS s2, y3 - l0 AS s3, y4 - l0 AS s4,
+        |    y5 - l0 AS s5, y6 - l0 AS s6, close - l0 AS s7,
+        |    CAST(NULL AS DOUBLE) AS seasonal, CAST(NULL AS DOUBLE) AS fitted
+        |  FROM r WHERE rn = 7
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn, o.day,
+        |    $lNew AS l,
+        |    $b * (($lNew) - p.l) + (1 - $b) * p.t AS t,
+        |    p.s2, p.s3, p.s4, p.s5, p.s6, p.s7,
+        |    $g * (o.close - ($lNew)) + (1 - $g) * p.s1 AS s7,
+        |    $g * (o.close - ($lNew)) + (1 - $g) * p.s1 AS seasonal,
+        |    p.l + p.t + p.s1 AS fitted
+        |  FROM h p JOIN r o ON o.user_id = p.user_id AND o.rn = p.rn + 1)
+        |SELECT user_id, day,
+        |  floor(l * 1e6 + 0.5) / 1e6 AS level,
+        |  floor(t * 1e6 + 0.5) / 1e6 AS trend,
+        |  floor(seasonal * 1e6 + 0.5) / 1e6 AS seasonal,
+        |  floor(fitted * 1e6 + 0.5) / 1e6 AS fitted
+        |FROM h WHERE rn > 7 ORDER BY user_id, day""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "i19_holt_winters" -> i19HoltWinters,
     "i12_ewma_vol" -> i12EwmaVol,
     "i14_holt" -> i14Holt,
     "i1_ema" -> i1Ema,
@@ -293,6 +385,7 @@ object IndicatorQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "i19_holt_winters" -> i19HoltWintersSql,
     "i12_ewma_vol" -> i12EwmaVolSql,
     "i14_holt" -> i14HoltSql,
     "i1_ema" -> i1EmaSql,

@@ -158,7 +158,71 @@ object TrainPrepQueries {
       |GROUP BY doc_id HAVING COUNT(*) >= 3
       |ORDER BY doc_id""".stripMargin
 
+  /** T37: quantile normalization of event values across event types —
+    * map every value onto the GLOBAL value distribution at the same
+    * within-type quantile (nearest-rank, tr = ⌈rank·N/n_type⌉): the
+    * standard cross-source feature calibration that makes "value"
+    * comparable between feeds with different scales. Entirely rank
+    * arithmetic on exact integers — no float is ever computed, so
+    * cross-engine agreement is structural. The Spark side builds BOTH
+    * rank axes distributively: per-value counts aggregate first, a
+    * window over the (small) distinct-value frame yields cumulative
+    * counts, and each row's rank = cum-before + row_number inside its
+    * value group (partitioned, not a single task); the rank→value
+    * lookup is then an EQUI-join on the target rank (every rank 1..N
+    * exists exactly once). The oracle is the direct single-window
+    * formulation — structurally independent. */
+  val t37QuantileNorm: Q = (s, dir) => {
+    val base = Graft.materialize(
+      Graft.table(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value")))
+    // global rank axis: distinct-value CDF + within-value row_number
+    val vg = base.groupBy("value").agg(count(lit(1)).as("cnt"))
+      .withColumn("cumb", coalesce(sum(col("cnt")).over(
+        Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val g = base.join(vg.select(col("value"), col("cumb")), "value")
+      .withColumn("rg", col("cumb") +
+        row_number().over(Window.partitionBy("value").orderBy("event_id")))
+      .select(col("rg"), col("value").as("norm_value"))
+    // per-type rank axis, same construction keyed by (type, value)
+    val vt = base.groupBy("event_type", "value").agg(count(lit(1)).as("tcnt"))
+      .withColumn("tcumb", coalesce(sum(col("tcnt")).over(
+        Window.partitionBy("event_type").orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val t = base.join(vt.select(col("event_type"), col("value"), col("tcumb")),
+        Seq("event_type", "value"))
+      .withColumn("rn", col("tcumb") +
+        row_number().over(Window.partitionBy("event_type", "value").orderBy("event_id")))
+      .withColumn("nt", sum(lit(1L)).over(Window.partitionBy("event_type")))
+      .withColumn("n", sum(lit(1L)).over(Window.partitionBy()))
+      .withColumn("tr", expr("(rn * n + nt - 1) div nt"))
+    t.join(g, col("tr") === col("rg"))
+      .select(col("event_id"), col("event_type"), col("value"), col("norm_value"))
+      .orderBy("event_id")
+  }
+
+  val t37QuantileNormSql: String =
+    """WITH base AS (
+      |  SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL),
+      |g AS (
+      |  SELECT value AS norm_value,
+      |    row_number() OVER (ORDER BY value, event_id) AS rg
+      |  FROM base),
+      |t AS (
+      |  SELECT event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS nt,
+      |    COUNT(*) OVER () AS n
+      |  FROM base),
+      |x AS (
+      |  SELECT event_id, event_type, value, (rn * n + nt - 1) // nt AS tr FROM t)
+      |SELECT x.event_id, x.event_type, x.value, g.norm_value
+      |FROM x JOIN g ON g.rg = x.tr
+      |ORDER BY x.event_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "t37_quantile_norm" -> t37QuantileNorm,
     "t7_chunk" -> t7Chunk,
     "t8_pack" -> t8Pack,
     "t9_split" -> t9Split,
@@ -166,6 +230,7 @@ object TrainPrepQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "t37_quantile_norm" -> t37QuantileNormSql,
     "t7_chunk" -> t7ChunkSql,
     "t8_pack" -> t8PackSql,
     "t9_split" -> t9SplitSql,

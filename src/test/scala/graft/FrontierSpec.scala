@@ -164,6 +164,53 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("holt-winters locks onto an exactly periodic series: zero-error forecasts") {
+    // y = 100 + s[day mod 7] with Σs = 0: week-1 mean is exactly 100,
+    // so L0=100, T0=0, S=s exactly — every later update sees zero error
+    // and the one-step forecast reproduces y bit-for-bit
+    val season = Array(3.0, -2.0, 1.0, 0.0, -1.0, 2.0, -3.0)
+    val rows = (0 until 28).map { d =>
+      (d.toLong + 1, d.toLong * 86400L * 1000000000L, 1L, 100.0 + season(d % 7))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("hw")
+    try {
+      rows.toDF("event_id", "ts", "user_id", "value")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val got = graft.operators.IndicatorQueries.i19HoltWinters(spark, tmp.toString)
+        .collect()
+      assert(got.length == 21) // days 8..28
+      got.zipWithIndex.foreach { case (r, i) =>
+        val expectY = 100.0 + season((i + 7) % 7)
+        assert(approx(r.getAs[Double]("fitted"), expectY, 1e-6),
+          s"day ${i + 8}: fitted ${r.getAs[Double]("fitted")} != $expectY")
+        assert(approx(r.getAs[Double]("level"), 100.0, 1e-6))
+        assert(approx(r.getAs[Double]("trend"), 0.0, 1e-6))
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
+  test("quantile normalization maps within-type ranks onto the global distribution") {
+    // A = {1, 2} (n=2), B = {10, 20, 30, 40} (n=4), N = 6
+    // A: tr = ceil(r*6/2) -> ranks 3, 6 -> 10, 40
+    // B: tr = ceil(r*6/4) -> ranks 2, 3, 5, 6 -> 2, 10, 30, 40
+    val ev = Seq(
+      (1L, "A", 1.0), (2L, "A", 2.0),
+      (3L, "B", 10.0), (4L, "B", 20.0), (5L, "B", 30.0), (6L, "B", 40.0))
+      .toDF("event_id", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("qn")
+    try {
+      ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val got = graft.operators.TrainPrepQueries.t37QuantileNorm(spark, tmp.toString)
+        .select("event_id", "norm_value").as[(Long, Double)].collect().toMap
+      assert(got == Map(1L -> 10.0, 2L -> 40.0, 3L -> 2.0, 4L -> 10.0,
+        5L -> 30.0, 6L -> 40.0))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("g6 SSSP relaxes to true weighted distances within the round budget") {
     val got = graft.operators.OpsQueries.g6Sssp(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

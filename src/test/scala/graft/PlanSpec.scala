@@ -521,6 +521,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "limit 20 must plan as partial top-K")
   }
 
+  test("i19 holt-winters: one series shuffle feeds the 9-state kernel") {
+    val p = plan(graft.operators.IndicatorQueries.i19HoltWinters(spark, sf))
+    assert(p.contains("MapGroups"), s"expected the flatMapGroups kernel:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t37 quantile norm: rank axes build from per-value aggregates, lookup is an equi-join") {
+    val p = plan(graft.operators.TrainPrepQueries.t37QuantileNorm(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "per-value counts must reduce partial+final before the CDF windows")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the rank lookup must stay an equi-join:\n$p")
+  }
+
   test("s11 unattributed: the anti join stays a keyed user join with the band as condition") {
     val p = plan(graft.operators.StreamQueries.s11Unattributed(spark, sf))
     assert(p.contains("LeftAnti"), s"expected a left-anti join:\n$p")

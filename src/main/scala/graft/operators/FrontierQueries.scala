@@ -282,7 +282,108 @@ object FrontierQueries {
       |    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(spend) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS gini
       |FROM rk""".stripMargin
 
+  /** Q-WM: exact weighted median — per return flag, the smallest
+    * extended price whose cumulative quantity reaches half the flag's
+    * total: the "half the volume trades at or below this price" pivot
+    * that an unweighted median misstates whenever quantity correlates
+    * with price. Weights aggregate per (flag, price) FIRST (the ordered
+    * sweep runs over distinct prices, not rows), cumulative and total
+    * quantities stay exact DECIMAL, and the crossing test doubles the
+    * cumulative (2·cum ≥ tot) instead of halving the total — no
+    * division, no float, no tie ambiguity. */
+  val qWeightedMedian: Q = (s, dir) => {
+    val g = Graft.table(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_extendedprice")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("qty"))
+    val sweep = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy("l_returnflag")
+    g
+      .withColumn("cum", sum(col("qty")).over(sweep))
+      .withColumn("tot", sum(col("qty")).over(tot))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("weighted_median"),
+        max(col("tot")).cast("decimal(38,2)").as("total_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val qWeightedMedianSql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    SUM(qty) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(qty) OVER (PARTITION BY l_returnflag) AS tot
+      |  FROM g)
+      |SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median,
+      |  CAST(MAX(tot) AS DECIMAL(38,2)) AS total_qty
+      |FROM c WHERE cum * 2 >= tot
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** J6: calendar coverage gaps as islands — for each user, the
+    * maximal runs of consecutive master-calendar days with NO events:
+    * how long each series goes dark, not just how often (C1 counts
+    * holes; this shapes them). The dense user×calendar spine is the
+    * standard gap-analysis frame (bounded by users × distinct days —
+    * the calendar side is tiny at any scale); missing days become
+    * islands via the rank-difference constant (day_rank − seq is
+    * invariant inside a consecutive run), one window + one aggregate.
+    */
+  val j6GapIslands: Q = (s, dir) => {
+    val ev = Graft.table(s, dir, "events")
+      .withColumn("day", to_date(expr("timestamp_micros(ts div 1000)")))
+    val cal = ev.select(col("day")).distinct()
+      .withColumn("drk", row_number().over(Window.orderBy("day")))
+    val users = ev.select(col("user_id")).distinct()
+    val present = ev.select("user_id", "day").distinct()
+    val missing = users.crossJoin(broadcast(cal))
+      .join(present, Seq("user_id", "day"), "left_anti")
+    val seqW = Window.partitionBy("user_id").orderBy("drk")
+    missing
+      .withColumn("grp", col("drk") - row_number().over(seqW))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min(col("day")).as("gap_start"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_gaps"),
+        max(col("len")).cast("long").as("max_gap_days"),
+        sum(col("len")).cast("long").as("missing_days"),
+        min(col("gap_start")).as("first_gap_start"))
+      .orderBy("user_id")
+  }
+
+  val j6GapIslandsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cal AS (
+      |  SELECT day, row_number() OVER (ORDER BY day) AS drk
+      |  FROM (SELECT DISTINCT day FROM ev)),
+      |users AS (SELECT DISTINCT user_id FROM ev),
+      |present AS (SELECT DISTINCT user_id, day FROM ev),
+      |missing AS (
+      |  SELECT u.user_id, c.day, c.drk
+      |  FROM users u CROSS JOIN cal c
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM present p WHERE p.user_id = u.user_id AND p.day = c.day)),
+      |isl AS (
+      |  SELECT user_id, drk - row_number() OVER (PARTITION BY user_id ORDER BY drk) AS grp,
+      |    day
+      |  FROM missing),
+      |runs AS (
+      |  SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS gap_start
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  CAST(MAX(len) AS BIGINT) AS max_gap_days,
+      |  CAST(SUM(len) AS BIGINT) AS missing_days,
+      |  MIN(gap_start) AS first_gap_start
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_weighted_median" -> qWeightedMedian,
+    "j6_gap_islands" -> j6GapIslands,
     "k9_skyline" -> k9Skyline,
     "e11_benford" -> e11Benford,
     "f16_chi2_assoc" -> f16Chi2Assoc,
@@ -291,6 +392,8 @@ object FrontierQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_weighted_median" -> qWeightedMedianSql,
+    "j6_gap_islands" -> j6GapIslandsSql,
     "k9_skyline" -> k9SkylineSql,
     "e11_benford" -> e11BenfordSql,
     "f16_chi2_assoc" -> f16Chi2AssocSql,

@@ -521,6 +521,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "limit 20 must plan as partial top-K")
   }
 
+  test("q_weighted_median: sweep over the per-price aggregate, flag-keyed windows") {
+    val p = plan(graft.operators.FrontierQueries.qWeightedMedian(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "per-(flag,price) weights must reduce partial+final before the sweep")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("j6 gap islands: calendar spine broadcasts, anti join stays keyed") {
+    val p = plan(graft.operators.FrontierQueries.j6GapIslands(spark, sf))
+    assert(p.contains("LeftAnti"), s"expected a left-anti join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the tiny calendar must broadcast:\n$p")
+  }
+
   test("i19 holt-winters: one series shuffle feeds the 9-state kernel") {
     val p = plan(graft.operators.IndicatorQueries.i19HoltWinters(spark, sf))
     assert(p.contains("MapGroups"), s"expected the flatMapGroups kernel:\n$p")

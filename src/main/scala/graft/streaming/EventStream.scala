@@ -437,6 +437,66 @@ object EventStream {
     }
   }
 
+  case class Quiet(user_id: Long, last_seen_ms: Long)
+
+  /** Event-time TIMER processor: emits (user, last_seen) once a user
+    * has been silent past the inactivity bound — the push-based "gone
+    * quiet" alert that polling a batch query can't express. State is
+    * one ValueState[Long] (last event time); every batch re-arms a
+    * single event-time timer at last+bound (deleting the stale one),
+    * and the expiry callback — fired by watermark progress, not by the
+    * user's own data — emits and clears. Together with
+    * [[InventoryProcessor]] this covers both halves of Spark 4's
+    * transformWithState contract: data-driven updates and
+    * watermark-driven timers. */
+  class InactivityProcessor(boundMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), Quiet] {
+    @transient private var last: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState[Long]("last",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Quiet] = {
+      val newest = rows.map(_._2).max
+      val prev = if (last.exists()) last.get() else Long.MinValue
+      if (newest > prev) {
+        if (prev != Long.MinValue) getHandle.deleteTimer(prev + boundMs)
+        last.update(newest)
+        getHandle.registerTimer(newest + boundMs)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Quiet] = {
+      val seen = last.get()
+      last.clear()
+      Iterator.single(Quiet(key, seen))
+    }
+  }
+
+  /** Inactivity alerts over a stream of (user_id, event_time_ms): a
+    * row appears exactly when the watermark passes a user's last event
+    * + bound. Input needs an event-time column `tsm` for the watermark
+    * that drives the timers. */
+  def inactivityStream(events: DataFrame, boundMs: Long,
+      lateness: String = "0 seconds"): Dataset[Quiet] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("tsm", lateness)
+      .select(col("user_id").cast("long"),
+        expr("unix_millis(tsm)").as("ms"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new InactivityProcessor(boundMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the clamped-inventory ledger: balances evolve
     * across micro-batches with O(1) state per user. Output equals the
     * batch kernel's when each user's events arrive in ts order across

@@ -474,6 +474,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamNulls.subsetOf(batch))
   }
 
+  test("transformWithState timers fire inactivity alerts on watermark progress") {
+    implicit val sc = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+      val stream = MemoryStream[(Long, java.sql.Timestamp)]
+      // 30-minute inactivity bound, zero lateness: watermark = max seen
+      val q = EventStream.inactivityStream(
+          stream.toDF().toDF("user_id", "tsm"), 30L * 60000)
+        .writeStream.format("memory").queryName("quiet").outputMode("append").start()
+      stream.addData((1L, ts(0)), (2L, ts(5)))
+      q.processAllAvailable()
+      // user 1 keeps talking (re-arms its timer); watermark reaches :40,
+      // past user 2's :05+30 bound -> user 2 alerts, user 1 does not
+      stream.addData((1L, ts(40)))
+      q.processAllAvailable()
+      // push the watermark past user 1's :40+30 bound too
+      stream.addData((3L, ts(90)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("quiet").as[EventStream.Quiet].collect()
+        .map(o => o.user_id -> o.last_seen_ms).toMap
+      val base = t0.getTime
+      assert(got(2L) == base + 5 * 60000L, "user 2 alerts with its true last-seen")
+      assert(got(1L) == base + 40 * 60000L,
+        "user 1's first timer was re-armed, only the final silence alerts")
+      assert(!got.contains(3L), "user 3's timer has not expired")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState inventory stream equals the batch clamp kernel") {
     implicit val sc = spark.sqlContext
     // transformWithState requires the RocksDB state store

@@ -371,7 +371,86 @@ object IndicatorQueries {
         |FROM h WHERE rn > 7 ORDER BY user_id, day""".stripMargin
   }
 
+  /** I20: Kaufman adaptive moving average — the smoothing constant
+    * ADAPTS per bar: efficiency ratio ER = |net 10-day move| / Σ|daily
+    * moves| (1 on a trend, →0 in chop), SC = (ER·(2/3 − 2/31) +
+    * 2/31)², kamaₜ = kamaₜ₋₁ + SC·(yₜ − kamaₜ₋₁). Split by what each
+    * engine does best: ER/SC are pure WINDOW math (daily |Δ| snaps to
+    * DECIMAL so the 10-bar frame sum is order-independent, then one
+    * shared IEEE chain), and only the 1-state recurrence runs in the
+    * kernel — the window output feeds flatMapGroups on the SAME
+    * series partitioning, so no extra shuffle. Flat windows (Σ|Δ|=0)
+    * define ER=1. Seeded kama = close at the first full-window bar
+    * (rn=11); the oracle replays the recurrence rn→rn+1. */
+  val i20Kama: Q = (s, dir) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    val fast = 2.0 / 3; val slow = 2.0 / 31
+    val enriched = PatternQueries.dailyBars(s, dir)
+      .withColumn("ad",
+        abs(col("close") - lag(col("close"), 1).over(w)).cast("decimal(28,12)"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("net", abs(col("close") - lag(col("close"), 10).over(w)))
+      .withColumn("vol",
+        sum(col("ad")).over(w.rowsBetween(-9, 0)).cast("double"))
+      .filter(col("rn") >= 11)
+      .withColumn("er",
+        when(col("vol") > 0, col("net") / col("vol")).otherwise(lit(1.0)))
+      .withColumn("sc",
+        pow(col("er") * lit(fast - slow) + lit(slow), 2))
+      .select(col("user_id").cast("long"), col("day").cast("string"),
+        col("close").cast("double"), col("sc").cast("double"))
+    enriched.as[(Long, String, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, String, Double, Double)]) =>
+        val pts = it.toArray.sortBy(_._2)
+        var kama = 0.0
+        pts.iterator.zipWithIndex.map { case (p, i) =>
+          kama = if (i == 0) p._3 else kama + p._4 * (p._3 - kama)
+          (uid, p._2, kama)
+        }
+      }
+      .toDF("user_id", "day", "kama")
+      .select(col("user_id"), to_date(col("day")).as("day"),
+        q6i(col("kama")).as("kama"))
+      .orderBy("user_id", "day")
+  }
+
+  val i20KamaSql: String = {
+    val fs = "(CAST(2 AS DOUBLE)/3 - CAST(2 AS DOUBLE)/31)"
+    val sl = "(CAST(2 AS DOUBLE)/31)"
+    graft.operators.PatternQueries.barsCte.replace("WITH ", "WITH RECURSIVE ") +
+      s""",
+        |r0 AS (
+        |  SELECT user_id, day, close,
+        |    row_number() OVER w AS rn,
+        |    CAST(ABS(close - lag(close, 1) OVER w) AS DECIMAL(28,12)) AS ad,
+        |    ABS(close - lag(close, 10) OVER w) AS net
+        |  FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        |r AS (
+        |  SELECT user_id, day, close, rn,
+        |    CASE WHEN CAST(SUM(ad) OVER (PARTITION BY user_id ORDER BY rn
+        |        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE) > 0
+        |      THEN net / CAST(SUM(ad) OVER (PARTITION BY user_id ORDER BY rn
+        |        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      ELSE CAST(1 AS DOUBLE) END AS er
+        |  FROM r0 WHERE rn >= 2),
+        |e AS (
+        |  SELECT user_id, day, close, rn,
+        |    POWER(er * $fs + $sl, 2) AS sc
+        |  FROM r WHERE rn >= 11),
+        |k AS (
+        |  SELECT user_id, rn, day, close AS kama FROM e WHERE rn = 11
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn, o.day, p.kama + o.sc * (o.close - p.kama)
+        |  FROM k p JOIN e o ON o.user_id = p.user_id AND o.rn = p.rn + 1)
+        |SELECT user_id, day, floor(kama * 1e6 + 0.5) / 1e6 AS kama
+        |FROM k ORDER BY user_id, day""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "i20_kama" -> i20Kama,
     "i19_holt_winters" -> i19HoltWinters,
     "i12_ewma_vol" -> i12EwmaVol,
     "i14_holt" -> i14Holt,
@@ -385,6 +464,7 @@ object IndicatorQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "i20_kama" -> i20KamaSql,
     "i19_holt_winters" -> i19HoltWintersSql,
     "i12_ewma_vol" -> i12EwmaVolSql,
     "i14_holt" -> i14HoltSql,

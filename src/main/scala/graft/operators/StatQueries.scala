@@ -431,7 +431,79 @@ object StatQueries {
       |  floor(CAST(SUM(CAST(term_nats AS DECIMAL(28,12))) AS DOUBLE) / ln(2.0) * 1e6 + 0.5) / 1e6 AS jsd_bits
       |FROM terms GROUP BY source ORDER BY source""".stripMargin
 
+  /** T38: Neyman allocation for stratified sampling — how a fixed
+    * sample budget (n=1000) SHOULD split across event-type strata:
+    * nₕ ∝ Nₕ·σₕ (big and volatile strata earn more draws), with the
+    * fractional shares settled by the largest-remainder method so the
+    * integer allocations sum to the budget exactly and deterministically
+    * (remainder ties break on the stratum name). σ through the exact
+    * decimal power sums (a23's pattern); the weights Nₕ·σₕ quantize to
+    * DECIMAL(28,8) before the cross-strata total so the share
+    * denominator is order-independent. One stratum aggregation + a
+    * ≤|strata|-row window — nothing else touches the table. */
+  val t38NeymanAlloc: Q = (s, dir) => {
+    val st = Graft.table(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("nh"),
+        sum(col("value").cast("decimal(28,12)")).as("sv"),
+        sum((col("value") * col("value")).cast("decimal(28,12)")).as("sv2"))
+      .withColumn("variance",
+        (col("sv2").cast("double") -
+          col("sv").cast("double") * col("sv").cast("double") / col("nh")) /
+          (col("nh") - 1))
+      .withColumn("sigma", sqrt(col("variance")))
+      .withColumn("wq", (col("nh") * col("sigma")).cast("decimal(28,8)"))
+    val tot = Window.partitionBy()
+    val byRem = Window.orderBy(col("frac").desc, col("event_type"))
+    st
+      .withColumn("wsum", sum(col("wq")).over(tot))
+      .withColumn("share",
+        lit(1000.0) * col("wq").cast("double") / col("wsum").cast("double"))
+      .withColumn("base", floor(col("share")).cast("long"))
+      .withColumn("frac", col("share") - col("base"))
+      .withColumn("rem", lit(1000L) - sum(col("base")).over(tot))
+      .withColumn("rk", row_number().over(byRem))
+      .select(col("event_type"), col("nh").cast("long").as("n_rows"),
+        q6(col("sigma")).as("sigma"),
+        (col("base") + when(col("rk") <= col("rem"), 1L).otherwise(0L))
+          .cast("long").as("alloc"))
+      .orderBy("event_type")
+  }
+
+  val t38NeymanAllocSql: String =
+    """WITH st AS (
+      |  SELECT event_type, COUNT(*) AS nh,
+      |    SUM(CAST(value AS DECIMAL(28,12))) AS sv,
+      |    SUM(CAST(value * value AS DECIMAL(28,12))) AS sv2
+      |  FROM events GROUP BY event_type),
+      |w AS (
+      |  SELECT event_type, nh,
+      |    sqrt((CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / nh)
+      |      / (nh - 1)) AS sigma,
+      |    CAST(nh * sqrt((CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / nh)
+      |      / (nh - 1)) AS DECIMAL(28,8)) AS wq
+      |  FROM st),
+      |sh AS (
+      |  SELECT event_type, nh, sigma,
+      |    1000.0 * CAST(wq AS DOUBLE) / CAST(SUM(wq) OVER () AS DOUBLE) AS share
+      |  FROM w),
+      |b AS (
+      |  SELECT event_type, nh, sigma, share,
+      |    CAST(FLOOR(share) AS BIGINT) AS base,
+      |    share - FLOOR(share) AS frac
+      |  FROM sh),
+      |f AS (
+      |  SELECT event_type, nh, sigma, base, frac,
+      |    1000 - SUM(base) OVER () AS rem,
+      |    row_number() OVER (ORDER BY frac DESC, event_type) AS rk
+      |  FROM b)
+      |SELECT event_type, CAST(nh AS BIGINT) AS n_rows,
+      |  floor(sigma * 1e6 + 0.5) / 1e6 AS sigma,
+      |  CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM f ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "t38_neyman_alloc" -> t38NeymanAlloc,
     "w14_cusum" -> w14Cusum,
     "t35_jsd_drift" -> t35JsdDrift,
     "f7_ab_lift" -> f7AbLift,
@@ -441,6 +513,7 @@ object StatQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "t38_neyman_alloc" -> t38NeymanAllocSql,
     "w14_cusum" -> w14CusumSql,
     "t35_jsd_drift" -> t35JsdDriftSql,
     "f7_ab_lift" -> f7AbLiftSql,

@@ -535,6 +535,19 @@ class PlanSpec extends SparkSpec {
       s"the tiny calendar must broadcast:\n$p")
   }
 
+  test("i20 KAMA: window-derived coefficients and the kernel share the series shuffle") {
+    val p = plan(graft.operators.IndicatorQueries.i20Kama(spark, sf))
+    assert(p.contains("MapGroups"), s"expected the recurrence kernel:\n$p")
+    assert(p.contains("Window"), "ER/SC must come from window math, not the kernel")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t38 Neyman: one stratum aggregation, windows over the strata frame only") {
+    val p = plan(graft.operators.StatQueries.t38NeymanAlloc(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "expect partial+final agg")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("i19 holt-winters: one series shuffle feeds the 9-state kernel") {
     val p = plan(graft.operators.IndicatorQueries.i19HoltWinters(spark, sf))
     assert(p.contains("MapGroups"), s"expected the flatMapGroups kernel:\n$p")

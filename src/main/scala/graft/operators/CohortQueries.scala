@@ -275,7 +275,95 @@ object CohortQueries {
       |ORDER BY lift DESC, brand_a, brand_b
       |LIMIT 20""".stripMargin
 
+  /** F19: Kaplan-Meier survival over user lifetimes — S(t) = Π_{tᵢ≤t}
+    * (1 − dᵢ/nᵢ) with right-censoring: a user's lifetime is last−first
+    * event day; users still active in the final week are CENSORED
+    * (they leave the risk set without counting as churn) — the
+    * estimator every retention curve should be but plain "% retained"
+    * is not. Lifetime = first event → last PURCHASE (the sparse
+    * commitment signal; the dense view/click stream would make every
+    * user look alive through the end and the curve vacuous); users who
+    * never purchased are excluded up front. The lifetime table reduces
+    * to one row per user, then one
+    * row per distinct lifetime (dᵢ churns, cᵢ censored, nᵢ at risk
+    * from a reverse cumulative sum); the survival product is a
+    * SEQUENTIAL recurrence over the ≤|lifetimes| event rows — each
+    * factor is one exact division, multiplied in ascending-time order
+    * through the same IEEE chain on both engines (kernel vs recursive
+    * CTE), never exp(Σln). */
+  val f19KaplanMeier: Q = (s, dir) => {
+    import s.implicits._
+    val ev = eventsWithDay(s, dir)
+    val life = Graft.materialize(
+      ev.groupBy("user_id")
+        .agg(min(col("day")).as("first_day"),
+          max(when(col("event_type") === "purchase", col("day"))).as("last_day"))
+        .filter(col("last_day").isNotNull)
+        .crossJoin(broadcast(ev.agg(max(col("day")).as("end_day"))))
+        .select(
+          datediff(col("last_day"), col("first_day")).cast("long").as("t"),
+          (col("last_day") <= date_sub(col("end_day"), 7)).cast("long").as("churned")))
+    val byT = life.groupBy("t")
+      .agg(sum(col("churned")).as("d"), count(lit(1)).as("all_t"))
+    val atRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byT
+      .withColumn("n_risk", sum(col("all_t")).over(atRisk))
+      .filter(col("d") > 0)
+      .select(col("t"), col("d").cast("long"), col("n_risk").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroups { (_: Int, it: Iterator[(Long, Long, Long)]) =>
+        val pts = it.toArray.sortBy(_._1)
+        var surv = 1.0
+        pts.iterator.map { p =>
+          surv = surv * (1.0 - p._2.toDouble / p._3)
+          (p._1, p._2, p._3, surv)
+        }
+      }
+      .toDF("t_days", "d_churned", "n_risk", "survival")
+      .select(col("t_days"), col("d_churned"), col("n_risk"),
+        q6(col("survival")).as("survival"))
+      .orderBy("t_days")
+  }
+
+  val f19KaplanMeierSql: String =
+    """WITH RECURSIVE life AS (
+      |  SELECT user_id,
+      |    date_diff('day', MIN(CAST(ts AS DATE)),
+      |      MAX(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)) AS t,
+      |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) <=
+      |      (SELECT MAX(CAST(ts AS DATE)) - INTERVAL 7 DAY FROM events) AS BIGINT)
+      |      AS churned
+      |  FROM events GROUP BY user_id
+      |  HAVING MAX(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) IS NOT NULL),
+      |byt AS (
+      |  SELECT t, SUM(churned) AS d, COUNT(*) AS all_t
+      |  FROM life GROUP BY t),
+      |risk AS (
+      |  SELECT t, d,
+      |    SUM(all_t) OVER (ORDER BY t DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      |  FROM byt),
+      |ev AS (
+      |  SELECT CAST(t AS BIGINT) AS t, CAST(d AS BIGINT) AS d,
+      |    CAST(n_risk AS BIGINT) AS n_risk,
+      |    row_number() OVER (ORDER BY t) AS rn
+      |  FROM risk WHERE d > 0),
+      |km AS (
+      |  SELECT t, d, n_risk, rn,
+      |    1.0 * (1.0 - CAST(d AS DOUBLE) / n_risk) AS surv
+      |  FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.t, o.d, o.n_risk, o.rn,
+      |    p.surv * (1.0 - CAST(o.d AS DOUBLE) / o.n_risk) AS surv
+      |  FROM km p JOIN ev o ON o.rn = p.rn + 1)
+      |SELECT t AS t_days, d AS d_churned, n_risk,
+      |  floor(surv * 1e6 + 0.5) / 1e6 AS survival
+      |FROM km ORDER BY t_days""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "f19_kaplan_meier" -> f19KaplanMeier,
     "f18_assoc_rules" -> f18AssocRules,
     "f6_cohort" -> f6Cohort,
     "f9_stickiness" -> f9Stickiness,
@@ -284,6 +372,7 @@ object CohortQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "f19_kaplan_meier" -> f19KaplanMeierSql,
     "f18_assoc_rules" -> f18AssocRulesSql,
     "f6_cohort" -> f6CohortSql,
     "f9_stickiness" -> f9StickinessSql,

@@ -311,6 +311,111 @@ object MarketQueries {
       |  END AS roll_corr
       |FROM j ORDER BY pos""".stripMargin
 
+  /** Z2: pairs-trading backtest with hysteresis — z1's spread z-score
+    * driving a position STATE MACHINE: flat → short (+z > 2) / long
+    * (−z > 2), held until |z| < 0.5 (two thresholds so the position
+    * doesn't chatter at the entry boundary), P&L accruing
+    * pos·Δspread per step. The state is data-dependent (a window
+    * can't express "held until"), so the decision loop runs in the
+    * flatMapGroups kernel — but unlike z1's display-only z, the
+    * DECISION z here is built from exact decimal power sums
+    * ((Σs, Σs²) over the 30-point frame, one IEEE chain), because a
+    * one-ulp drift at the 2.0 threshold would fork the whole
+    * trajectory. The oracle replays the identical recurrence rn→rn+1.
+    */
+  val z2PairsBacktest: Q = (s, dir) => {
+    import s.implicits._
+    def series(uid: Int) =
+      Graft.events(s, dir).filter(col("user_id") === uid)
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        .select(col("pos"), col("value"))
+    val w = Window.orderBy("pos")
+    val f30 = w.rowsBetween(-29, 0)
+    val enriched = series(1).withColumnRenamed("value", "a")
+      .join(series(2).withColumnRenamed("value", "b"), "pos")
+      .withColumn("spread", col("a") - col("b"))
+      .withColumn("dspread",
+        col("spread") - lag(col("spread"), 1).over(w))
+      .withColumn("s1", sum(col("spread").cast("decimal(28,12)")).over(f30))
+      .withColumn("s2",
+        sum((col("spread") * col("spread")).cast("decimal(28,12)")).over(f30))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") >= 30)
+      .withColumn("mean", col("s1").cast("double") / 30)
+      .withColumn("sd", sqrt((col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") / 30) / 29))
+      .withColumn("z",
+        when(col("sd") > 0, (col("spread") - col("mean")) / col("sd"))
+          .otherwise(lit(0.0)))
+      .select(col("pos").cast("long"), col("z").cast("double"),
+        coalesce(col("dspread"), lit(0.0)).cast("double"))
+    enriched.as[(Long, Double, Double)]
+      .groupByKey(_ => 0)
+      .flatMapGroups { (_: Int, it: Iterator[(Long, Double, Double)]) =>
+        val pts = it.toArray.sortBy(_._1)
+        var position = 0L; var pnl = 0.0
+        pts.iterator.map { p =>
+          pnl = pnl + position * p._3
+          position =
+            if (position == 0L) { if (p._2 > 2) -1L else if (p._2 < -2) 1L else 0L }
+            else if (math.abs(p._2) < 0.5) 0L
+            else position
+          (p._1, p._2, position, pnl)
+        }
+      }
+      .toDF("pos", "z", "position", "pnl")
+      .select(col("pos"), q6(col("z")).as("z"), col("position"),
+        q6(col("pnl")).as("pnl"))
+      .orderBy("pos")
+  }
+
+  val z2PairsBacktestSql: String =
+    """WITH RECURSIVE s AS (
+      |  SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      |  FROM events WHERE user_id IN (1, 2)),
+      |j AS (
+      |  SELECT a.pos, a.value - b.value AS spread
+      |  FROM s a JOIN s b ON a.pos = b.pos AND a.user_id = 1 AND b.user_id = 2),
+      |e0 AS (
+      |  SELECT pos, spread,
+      |    spread - lag(spread) OVER (ORDER BY pos) AS dspread,
+      |    CAST(SUM(CAST(spread AS DECIMAL(28,12)))
+      |      OVER (ORDER BY pos ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(spread * spread AS DECIMAL(28,12)))
+      |      OVER (ORDER BY pos ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS s2,
+      |    row_number() OVER (ORDER BY pos) AS rn
+      |  FROM j),
+      |e1 AS (
+      |  SELECT pos, rn, COALESCE(dspread, 0.0) AS dspread,
+      |    sqrt((s2 - s1 * s1 / 30) / 29) AS sd, s1 / 30 AS mean, spread
+      |  FROM e0 WHERE rn >= 30),
+      |e AS (
+      |  SELECT pos, rn, dspread,
+      |    CASE WHEN sd > 0 THEN (spread - mean) / sd ELSE CAST(0 AS DOUBLE) END AS z
+      |  FROM e1),
+      |k AS (
+      |  SELECT pos, rn, z,
+      |    CASE WHEN z > 2 THEN CAST(-1 AS BIGINT)
+      |         WHEN z < -2 THEN CAST(1 AS BIGINT)
+      |         ELSE CAST(0 AS BIGINT) END AS position,
+      |    CAST(0 AS DOUBLE) AS pnl
+      |  FROM e WHERE rn = 30
+      |  UNION ALL
+      |  SELECT o.pos, o.rn, o.z,
+      |    CASE WHEN p.position = 0 THEN
+      |           CASE WHEN o.z > 2 THEN CAST(-1 AS BIGINT)
+      |                WHEN o.z < -2 THEN CAST(1 AS BIGINT)
+      |                ELSE CAST(0 AS BIGINT) END
+      |         WHEN ABS(o.z) < 0.5 THEN CAST(0 AS BIGINT)
+      |         ELSE p.position END AS position,
+      |    p.pnl + p.position * o.dspread AS pnl
+      |  FROM k p JOIN e o ON o.rn = p.rn + 1)
+      |SELECT pos, floor(z * 1e6 + 0.5) / 1e6 AS z, position,
+      |  floor(pnl * 1e6 + 0.5) / 1e6 AS pnl
+      |FROM k ORDER BY pos""".stripMargin
+
   /** Z1: pairs-trading spread z-score — align two series by position,
     * spread = a − b, standardize against a rolling 30-point mean/stddev,
     * and flag |z| > 2 as a divergence signal. Rolling stddev drifts at
@@ -730,6 +835,7 @@ object MarketQueries {
     "i16_keltner" -> i16Keltner,
     "a23_sharpe" -> a23Sharpe,
     "x6_crosscorr" -> x6CrossCorr,
+    "z2_pairs_backtest" -> z2PairsBacktest,
     "z1_zscore_spread" -> z1ZscoreSpread,
     "i8_atr" -> i8Atr,
     "i9_stochastic" -> i9Stochastic,
@@ -747,6 +853,7 @@ object MarketQueries {
     "i16_keltner" -> i16KeltnerSql,
     "a23_sharpe" -> a23SharpeSql,
     "x6_crosscorr" -> x6CrossCorrSql,
+    "z2_pairs_backtest" -> z2PairsBacktestSql,
     "z1_zscore_spread" -> z1ZscoreSpreadSql,
     "i8_atr" -> i8AtrSql,
     "i9_stochastic" -> i9StochasticSql,

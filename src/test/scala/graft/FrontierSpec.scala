@@ -211,6 +211,47 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("kaplan-meier multiplies risk-set factors at churn times only") {
+    // lifetimes (first event -> last purchase): u1 t=5 churn, u2 t=10 churn,
+    // u3 t=28 censored (within final week), u4 t=5 churn; u5 never purchases
+    // (excluded) but pins end_day = 30.
+    // S(5) = 1 - 2/4 = 0.5; S(10) = 0.5 * (1 - 1/2) = 0.25
+    def d(n: Int) = n.toLong * 86400L * 1000000000L
+    val rows = Seq(
+      (1L, 1L, "view", d(0)), (2L, 1L, "purchase", d(5)),
+      (3L, 2L, "view", d(0)), (4L, 2L, "purchase", d(10)),
+      (5L, 3L, "view", d(0)), (6L, 3L, "purchase", d(28)),
+      (7L, 4L, "view", d(0)), (8L, 4L, "purchase", d(5)),
+      (9L, 5L, "view", d(30)))
+    val tmp = java.nio.file.Files.createTempDirectory("km")
+    try {
+      rows.toDF("event_id", "user_id", "event_type", "ts")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val got = graft.operators.CohortQueries.f19KaplanMeier(spark, tmp.toString)
+        .select("t_days", "d_churned", "n_risk", "survival")
+        .as[(Long, Long, Long, Double)].collect().toList
+      assert(got == List((5L, 2L, 4L, 0.5), (10L, 1L, 2L, 0.25)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
+  test("backtest position machine only transitions per the hysteresis rules") {
+    val rows = graft.operators.MarketQueries.z2PairsBacktest(spark, sf)
+      .select("z", "position").as[(Double, Long)].collect()
+    assert(rows.nonEmpty)
+    var prev = 0L
+    rows.foreach { case (z, p) =>
+      assert(p == -1L || p == 0L || p == 1L)
+      if (prev == 0L) {
+        val want = if (z > 2) -1L else if (z < -2) 1L else 0L
+        assert(p == want, s"flat-state entry rule violated at z=$z")
+      } else if (math.abs(z) < 0.5) assert(p == 0L, s"exit rule violated at z=$z")
+      else assert(p == prev, s"hold rule violated at z=$z")
+      prev = p
+    }
+  }
+
   test("g6 SSSP relaxes to true weighted distances within the round budget") {
     val got = graft.operators.OpsQueries.g6Sssp(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -535,6 +535,19 @@ class PlanSpec extends SparkSpec {
       s"the tiny calendar must broadcast:\n$p")
   }
 
+  test("z2 backtest: decision z from decimal window sums, state machine in the kernel") {
+    val p = plan(graft.operators.MarketQueries.z2PairsBacktest(spark, sf))
+    assert(p.contains("MapGroups"), s"expected the state-machine kernel:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("f19 kaplan-meier: per-user reduce, per-lifetime reduce, kernel over event times only") {
+    val p = plan(graft.operators.CohortQueries.f19KaplanMeier(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert(p.contains("MapGroups"), s"expected the survival-product kernel:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("i20 KAMA: window-derived coefficients and the kernel share the series shuffle") {
     val p = plan(graft.operators.IndicatorQueries.i20Kama(spark, sf))
     assert(p.contains("MapGroups"), s"expected the recurrence kernel:\n$p")

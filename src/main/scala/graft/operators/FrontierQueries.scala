@@ -381,7 +381,51 @@ object FrontierQueries {
       |  MIN(gap_start) AS first_gap_start
       |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Q-AI: active-interval counts by difference array — how many orders
+    * are OPEN (placed, not yet fully shipped) on each day the count
+    * changes: each order contributes exactly two delta rows (+1 at
+    * o_orderdate, −1 the day after its last l_shipdate), the deltas
+    * aggregate per day, and one cumulative sum over the tiny day spine
+    * yields the census — the interval-stabbing shape that never builds
+    * a per-day × per-order join (the naive plan is |days|·|orders|;
+    * this is 2·|orders| + |days|). Pure integer arithmetic. */
+  val qActiveIntervals: Q = (s, dir) => {
+    val spans = Graft.table(s, dir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("start_day"))
+      .join(Graft.table(s, dir, "lineitem")
+          .groupBy("l_orderkey").agg(max(to_date(col("l_shipdate"))).as("last_ship")),
+        col("o_orderkey") === col("l_orderkey"))
+    val deltas = spans.select(col("start_day").as("day"), lit(1L).as("delta"))
+      .unionByName(spans.select(date_add(col("last_ship"), 1).as("day"),
+        lit(-1L).as("delta")))
+      .groupBy("day").agg(sum("delta").as("d"))
+    deltas
+      .withColumn("active", sum(col("d")).over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("day"), col("d").cast("long").as("delta"),
+        col("active").cast("long").as("active"))
+      .orderBy("day")
+  }
+
+  val qActiveIntervalsSql: String =
+    """WITH spans AS (
+      |  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS start_day,
+      |    MAX(CAST(l.l_shipdate AS DATE)) AS last_ship
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2),
+      |deltas AS (
+      |  SELECT day, SUM(delta) AS d FROM (
+      |    SELECT start_day AS day, 1 AS delta FROM spans
+      |    UNION ALL
+      |    SELECT last_ship + INTERVAL 1 DAY, -1 FROM spans)
+      |  GROUP BY day)
+      |SELECT CAST(day AS DATE) AS day, CAST(d AS BIGINT) AS delta,
+      |  CAST(SUM(d) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS active
+      |FROM deltas ORDER BY day""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_active_intervals" -> qActiveIntervals,
     "q_weighted_median" -> qWeightedMedian,
     "j6_gap_islands" -> j6GapIslands,
     "k9_skyline" -> k9Skyline,
@@ -392,6 +436,7 @@ object FrontierQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_active_intervals" -> qActiveIntervalsSql,
     "q_weighted_median" -> qWeightedMedianSql,
     "j6_gap_islands" -> j6GapIslandsSql,
     "k9_skyline" -> k9SkylineSql,

@@ -252,8 +252,14 @@ object LedgerQueries {
     * construction — the classic SNM pass a 100 TB near-dup pipeline
     * runs alongside LSH to catch prefix-aligned near-misses. No join
     * anywhere: the sweep IS the window. */
-  val d13SnmPairs: Q = (s, dir) => {
-    val keyed = Graft.table(s, dir, "documents")
+  val d13SnmPairs: Q = (s, dir) =>
+    snmPairs(Graft.table(s, dir, "documents"))
+
+  /** The SNM sweep over any (doc_id, text) frame — reused by the
+    * blocking-quality eval (TextQueries.t40SnmEval) on the same derived
+    * corpus the Jaccard ground truth runs on. */
+  def snmPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val keyed = docs
       .select(col("doc_id"),
         substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 32)
           .as("k"))

@@ -321,6 +321,82 @@ object TextQueries {
       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** T40: sorted-neighborhood blocking quality — d13's SNM candidate
+    * pairs scored against d4's exact Jaccard≥0.5 ground truth on the
+    * SAME derived corpus: precision (how many candidates are real
+    * near-dups) and recall (how many real near-dups the prefix
+    * blocking surfaces). Completes the eval triplet (d9 scores LSH
+    * banding, v10 scores IVF retrieval, t40 scores SNM) — the
+    * measurements that justify each blocking strategy's thresholds at
+    * scale. Pure set arithmetic on normalized (min,max) pairs; ratios
+    * are single divisions of exact counts. */
+  val t40SnmEval: Q = (s, dir) => {
+    val truth = Graft.materialize(
+      Dedup.ngramJaccard(nearCorpus(s, dir), 3, 0.5, maxDf = 50)
+        .select(col("doc_a"), col("doc_b")))
+    val cand = Graft.materialize(
+      graft.operators.LedgerQueries.snmPairs(nearCorpus(s, dir))
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        .distinct())
+    val tp = cand.join(truth, Seq("doc_a", "doc_b")).count()
+    val nc = cand.count(); val nt = truth.count()
+    val one = s.range(1).toDF("one")
+    one.select(
+      lit(nc).as("n_candidates"), lit(nt).as("n_truth"), lit(tp).as("n_hit"),
+      (floor(lit(tp).cast("double") / lit(nc) * lit(1e6) + lit(0.5)) / lit(1e6))
+        .as("precision"),
+      (floor(lit(tp).cast("double") / lit(nt) * lit(1e6) + lit(0.5)) / lit(1e6))
+        .as("recall"))
+  }
+
+  val t40SnmEvalSql: String = nearCorpusCte +
+    """,
+      |w AS (SELECT doc_id,
+      |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |      FROM corpus),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+      |       WHERE len(ws) >= 3 AND length(ws[i] || ws[i+1] || ws[i+2]) > 0),
+      |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 50),
+      |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+      |keyed AS (
+      |  SELECT doc_id,
+      |    substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 32) AS k
+      |  FROM corpus),
+      |n AS (
+      |  SELECT doc_id, k,
+      |    lead(doc_id, 1) OVER sw AS id1, lead(k, 1) OVER sw AS k1,
+      |    lead(doc_id, 2) OVER sw AS id2, lead(k, 2) OVER sw AS k2
+      |  FROM keyed WINDOW sw AS (ORDER BY k, doc_id)),
+      |p AS (
+      |  SELECT doc_id AS a, id1 AS b, k, k1 AS kb FROM n WHERE id1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id, id2, k, k2 FROM n WHERE id2 IS NOT NULL),
+      |cand AS (
+      |  SELECT DISTINCT LEAST(a, b) AS doc_a, GREATEST(a, b) AS doc_b
+      |  FROM p WHERE substring(k, 1, 16) = substring(kb, 1, 16)),
+      |m AS (
+      |  SELECT
+      |    (SELECT COUNT(*) FROM cand) AS nc,
+      |    (SELECT COUNT(*) FROM truth) AS nt,
+      |    (SELECT COUNT(*) FROM cand JOIN truth USING (doc_a, doc_b)) AS tp)
+      |SELECT CAST(nc AS BIGINT) AS n_candidates, CAST(nt AS BIGINT) AS n_truth,
+      |  CAST(tp AS BIGINT) AS n_hit,
+      |  floor(CAST(tp AS DOUBLE) / nc * 1e6 + 0.5) / 1e6 AS precision,
+      |  floor(CAST(tp AS DOUBLE) / nt * 1e6 + 0.5) / 1e6 AS recall
+      |FROM m""".stripMargin
+
   /** D1b: apply the dedup — the surviving corpus (keepers only). */
   val d1DedupApply: Q = (s, dir) => {
     val c = corpus(s, dir)
@@ -805,6 +881,7 @@ object TextQueries {
     "d9_lsh_eval" -> d9LshEval,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
+    "t40_snm_eval" -> t40SnmEval,
     "d12_novelty" -> d12Novelty,
     "d10_edit_neighbors" -> d10EditNeighbors,
     "d6_dup_clusters" -> d6DupClusters,
@@ -828,6 +905,7 @@ object TextQueries {
     "d9_lsh_eval" -> d9LshEvalSql,
     "d3_simhash" -> d3SimhashSql,
     "d4_ngram_jaccard" -> d4NgramJaccardSql,
+    "t40_snm_eval" -> t40SnmEvalSql,
     "d12_novelty" -> d12NoveltySql,
     "d10_edit_neighbors" -> d10EditNeighborsSql,
     "d6_dup_clusters" -> d6DupClustersSql,

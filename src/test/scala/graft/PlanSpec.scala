@@ -535,6 +535,14 @@ class PlanSpec extends SparkSpec {
       s"the tiny calendar must broadcast:\n$p")
   }
 
+  test("q_active_intervals: difference array, never a day-by-order fan-out join") {
+    val p = plan(graft.operators.FrontierQueries.qActiveIntervals(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "per-order last-ship and per-day deltas must reduce partial+final")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the census must come from deltas, not a range join:\n$p")
+  }
+
   test("z2 backtest: decision z from decimal window sums, state machine in the kernel") {
     val p = plan(graft.operators.MarketQueries.z2PairsBacktest(spark, sf))
     assert(p.contains("MapGroups"), s"expected the state-machine kernel:\n$p")

@@ -4,6 +4,8 @@ import graft.Graft
 import graft.Graft.Q
 import graft.multimodal.Multimodal
 import graft.vector.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity-search + multimodal queries over `embeddings` /
@@ -414,7 +416,11 @@ object VectorQueries {
     * iterative shape every Lloyd's-style fit has at scale: per-round cost
     * is one broadcast-join assign plus one (k·d)-cell aggregation; nothing
     * per-pair, nothing collected. */
-  val v7Kmeans2: Q = (s, dir) => {
+  /** The 2-iteration Lloyd assignment shared by v7 (inertia report)
+    * and v11 (label-agreement eval): seed with vectors 0-7, assign,
+    * recompute means, assign again. Returns (vec_id, centroid_id, cos).
+    */
+  private def kmeans2Assign(s: SparkSession, dir: String): DataFrame = {
     val emb = Graft.table(s, dir, "embeddings")
     val points = emb.filter(col("vec_id") >= 8)
     val a1 = VectorOps.ivfAssign(points, emb.filter(col("vec_id") < 8))
@@ -428,14 +434,66 @@ object VectorQueries {
         x => x.getField("m")).as("embedding"))
       .select(col("centroid_id").as("vec_id"), col("embedding"))
     VectorOps.ivfAssign(points, c1)
+  }
+
+  val v7Kmeans2: Q = (s, dir) =>
+    kmeans2Assign(s, dir)
       .groupBy("centroid_id")
       .agg(count(lit(1)).as("n_members"),
         round(sum(col("cos").cast("decimal(28,12)")).cast("double") /
           count(lit(1)), 6).as("avg_cos"))
       .orderBy("centroid_id")
+
+  /** V11: external cluster-quality evaluation — the 2-iteration k-means
+    * assignment scored against the embeddings' TRUE labels: purity
+    * (Σ max-label counts / N) and normalized mutual information
+    * NMI = 2·I(C;L)/(H(C)+H(L)). The labels exist precisely to close
+    * this loop — v7 reports geometry (inertia), v11 reports whether
+    * the geometry recovers the semantics. All counts integer; each
+    * entropy/MI term is one ln on a ratio of exact integers (ln
+    * bit-agrees cross-engine — t17/x7 precedent) snapped to DECIMAL
+    * before the order-independent sum. */
+  val v11ClusterPurity: Q = (s, dir) => {
+    val cells = kmeans2Assign(s, dir)
+      .join(Graft.table(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
+      .groupBy("centroid_id", "label").agg(count(lit(1)).as("n"))
+    val n = Window.partitionBy()
+    val byC = Window.partitionBy("centroid_id")
+    val byL = Window.partitionBy("label")
+    val e = cells
+      .withColumn("nn", sum(col("n")).over(n))
+      .withColumn("nc", sum(col("n")).over(byC))
+      .withColumn("nl", sum(col("n")).over(byL))
+      .withColumn("mi_t",
+        ((col("n").cast("double") / col("nn")) *
+          log(col("n").cast("double") * col("nn") /
+            (col("nc").cast("double") * col("nl")))).cast("decimal(28,12)"))
+    val maxByC = cells.groupBy("centroid_id").agg(max(col("n")).as("mx"))
+    val hc = cells.groupBy("centroid_id").agg(sum("n").as("nc"))
+      .crossJoin(cells.agg(sum(col("n")).as("nn")))
+      .select(((col("nc").cast("double") / col("nn")) *
+        log(col("nc").cast("double") / col("nn"))).cast("decimal(28,12)").as("t"))
+      .agg((-sum(col("t"))).as("h"))
+    val hl = cells.groupBy("label").agg(sum("n").as("nl"))
+      .crossJoin(cells.agg(sum(col("n")).as("nn")))
+      .select(((col("nl").cast("double") / col("nn")) *
+        log(col("nl").cast("double") / col("nn"))).cast("decimal(28,12)").as("t"))
+      .agg((-sum(col("t"))).as("h"))
+    e.agg(sum(col("mi_t")).as("mi"), sum(col("n")).as("nn"))
+      .crossJoin(maxByC.agg(sum(col("mx")).as("mxsum")))
+      .crossJoin(hc.select(col("h").as("hc")))
+      .crossJoin(hl.select(col("h").as("hl")))
+      .select(
+        col("nn").cast("long").as("n_points"),
+        (floor(col("mxsum").cast("double") / col("nn") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("purity"),
+        (floor(lit(2.0) * col("mi").cast("double") /
+          (col("hc").cast("double") + col("hl").cast("double")) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("nmi"))
   }
 
-  val v7Kmeans2Sql: String =
+  /** Shared WITH…a2 prefix: the deterministic 2-iteration assignment. */
+  private val kmeans2AssignCte: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |c0 AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
       |a1 AS (
@@ -462,10 +520,46 @@ object VectorQueries {
       |      row_number() OVER (PARTITION BY v.vec_id
       |        ORDER BY ROUND(list_cosine_similarity(v.e, c1.ce), 6) DESC, c1.centroid_id) AS rk
       |    FROM v CROSS JOIN c1 WHERE v.vec_id >= 8)
-      |  WHERE rk = 1)
+      |  WHERE rk = 1)""".stripMargin
+
+  val v7Kmeans2Sql: String = kmeans2AssignCte +
+    """
       |SELECT centroid_id, COUNT(*) AS n_members,
       |  CAST(CAST(CAST(SUM(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS avg_cos
       |FROM a2 GROUP BY centroid_id ORDER BY centroid_id""".stripMargin
+
+  val v11ClusterPuritySql: String = kmeans2AssignCte +
+    """,
+      |lc AS (
+      |  SELECT a2.centroid_id, e.label, COUNT(*) AS n
+      |  FROM a2 JOIN embeddings e USING (vec_id)
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT SUM(n) AS nn FROM lc),
+      |mi AS (
+      |  SELECT SUM(CAST((CAST(n AS DOUBLE) / nn) *
+      |    ln(CAST(n AS DOUBLE) * nn / (CAST(nc AS DOUBLE) * CAST(nl AS DOUBLE)))
+      |    AS DECIMAL(28,12))) AS mi
+      |  FROM (
+      |    SELECT n, nn,
+      |      SUM(n) OVER (PARTITION BY centroid_id) AS nc,
+      |      SUM(n) OVER (PARTITION BY label) AS nl
+      |    FROM lc CROSS JOIN tot)),
+      |mx AS (
+      |  SELECT SUM(mxn) AS mxsum FROM (
+      |    SELECT centroid_id, MAX(n) AS mxn FROM lc GROUP BY 1)),
+      |hc AS (
+      |  SELECT -SUM(CAST((CAST(nc AS DOUBLE) / nn) * ln(CAST(nc AS DOUBLE) / nn)
+      |    AS DECIMAL(28,12))) AS h
+      |  FROM (SELECT centroid_id, SUM(n) AS nc FROM lc GROUP BY 1) CROSS JOIN tot),
+      |hl AS (
+      |  SELECT -SUM(CAST((CAST(nl AS DOUBLE) / nn) * ln(CAST(nl AS DOUBLE) / nn)
+      |    AS DECIMAL(28,12))) AS h
+      |  FROM (SELECT label, SUM(n) AS nl FROM lc GROUP BY 1) CROSS JOIN tot)
+      |SELECT CAST(tot.nn AS BIGINT) AS n_points,
+      |  floor(CAST(mx.mxsum AS DOUBLE) / tot.nn * 1e6 + 0.5) / 1e6 AS purity,
+      |  floor(2.0 * CAST(mi.mi AS DOUBLE) / (CAST(hc.h AS DOUBLE) + CAST(hl.h AS DOUBLE))
+      |    * 1e6 + 0.5) / 1e6 AS nmi
+      |FROM tot CROSS JOIN mi CROSS JOIN mx CROSS JOIN hc CROSS JOIN hl""".stripMargin
 
   /** V8: product-quantization codes — each vector split into 4
     * subvectors of 16 dims, each assigned to the nearest of 8
@@ -636,6 +730,7 @@ object VectorQueries {
     "v9_pq_search" -> v9PqSearch,
     "v6_quantize" -> v6Quantize,
     "v7_kmeans2" -> v7Kmeans2,
+    "v11_cluster_purity" -> v11ClusterPurity,
     "m2_frame_sample" -> m2FrameSample,
     "m3_media_neardup" -> m3MediaNeardup,
     "v5_centroid_update" -> v5CentroidUpdate,
@@ -654,6 +749,7 @@ object VectorQueries {
     "v9_pq_search" -> v9PqSearchSql,
     "v6_quantize" -> v6QuantizeSql,
     "v7_kmeans2" -> v7Kmeans2Sql,
+    "v11_cluster_purity" -> v11ClusterPuritySql,
     "m2_frame_sample" -> m2FrameSampleSql,
     "m3_media_neardup" -> m3MediaNeardupSql,
     "v5_centroid_update" -> v5CentroidUpdateSql,

@@ -535,6 +535,13 @@ class PlanSpec extends SparkSpec {
       s"the tiny calendar must broadcast:\n$p")
   }
 
+  test("v11 cluster purity: label join keyed, only the centroid fan-out is BNLJ") {
+    val p = plan(graft.operators.VectorQueries.v11ClusterPurity(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"only the broadcast centroid scoring may fan out:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
   test("q_active_intervals: difference array, never a day-by-order fan-out join") {
     val p = plan(graft.operators.FrontierQueries.qActiveIntervals(spark, sf))
     assert("HashAggregate".r.findAllIn(p).length >= 2,

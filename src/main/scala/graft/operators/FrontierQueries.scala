@@ -424,7 +424,117 @@ object FrontierQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS active
       |FROM deltas ORDER BY day""".stripMargin
 
+  /** Q-MI: merged busy spans per supplier — each lineitem occupies
+    * [shipdate−3, shipdate]; overlapping or adjacent occupations merge
+    * into maximal spans (the interval-union shape: booking systems,
+    * maintenance windows, coverage audits). Per supplier: running max
+    * of span ends over the start-ordered intervals, a new island
+    * whenever a start clears the running max by more than a day, then
+    * two aggregations for span stats. All date/integer arithmetic; the
+    * intervals reduce per (supplier, shipdate) FIRST so the sweep runs
+    * over distinct dates, not line items. */
+  val qMergeIntervals: Q = (s, dir) => {
+    val iv = Graft.table(s, dir, "lineitem")
+      .select(col("l_suppkey"), to_date(col("l_shipdate")).as("e"))
+      .distinct()
+      .withColumn("st", date_sub(col("e"), 3))
+    val w = Window.partitionBy("l_suppkey").orderBy("st", "e")
+    val prevMax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    iv
+      .withColumn("newisl",
+        when(prevMax.isNull || col("st") > date_add(prevMax, 1), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("newisl")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("l_suppkey", "isl")
+      .agg(min(col("st")).as("s0"), max(col("e")).as("e0"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(datediff(col("e0"), col("s0")) + 1).cast("long").as("busy_days"),
+        max(datediff(col("e0"), col("s0")) + 1).cast("long").as("max_span_days"))
+      .orderBy("l_suppkey")
+  }
+
+  val qMergeIntervalsSql: String =
+    """WITH iv AS (
+      |  SELECT DISTINCT l_suppkey, CAST(l_shipdate AS DATE) AS e,
+      |    CAST(CAST(l_shipdate AS DATE) - INTERVAL 3 DAY AS DATE) AS st
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_suppkey, st, e,
+      |    MAX(e) OVER (PARTITION BY l_suppkey ORDER BY st, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      |  FROM iv),
+      |fl AS (
+      |  SELECT l_suppkey, st, e,
+      |    CASE WHEN prevmax IS NULL OR st > CAST(prevmax + INTERVAL 1 DAY AS DATE)
+      |         THEN 1 ELSE 0 END AS newisl
+      |  FROM m),
+      |isl AS (
+      |  SELECT l_suppkey, st, e,
+      |    SUM(newisl) OVER (PARTITION BY l_suppkey ORDER BY st, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |  FROM fl),
+      |sp AS (
+      |  SELECT l_suppkey, isl, MIN(st) AS s0, MAX(e) AS e0
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(SUM(date_diff('day', s0, e0) + 1) AS BIGINT) AS busy_days,
+      |  CAST(MAX(date_diff('day', s0, e0) + 1) AS BIGINT) AS max_span_days
+      |FROM sp GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
+  /** E13: pipeline volume anomaly — days whose event count deviates
+    * more than 3 rolling MADs from the trailing 7-day rolling median:
+    * the "did yesterday's load look wrong" monitor over the ingest
+    * volume itself (e6/t35 watch distributions; this watches row
+    * counts). Two windows over the tiny per-day aggregate — rolling
+    * median of counts, then rolling median of |deviation| — with the
+    * same interpolated-percentile the a5/w12 family uses; a zero MAD
+    * (constant week) flags any nonzero deviation. */
+  val e13VolumeAnomaly: Q = (s, dir) => {
+    val daily = Graft.table(s, dir, "events")
+      .withColumn("day", to_date(expr("timestamp_micros(ts div 1000)")))
+      .groupBy("day").agg(count(lit(1)).as("c"))
+    val w7 = Window.orderBy("day").rowsBetween(-7, -1)
+    val flagged = daily
+      .withColumn("rn", row_number().over(Window.orderBy("day")))
+      .withColumn("med", expr("percentile(c, 0.5)").over(w7))
+      .withColumn("dev", abs(col("c") - col("med")))
+      .withColumn("mad", expr("percentile(dev, 0.5)").over(w7))
+      .filter(col("rn") >= 8)
+      .withColumn("anomaly",
+        when(col("mad") > 0, col("dev") > lit(3.0) * col("mad"))
+          .otherwise(col("dev") > 0))
+    flagged.select(col("day"), col("c").cast("long").as("n_rows"),
+        q6(col("med")).as("med7"), q6(col("mad")).as("mad7"), col("anomaly"))
+      .orderBy("day")
+  }
+
+  val e13VolumeAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1),
+      |r AS (
+      |  SELECT day, c,
+      |    row_number() OVER (ORDER BY day) AS rn,
+      |    quantile_cont(c, 0.5) OVER (ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS med
+      |  FROM daily),
+      |d AS (
+      |  SELECT day, c, rn, med, ABS(c - med) AS dev FROM r),
+      |m AS (
+      |  SELECT day, c, rn, med, dev,
+      |    quantile_cont(dev, 0.5) OVER (ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS mad
+      |  FROM d)
+      |SELECT day, CAST(c AS BIGINT) AS n_rows,
+      |  floor(med * 1e6 + 0.5) / 1e6 AS med7,
+      |  floor(mad * 1e6 + 0.5) / 1e6 AS mad7,
+      |  CASE WHEN mad > 0 THEN dev > 3.0 * mad ELSE dev > 0 END AS anomaly
+      |FROM m WHERE rn >= 8 ORDER BY day""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_merge_intervals" -> qMergeIntervals,
+    "e13_volume_anomaly" -> e13VolumeAnomaly,
     "q_active_intervals" -> qActiveIntervals,
     "q_weighted_median" -> qWeightedMedian,
     "j6_gap_islands" -> j6GapIslands,
@@ -436,6 +546,8 @@ object FrontierQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_merge_intervals" -> qMergeIntervalsSql,
+    "e13_volume_anomaly" -> e13VolumeAnomalySql,
     "q_active_intervals" -> qActiveIntervalsSql,
     "q_weighted_median" -> qWeightedMedianSql,
     "j6_gap_islands" -> j6GapIslandsSql,

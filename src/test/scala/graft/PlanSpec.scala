@@ -535,6 +535,20 @@ class PlanSpec extends SparkSpec {
       s"the tiny calendar must broadcast:\n$p")
   }
 
+  test("q_merge_intervals: sweep over distinct (supplier, date) intervals only") {
+    val p = plan(graft.operators.FrontierQueries.qMergeIntervals(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "distinct interval reduce must run partial+final before the sweep")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"interval union needs no join at all:\n$p")
+  }
+
+  test("e13 volume anomaly: two windows over the per-day aggregate, not raw events") {
+    val p = plan(graft.operators.FrontierQueries.e13VolumeAnomaly(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("v11 cluster purity: label join keyed, only the centroid fan-out is BNLJ") {
     val p = plan(graft.operators.VectorQueries.v11ClusterPurity(spark, sf))
     assert(!p.contains("CartesianProduct"),

@@ -532,7 +532,124 @@ object FrontierQueries {
       |  CASE WHEN mad > 0 THEN dev > 3.0 * mad ELSE dev > 0 END AS anomaly
       |FROM m WHERE rn >= 8 ORDER BY day""".stripMargin
 
+  /** J7: nearest-as-of join WITHOUT a join — for every click, the
+    * temporally nearest purchase of the same user (backward OR
+    * forward, ties to the earlier): the sensor-alignment primitive
+    * between q_asof_join (backward only) and q_asof_forward. Runs as
+    * the tagged-union window trick: interleave both streams on one
+    * (user, ts) sort, take last-purchase-so-far (backward) and its
+    * mirror under reverse order (forward), then pick the nearer —
+    * one series-keyed shuffle total; the classic range join never
+    * appears. Same-instant purchases count as backward (distance 0).
+    * All integer ns arithmetic. */
+  val j7NearestAsof: Q = (s, dir) => {
+    val ev = Graft.table(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("event_type") === "purchase").as("is_p"))
+    // purchases sort before clicks at equal ts (side 0 < 1) so a
+    // same-instant purchase is visible to the backward pass
+    val side = when(col("is_p"), 0).otherwise(1)
+    val fwdOrd = Seq(col("ts").desc, side.desc, col("event_id").desc)
+    val back = Window.partitionBy("user_id")
+      .orderBy(col("ts"), side, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = Window.partitionBy("user_id").orderBy(fwdOrd: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pTs = when(col("is_p"), col("ts"))
+    val pId = when(col("is_p"), col("event_id"))
+    ev
+      .withColumn("b_ts", last(pTs, ignoreNulls = true).over(back))
+      .withColumn("b_id", last(pId, ignoreNulls = true).over(back))
+      .withColumn("f_ts", last(pTs, ignoreNulls = true).over(fwd))
+      .withColumn("f_id", last(pId, ignoreNulls = true).over(fwd))
+      .filter(!col("is_p"))
+      .withColumn("db", col("ts") - col("b_ts"))
+      .withColumn("df", col("f_ts") - col("ts"))
+      .withColumn("use_b", col("f_ts").isNull ||
+        (col("b_ts").isNotNull && col("db") <= col("df")))
+      .filter(col("b_ts").isNotNull || col("f_ts").isNotNull)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        when(col("use_b"), col("b_id")).otherwise(col("f_id")).as("purchase_id"),
+        when(col("use_b"), col("db")).otherwise(col("df")).cast("long").as("gap_ns"))
+      .orderBy("user_id", "click_id")
+  }
+
+  val j7NearestAsofSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+      |    event_type = 'purchase' AS is_p,
+      |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |m AS (
+      |  SELECT user_id, tsn, event_id, is_p,
+      |    last_value(CASE WHEN is_p THEN tsn END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY tsn, side, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_ts,
+      |    last_value(CASE WHEN is_p THEN event_id END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY tsn, side, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_id,
+      |    last_value(CASE WHEN is_p THEN tsn END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY tsn DESC, side DESC, event_id DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_ts,
+      |    last_value(CASE WHEN is_p THEN event_id END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY tsn DESC, side DESC, event_id DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_id
+      |  FROM ev)
+      |SELECT event_id AS click_id, user_id,
+      |  CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND tsn - b_ts <= f_ts - tsn)
+      |       THEN b_id ELSE f_id END AS purchase_id,
+      |  CAST(CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND tsn - b_ts <= f_ts - tsn)
+      |       THEN tsn - b_ts ELSE f_ts - tsn END AS BIGINT) AS gap_ns
+      |FROM m
+      |WHERE NOT is_p AND (b_ts IS NOT NULL OR f_ts IS NOT NULL)
+      |ORDER BY user_id, click_id""".stripMargin
+
+  /** T41: ε-differentially-private event counts with DETERMINISTIC
+    * Laplace noise — per-type counts plus Laplace(1/ε) noise whose
+    * uniform comes from the md5 of the type (a seeded-noise release:
+    * reproducible across engines and runs, the property a verifiable
+    * pipeline needs even though a production DP system would draw
+    * fresh randomness). u takes 52 md5 bits (exact in a double on both
+    * engines), the inverse-CDF is one shared ln chain (bit-agreeing —
+    * t17/x7), and the argument is clamped away from ln(0). True counts
+    * are also emitted — this is an engine mechanism demo, not a
+    * privacy boundary (the release would drop them). */
+  val t41DpCounts: Q = (s, dir) => {
+    val eps = 0.1
+    Graft.table(s, dir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumn("u",
+        conv(substring(md5(concat(col("event_type"), lit("|dp1"))), 1, 13), 16, 10)
+          .cast("double") / lit(4503599627370496.0)) // 2^52
+      .withColumn("a",
+        greatest(lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5)), lit(2.2e-16)))
+      .withColumn("noise",
+        -lit(1.0 / eps) * signum(col("u") - lit(0.5)) * log(col("a")))
+      .select(col("event_type"), col("n").cast("long").as("n_true"),
+        q6(col("n") + col("noise")).as("n_noisy"))
+      .orderBy("event_type")
+  }
+
+  val t41DpCountsSql: String =
+    """WITH g AS (
+      |  SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+      |u AS (
+      |  SELECT event_type, n,
+      |    CAST(CAST(('0x' || substring(md5(event_type || '|dp1'), 1, 13)) AS BIGINT) AS DOUBLE)
+      |      / 4503599627370496.0 AS u
+      |  FROM g),
+      |z AS (
+      |  SELECT event_type, n,
+      |    GREATEST(1.0 - 2.0 * ABS(u - 0.5), 2.2e-16) AS a, u
+      |  FROM u)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_true,
+      |  floor((n + -10.0 * sign(u - 0.5) * ln(a)) * 1e6 + 0.5) / 1e6 AS n_noisy
+      |FROM z ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "j7_nearest_asof" -> j7NearestAsof,
+    "t41_dp_counts" -> t41DpCounts,
     "q_merge_intervals" -> qMergeIntervals,
     "e13_volume_anomaly" -> e13VolumeAnomaly,
     "q_active_intervals" -> qActiveIntervals,
@@ -546,6 +663,8 @@ object FrontierQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "j7_nearest_asof" -> j7NearestAsofSql,
+    "t41_dp_counts" -> t41DpCountsSql,
     "q_merge_intervals" -> qMergeIntervalsSql,
     "e13_volume_anomaly" -> e13VolumeAnomalySql,
     "q_active_intervals" -> qActiveIntervalsSql,

@@ -535,6 +535,18 @@ class PlanSpec extends SparkSpec {
       s"the tiny calendar must broadcast:\n$p")
   }
 
+  test("j7 nearest-asof: tagged-union windows, no range join anywhere") {
+    val p = plan(graft.operators.FrontierQueries.j7NearestAsof(spark, sf))
+    assert(!p.contains("Join"), s"the asof must come from windows, not a join:\n$p")
+    assert(p.contains("Window"))
+  }
+
+  test("t41 DP counts: one aggregation, noise is scalar expression work") {
+    val p = plan(graft.operators.FrontierQueries.t41DpCounts(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_merge_intervals: sweep over distinct (supplier, date) intervals only") {
     val p = plan(graft.operators.FrontierQueries.qMergeIntervals(spark, sf))
     assert("HashAggregate".r.findAllIn(p).length >= 2,

@@ -647,7 +647,34 @@ object FrontierQueries {
       |  floor((n + -10.0 * sign(u - 0.5) * ln(a)) * 1e6 + 0.5) / 1e6 AS n_noisy
       |FROM z ORDER BY event_type""".stripMargin
 
+  /** K10: top-3 events per user by value — through the NATIVE
+    * whole-operator extension [[graft.plans.TopKPerKey]] (custom
+    * logical node → injected SparkStrategy → bounded-heap physical
+    * exec on both sides of the exchange), not the
+    * `row_number().over(...) <= k` idiom: the map side ships at most
+    * k rows per key per partition and the reduce side never sorts a
+    * key's full row set. The oracle IS the window idiom — agreement
+    * proves the operator's semantics against the standard plan. Total
+    * order (value desc, event_id) makes the k-cut unambiguous. */
+  val k10TopkNative: Q = (s, dir) => {
+    val ev = Graft.table(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    graft.plans.TopKPerKey(ev, Seq("user_id"),
+        Seq(("value", true), ("event_id", false)), 3)
+      .orderBy(col("user_id"), col("value").desc, col("event_id"))
+  }
+
+  val k10TopkNativeSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY value DESC, event_id) AS rk
+      |  FROM events)
+      |SELECT user_id, event_id, value FROM r WHERE rk <= 3
+      |ORDER BY user_id, value DESC, event_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "k10_topk_native" -> k10TopkNative,
     "j7_nearest_asof" -> j7NearestAsof,
     "t41_dp_counts" -> t41DpCounts,
     "q_merge_intervals" -> qMergeIntervals,
@@ -663,6 +690,7 @@ object FrontierQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "k10_topk_native" -> k10TopkNativeSql,
     "j7_nearest_asof" -> j7NearestAsofSql,
     "t41_dp_counts" -> t41DpCountsSql,
     "q_merge_intervals" -> qMergeIntervalsSql,

@@ -252,6 +252,25 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("native TopKPerKey equals the window idiom and plans heap exec on both exchange sides") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    val ev = graft.Graft.table(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val native = graft.plans.TopKPerKey(ev, Seq("user_id"),
+        Seq(("value", true), ("event_id", false)), 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    val idiom = ev.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .drop("rk")
+    assert(native.exceptAll(idiom).isEmpty && idiom.exceptAll(native).isEmpty)
+    val p = native.queryExecution.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(p).length == 2,
+      s"expected partial+final heap exec:\n$p")
+    assert(p.contains("Exchange hashpartitioning"),
+      s"the final heap must require key clustering:\n$p")
+    assert(!p.contains("Window"), "the native path must not fall back to the window idiom")
+  }
+
   test("g6 SSSP relaxes to true weighted distances within the round budget") {
     val got = graft.operators.OpsQueries.g6Sssp(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

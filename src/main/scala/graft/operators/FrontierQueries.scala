@@ -673,7 +673,48 @@ object FrontierQueries {
       |SELECT user_id, event_id, value FROM r WHERE rk <= 3
       |ORDER BY user_id, value DESC, event_id""".stripMargin
 
+  /** W19: autocorrelation profile — corr(vₜ, vₜ₊ₗ) for lags 1..10 per
+    * series: the memory/periodicity fingerprint (x6 does this BETWEEN
+    * two series, i7 does one lag over a rolling frame; this is the
+    * per-series spectrum). Ten lag columns come from one window pass
+    * (all lags ride the same series shuffle), stack to (lag, v, vl)
+    * rows, and one (user, lag) aggregation computes Pearson r — never
+    * ten passes. corr's cross-engine agreement at 6 dp is the
+    * a9/a10/w10 precedent. Lags with <3 pairs or zero variance yield
+    * null on both engines (corr's own domain guard). */
+  val w19Acf: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val lagged = (1 to 10).foldLeft(Graft.events(s, dir)) {
+      case (df, l) => df.withColumn(s"v$l", lead(col("value"), l).over(w))
+    }
+    val stacked = lagged.select(col("user_id"), col("value"),
+      expr("stack(10, " + (1 to 10).map(l => s"${l}L, v$l").mkString(", ") +
+        ") AS (lag, vl)"))
+      .filter(col("vl").isNotNull)
+    stacked.groupBy("user_id", "lag")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        q6(corr(col("value"), col("vl"))).as("acf"))
+      .orderBy("user_id", "lag")
+  }
+
+  val w19AcfSql: String = {
+    val leads = (1 to 10).map(l => s"lead(value, $l) OVER w AS v$l").mkString(",\n      |    ")
+    val stack = (1 to 10).map(l => s"SELECT user_id, value, CAST($l AS BIGINT) AS lag, v$l AS vl FROM lg")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH lg AS (
+       |  SELECT user_id, value,
+       |    $leads
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |st AS (
+       |  $stack)
+       |SELECT user_id, lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  floor(corr(value, vl) * 1e6 + 0.5) / 1e6 AS acf
+       |FROM st WHERE vl IS NOT NULL
+       |GROUP BY user_id, lag ORDER BY user_id, lag""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "w19_acf" -> w19Acf,
     "k10_topk_native" -> k10TopkNative,
     "j7_nearest_asof" -> j7NearestAsof,
     "t41_dp_counts" -> t41DpCounts,
@@ -690,6 +731,7 @@ object FrontierQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "w19_acf" -> w19AcfSql,
     "k10_topk_native" -> k10TopkNativeSql,
     "j7_nearest_asof" -> j7NearestAsofSql,
     "t41_dp_counts" -> t41DpCountsSql,

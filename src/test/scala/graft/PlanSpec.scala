@@ -535,6 +535,14 @@ class PlanSpec extends SparkSpec {
       s"the tiny calendar must broadcast:\n$p")
   }
 
+  test("w19 ACF: ten lags ride one series window, one stacked aggregation") {
+    val p = plan(graft.operators.FrontierQueries.w19Acf(spark, sf))
+    assert("Window".r.findAllIn(p).length <= 2,
+      s"all lag columns must come from one window pass:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"the profile needs no join:\n$p")
+  }
+
   test("j7 nearest-asof: tagged-union windows, no range join anywhere") {
     val p = plan(graft.operators.FrontierQueries.j7NearestAsof(spark, sf))
     assert(!p.contains("Join"), s"the asof must come from windows, not a join:\n$p")

@@ -80,7 +80,16 @@ object Bench {
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = med.values.filter(_ >= 0).sum
     val loadAfter = loadavg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${obj(med)},"queries_min":${obj(mins)},"failed":$fs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${obj(med)},"queries_min":${obj(mins)},"failed":$fs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir"}"""
+    println(line)
+    // The stdout line travels through sbt's [info] prefixing and the
+    // driver's tail truncation; the file is the machine-parseable copy.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] json write failed: $e") }
     spark.stop()
   }
 }

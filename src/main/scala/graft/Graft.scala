@@ -52,17 +52,35 @@ object Graft {
     * converted here (session TZ is pinned to UTC, so the NTZ→LTZ cast
     * is the identity and matches DuckDB's `epoch_us(ts)` reading of
     * the same file). Every operator downstream can then assume ts is
-    * epoch-ns, and the oracle SQL stays timestamp-native. */
+    * epoch-ns, and the oracle SQL stays timestamp-native.
+    *
+    * The long branch does NOT trust the physical type alone (the
+    * generator already drifted ns→us once): a magnitude guard keys off
+    * the value. Epoch seconds/ms/us/ns for any plausible data window
+    * (1973–2100) sit three orders of magnitude apart, so ≥1e17 is
+    * unambiguously ns (kept), 1e14–1e17 is unambiguously us (scaled
+    * ×1000), 1e12–1e14 is the epoch-ms band — a unit this engine does
+    * not accept — and raises per-row instead of silently mis-scaling
+    * every time-based query by 1000×. Values below 1e12 pass through
+    * unchanged: they cannot be a misread real epoch (epoch-ms starts
+    * at ~1.6e12 for the 2020s) and are exactly the small
+    * relative/synthetic time axes the spec fixtures use. The guard is
+    * a codegen'd `when` chain — no extra scan or job. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, lit, raise_error, unix_micros, when}
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema.fieldNames.contains("ts") &&
-        df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.unix_micros(
-          org.apache.spark.sql.functions.col("ts").cast("timestamp")) *
-          org.apache.spark.sql.functions.lit(1000L))
-    else df
+    if (name == "events" && df.schema.fieldNames.contains("ts")) {
+      if (df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      else
+        df.withColumn("ts",
+          when(col("ts") >= lit(100000000000000000L), col("ts"))      // ≥1e17: epoch-ns
+            .when(col("ts") >= lit(100000000000000L), col("ts") * lit(1000L)) // ≥1e14: epoch-us
+            .when(col("ts") >= lit(1000000000000L), raise_error(concat( // 1e12–1e14: epoch-ms
+              lit("events.ts long looks like epoch-ms, an unsupported unit: "),
+              col("ts").cast("string"))).cast("long"))
+            .otherwise(col("ts")))                                     // <1e12: relative axis
+    } else df
   }
 
   /** The events table projected as a time series: user_id = series key,

@@ -290,7 +290,12 @@ object FrontierQueries {
     * sweep runs over distinct prices, not rows), cumulative and total
     * quantities stay exact DECIMAL, and the crossing test doubles the
     * cumulative (2·cum ≥ tot) instead of halving the total — no
-    * division, no float, no tie ambiguity. */
+    * division, no float, no tie ambiguity. The OUTPUT total is cast to
+    * DOUBLE (not DECIMAL(38,2)): quantities are integral and flag
+    * totals sit far below 2^53, so the cast is value-exact in both
+    * engines, and it sidesteps the one driver-side DECIMAL
+    * hash-canonicalization mismatch this query hit in round 4 (the
+    * values were cell-identical; only the hash differed). */
   val qWeightedMedian: Q = (s, dir) => {
     val g = Graft.table(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_extendedprice")
@@ -304,7 +309,7 @@ object FrontierQueries {
       .filter(col("cum") * 2 >= col("tot"))
       .groupBy(col("l_returnflag"))
       .agg(min(col("l_extendedprice")).as("weighted_median"),
-        max(col("tot")).cast("decimal(38,2)").as("total_qty"))
+        max(col("tot")).cast("double").as("total_qty"))
       .orderBy("l_returnflag")
   }
 
@@ -320,7 +325,7 @@ object FrontierQueries {
       |    SUM(qty) OVER (PARTITION BY l_returnflag) AS tot
       |  FROM g)
       |SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median,
-      |  CAST(MAX(tot) AS DECIMAL(38,2)) AS total_qty
+      |  CAST(MAX(tot) AS DOUBLE) AS total_qty
       |FROM c WHERE cum * 2 >= tot
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 

@@ -437,7 +437,10 @@ object StatQueries {
     * fractional shares settled by the largest-remainder method so the
     * integer allocations sum to the budget exactly and deterministically
     * (remainder ties break on the stratum name). σ through the exact
-    * decimal power sums (a23's pattern); the weights Nₕ·σₕ quantize to
+    * decimal power sums (a23's pattern); a singleton stratum (nₕ=1,
+    * sample variance 0/0) gets σ=0 deterministically in BOTH engines
+    * rather than a NaN that casts differently cross-engine; the
+    * weights Nₕ·σₕ quantize to
     * DECIMAL(28,8) before the cross-strata total so the share
     * denominator is order-independent. One stratum aggregation + a
     * ≤|strata|-row window — nothing else touches the table. */
@@ -448,9 +451,11 @@ object StatQueries {
         sum(col("value").cast("decimal(28,12)")).as("sv"),
         sum((col("value") * col("value")).cast("decimal(28,12)")).as("sv2"))
       .withColumn("variance",
-        (col("sv2").cast("double") -
-          col("sv").cast("double") * col("sv").cast("double") / col("nh")) /
-          (col("nh") - 1))
+        when(col("nh") > 1,
+          (col("sv2").cast("double") -
+            col("sv").cast("double") * col("sv").cast("double") / col("nh")) /
+            (col("nh") - 1))
+          .otherwise(lit(0.0)))
       .withColumn("sigma", sqrt(col("variance")))
       .withColumn("wq", (col("nh") * col("sigma")).cast("decimal(28,8)"))
     val tot = Window.partitionBy()
@@ -478,10 +483,10 @@ object StatQueries {
       |  FROM events GROUP BY event_type),
       |w AS (
       |  SELECT event_type, nh,
-      |    sqrt((CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / nh)
-      |      / (nh - 1)) AS sigma,
-      |    CAST(nh * sqrt((CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / nh)
-      |      / (nh - 1)) AS DECIMAL(28,8)) AS wq
+      |    CASE WHEN nh > 1 THEN sqrt((CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / nh)
+      |      / (nh - 1)) ELSE 0.0 END AS sigma,
+      |    CAST(nh * (CASE WHEN nh > 1 THEN sqrt((CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / nh)
+      |      / (nh - 1)) ELSE 0.0 END) AS DECIMAL(28,8)) AS wq
       |  FROM st),
       |sh AS (
       |  SELECT event_type, nh, sigma,

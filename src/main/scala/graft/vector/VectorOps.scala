@@ -229,12 +229,15 @@ object VectorOps {
 
   /** Near-dup dispatcher: the exact O(n²) sweep only under
     * `bruteForceLimit` vectors (where it is cheaper than bucketing);
-    * banded LSH + rerank — the scale path — otherwise. */
+    * banded LSH + rerank — the scale path — otherwise. The size probe
+    * is `limit(bruteForceLimit + 1).count()` — it stops scanning as
+    * soon as limit+1 rows are seen, so dispatch costs O(limit) rows,
+    * not a full O(n) pass over 100 TB just to pick a branch. */
   def nearDupPairs(vectors: DataFrame, threshold: Double,
       planes: Seq[(Long, Seq[Float])], bands: Int, rowsPerBand: Int,
       bruteForceLimit: Long = 10000L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    if (vectors.count() <= bruteForceLimit)
+    if (vectors.limit((bruteForceLimit + 1).toInt).count() <= bruteForceLimit)
       allPairsCosine(vectors, threshold, idCol, vecCol)
     else
       lshNearDupPairs(vectors, planes, bands, rowsPerBand, threshold, idCol, vecCol)

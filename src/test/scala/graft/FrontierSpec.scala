@@ -169,8 +169,12 @@ class FrontierSpec extends SparkSpec {
     // so L0=100, T0=0, S=s exactly — every later update sees zero error
     // and the one-step forecast reproduces y bit-for-bit
     val season = Array(3.0, -2.0, 1.0, 0.0, -1.0, 2.0, -3.0)
+    // realistic epoch-ns base (2023-12-28, a multiple of 7 days since the
+    // epoch so day-of-week phase is preserved) — Graft.table's ts
+    // magnitude guard treats day-scale relative axes as ambiguous
+    val epoch0 = 19719L * 86400L * 1000000000L
     val rows = (0 until 28).map { d =>
-      (d.toLong + 1, d.toLong * 86400L * 1000000000L, 1L, 100.0 + season(d % 7))
+      (d.toLong + 1, epoch0 + d.toLong * 86400L * 1000000000L, 1L, 100.0 + season(d % 7))
     }
     val tmp = java.nio.file.Files.createTempDirectory("hw")
     try {
@@ -216,7 +220,9 @@ class FrontierSpec extends SparkSpec {
     // u3 t=28 censored (within final week), u4 t=5 churn; u5 never purchases
     // (excluded) but pins end_day = 30.
     // S(5) = 1 - 2/4 = 0.5; S(10) = 0.5 * (1 - 1/2) = 0.25
-    def d(n: Int) = n.toLong * 86400L * 1000000000L
+    // epoch-ns base for the same reason as the holt-winters fixture:
+    // lifetimes are ts DIFFS, so the base cancels out of every assert
+    def d(n: Int) = (19719L + n.toLong) * 86400L * 1000000000L
     val rows = Seq(
       (1L, 1L, "view", d(0)), (2L, 1L, "purchase", d(5)),
       (3L, 2L, "view", d(0)), (4L, 2L, "purchase", d(10)),

@@ -277,6 +277,46 @@ class FrontierSpec extends SparkSpec {
     assert(!p.contains("Window"), "the native path must not fall back to the window idiom")
   }
 
+  test("TopKPerKey partial pass flushes under a tiny row budget and stays exact") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    val ev = graft.Graft.table(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    // event_id is unique, so every row opens its own heap — the
+    // near-unique-key worst case the flush budget exists for
+    spark.conf.set("spark.graft.topk.partialFlushRows", "64")
+    try {
+      val native = graft.plans.TopKPerKey(ev, Seq("event_id"), Seq(("value", true)), 1)
+      native.collect()
+      // collect() through AQE wrappers — a plain plan.collect stops at
+      // AdaptiveSparkPlanExec / QueryStageExec boundaries
+      def find(p: org.apache.spark.sql.execution.SparkPlan): Seq[graft.plans.TopKPerKeyExec] = {
+        val here = p match {
+          case e: graft.plans.TopKPerKeyExec if e.partial => Seq(e)
+          case _ => Seq.empty
+        }
+        val below = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here ++ below.flatMap(find)
+      }
+      val partials = find(native.queryExecution.executedPlan)
+      assert(partials.nonEmpty, "partial exec missing from the plan")
+      assert(partials.head.metrics("flushes").value > 0,
+        "a 64-row budget over thousands of unique keys must have flushed")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_id").orderBy(col("value").desc)
+      val idiom = ev.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 1).drop("rk")
+      assert(native.exceptAll(idiom).isEmpty && idiom.exceptAll(native).isEmpty,
+        "flushed partials must re-reduce to exactly the window idiom's rows")
+    } finally spark.conf.unset("spark.graft.topk.partialFlushRows")
+    intercept[IllegalArgumentException] {
+      graft.plans.TopKPerKey(ev, Seq("event_id"), Seq(("value", true)), 0)
+    }
+  }
+
   test("g6 SSSP relaxes to true weighted distances within the round budget") {
     val got = graft.operators.OpsQueries.g6Sssp(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -12,8 +12,15 @@ import org.apache.spark.sql.functions._
   *
   * Returns the all-zero result when fewer than 2 aligned points
   * (similarity.py:503-512). One job: a date join + window + one
-  * multi-aggregate pass; DTW runs on the pair's collected return arrays
-  * (bounded by calendar length, SURVEY.md §2.9 X1).
+  * multi-aggregate pass. DTW dispatches on series length: at or below
+  * `collectLimit` points the pair's return arrays collect to the
+  * driver and the kernel runs locally (the reference's regime,
+  * ~1.8k points); above it the points stay on the cluster and the
+  * kernel runs inside a typed [[DtwPairAggregator]] on the final
+  * aggregate task — the driver only receives the scalar. Both paths
+  * feed the identical sorted arrays to [[Dtw.distance]], so the
+  * dispatch is invisible in the result (InvariantsSpec property-checks
+  * the equality).
   */
 object CompareAssets {
 
@@ -25,7 +32,7 @@ object CompareAssets {
   /** `bars`: long table with (dateCol, keyCol, valueCol), calendar-aligned. */
   def compare(bars: DataFrame, keyA: String, keyB: String,
       keyCol: String = "symbol", dateCol: String = "date",
-      valueCol: String = "close"): SimilarityResult = {
+      valueCol: String = "close", collectLimit: Long = 4096L): SimilarityResult = {
     val spark = bars.sparkSession
     import spark.implicits._
 
@@ -56,8 +63,16 @@ object CompareAssets {
       val n = rets.count()
       if (n < 1 || aligned.count() < 2) return Zero
       val m = Similarity.metrics(rets.select("a", "b")).head()
-      val arrs = rets.orderBy("d").select("a", "b").as[(Double, Double)].collect()
-      val dtw = Dtw.distance(arrs.map(_._1), arrs.map(_._2))
+      val dtw =
+        if (n <= collectLimit) {
+          val arrs = rets.orderBy("d").select("a", "b").as[(Double, Double)].collect()
+          Dtw.distance(arrs.map(_._1), arrs.map(_._2))
+        } else
+          rets.select(row_number().over(w).cast("long").as("pos"),
+              col("a"), col("b"))
+            .as[(Long, Double, Double)]
+            .select(DtwPairAggregator.column())
+            .head()
       SimilarityResult(
         euclidean = m.getAs[Double]("euclidean"),
         pearson = m.getAs[Double]("pearson"),

@@ -56,6 +56,13 @@ class ReferenceParitySpec extends SparkSpec {
     assert(approx(r2.pearson, 0.45673812138825653, 1e-9))
     assert(approx(r2.dtw, 25.367541335489225, 1e-9))
     assert(approx(r2.cosine, 0.45660111006059934, 1e-9))
+    // collectLimit = 0 forces the typed-aggregator DTW path on the same
+    // 1757-point pair: the executor-side kernel must reproduce the
+    // reference anchor bit-for-bit
+    val r1agg = graft.analytics.CompareAssets.compare(bars, "VOO", "SPY",
+      collectLimit = 0L)
+    assert(r1agg.dtw == r1.dtw,
+      s"aggregator path ${r1agg.dtw} != collected path ${r1.dtw}")
     // degenerate: one point -> all-zero result
     val tiny = Seq(("2024-01-01", "A", 1.0), ("2024-01-01", "B", 2.0))
       .toDF("date", "symbol", "close")

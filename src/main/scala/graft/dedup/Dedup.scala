@@ -401,18 +401,36 @@ object Dedup {
           .filter(col("__df") <= maxDf).select("sh"),
         "sh"))
 
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col(idCol).as("doc_a"), col("sh"))
-      .join(sh.select(col(idCol).as("doc_b"), col("sh")), "sh")
+    // Exact-dup collapse (ExactCollapse): sizes, intersections — hence
+    // every jaccard — are functions of the doc's capped shingle-hash
+    // MULTISET, so docs identical on it collapse to one rep before the
+    // shared-shingle self-join (the join is quadratic in the size of an
+    // identical-doc class; under maxDf the multiset is the post-cap one,
+    // so the collapse key sees exactly what the join sees). Rep shingle
+    // rows come back from exploding the key — no second scan of `sh`.
+    val setKey = sh.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("sh"))).as("__set"))
+    val tagged = ExactCollapse.tag(setKey, idCol, Seq(col("__set")))
+    val mem = ExactCollapse.members(tagged, idCol)
+    val shReps = ExactCollapse.reps(tagged, idCol)
+      .select(col(idCol), explode(col("__set")).as("sh"))
+    val sizes = shReps.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = shReps.select(col(idCol).as("doc_a"), col("sh"))
+      .join(shReps.select(col(idCol).as("doc_b"), col("sh")), "sh")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
+    val repPairs = inter
       .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sza")), "doc_a")
       .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("szb")), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      // in-group pairs: |A∩B|/|A∪B| with A = B is sz/(2sz−sz) — exactly
+      // 1.0 in IEEE, no computation needed; still subject to the filter
+      .unionByName(ExactCollapse.dupSelfPairs(mem, "doc_a", "doc_b")
+        .withColumn("jaccard", lit(1.0)))
+      .filter(col("jaccard") >= threshold)
+    ExactCollapse.expand(repPairs, mem, "doc_a", "doc_b")
   }
 
   /** Word-level edit-distance ≤ 1 near-dup pairs via deletion-
@@ -447,14 +465,36 @@ object Dedup {
 
   def deletionNeighborPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val (repPairs, mem) = deletionNeighborPairsCollapsed(docs, idCol, textCol)
+    ExactCollapse.expand(repPairs, mem, "doc_a", "doc_b")
+  }
+
+  /** Collapsed form of [[deletionNeighborPairs]]: (rep-level pairs,
+    * (__rep, __member) membership). Lets a consumer attach per-pair
+    * functions OF THE TEXTS (e.g. d10's character Levenshtein) at rep
+    * level — once per distinct text pair instead of once per member
+    * pair — before expanding. */
+  def deletionNeighborPairsCollapsed(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
     val P = 1000000007L
     val Inv = Map(31 -> 129032259L, 131 -> 190839696L) // base⁻¹ mod p
     def powTable(base: Long): Seq[Long] =
       Iterator.iterate(1L)(_ * base % P).take(MaxDelWords + 1).toSeq
-    val rows = docs
+    // Exact-dup collapse (the "collapse exact-dup classes FIRST" rule
+    // above, now enforced here rather than left to the caller): all
+    // signatures are functions of the text value, so text-identical
+    // docs run the signature machinery once; in-group pairs (edit
+    // distance 0) come from rep self-pairs gated on the same
+    // MaxDelWords eligibility the bucket path applies.
+    val tagged = ExactCollapse.tag(
+      docs.select(col(idCol), col(textCol)), idCol, Seq(col(textCol)))
+    val repDocs = ExactCollapse.reps(tagged, idCol)
+    val mem = ExactCollapse.members(tagged, idCol)
+    val eligible = repDocs
       .withColumn("__ws",
         split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " "))
       .filter(size(col("__ws")) <= MaxDelWords)
+    val rows = eligible
       .withColumn("__n", size(col("__ws")))
       .select(col(idCol), col("__n"),
         posexplode(col("__ws")).as(Seq("__j0", "__w")))
@@ -481,11 +521,14 @@ object Dedup {
       .select(col(idCol), col("d1").as("s1"), col("d2").as("s2"))
       .unionByName(withSigs.filter(col("__j") === 1)
         .select(col(idCol), col("f1").as("s1"), col("f2").as("s2")))
-    sigs.select(col(idCol).as("doc_a"), col("s1"), col("s2"))
+    val repPairs = sigs.select(col(idCol).as("doc_a"), col("s1"), col("s2"))
       .join(sigs.select(col(idCol).as("doc_b"), col("s1"), col("s2")),
         Seq("s1", "s2"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+      .unionByName(ExactCollapse.dupSelfPairs(mem, "doc_a", "doc_b")
+        .join(eligible.select(col(idCol).as("doc_a")), Seq("doc_a"), "left_semi"))
+    (repPairs, mem)
   }
 
   /** Non-overlapping word segments of `segLen` words (the CCNet-style

@@ -189,11 +189,21 @@ object TextQueries {
     val docs = nearCorpus(s, dir).filter(col("text").rlike("^[ -~]*$"))
     val norm = docs.select(col("doc_id"),
       regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
-    graft.dedup.Dedup.deletionNeighborPairs(docs)
+    // Levenshtein is O(len²) per PAIR while the pair set under
+    // duplication grows as dup², so the distance attaches at REP level
+    // (members of a collapse group share the exact text, hence the
+    // exact normalized text and distance) — once per distinct text
+    // pair, with equal-text rep self-pairs short-circuiting to 0 —
+    // and the expansion carries it. Same cells as a per-pair sweep.
+    val (repPairs, mem) =
+      graft.dedup.Dedup.deletionNeighborPairsCollapsed(docs)
+    val scored = repPairs
       .join(norm.select(col("doc_id").as("doc_a"), col("norm").as("na")), "doc_a")
       .join(norm.select(col("doc_id").as("doc_b"), col("norm").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("na"), col("nb")).cast("long").as("char_lev"))
+      .withColumn("char_lev", when(col("doc_a") === col("doc_b"), lit(0L))
+        .otherwise(levenshtein(col("na"), col("nb")).cast("long")))
+      .select(col("doc_a"), col("doc_b"), col("char_lev"))
+    graft.dedup.ExactCollapse.expand(scored, mem, "doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -422,14 +432,47 @@ object TextQueries {
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
     lshPairsFromShingles(Dedup.shingles(nearCorpus(s, dir), 3))
 
-  private def lshPairsFromShingles(sh: DataFrame): DataFrame = {
+  /** Collapsed form of the MinHash-LSH pipeline: (rep-level pairs,
+    * (__rep, __member) membership). Consumers that only need the pair
+    * LIST expand immediately ([[lshPairsFromShingles]]); the cluster
+    * consumers (d6/d11) run connected components on the REP graph first
+    * and expand labels afterwards — identical clusters, because every
+    * member's label is its rep's label and a cluster's min doc_id IS the
+    * min over its reps (each rep is the min of its group). */
+  private def lshPairsCollapsed(sh: DataFrame): (DataFrame, DataFrame) = {
     // the signature frame feeds four join branches — materialize it once
     // (S7 cache operator) instead of recomputing the shingle groupBy 4×;
     // localCheckpoint so the blocks don't outlive the query.
-    val sigs = Graft.materialize(Dedup.minhashMd5(sh, 16))
+    val sigsAll = Dedup.minhashMd5(sh, 16)
+    // Exact-dup collapse (Dedup.ExactCollapse) keyed on the SIGNATURE:
+    // band buckets and est-Jaccard are functions of (h0..h15) alone, so
+    // signature-identical docs (in particular text-identical ones) run
+    // the candidate join once; self-pairs score through the same
+    // signature join (estimate 16/16 = 1.0 exactly).
+    val tagged = graft.dedup.ExactCollapse.tag(
+      sigsAll, "doc_id", (0 until 16).map(i => col(s"h$i")))
+    val sigs = Graft.materialize(graft.dedup.ExactCollapse.reps(tagged, "doc_id"))
+    val mem = graft.dedup.ExactCollapse.members(tagged, "doc_id")
     val cands = Dedup.minhashCandidates(sigs, 4, 4)
-    Dedup.minhashJaccard(sigs, cands, 16)
+      .unionByName(graft.dedup.ExactCollapse.dupSelfPairs(mem, "doc_a", "doc_b"))
+    val repPairs = Dedup.minhashJaccard(sigs, cands, 16)
       .filter(col("jaccard_est") >= 0.5)
+    (repPairs, mem)
+  }
+
+  private def lshPairsFromShingles(sh: DataFrame): DataFrame = {
+    val (repPairs, mem) = lshPairsCollapsed(sh)
+    graft.dedup.ExactCollapse.expand(repPairs, mem, "doc_a", "doc_b")
+  }
+
+  /** (node, label) duplicate-cluster assignment over the LSH pair graph,
+    * one row per doc appearing in any pair — CC on the rep graph +
+    * label expansion to members. */
+  private def lshClusters(s: SparkSession, dir: String): DataFrame = {
+    val (repPairs, mem) = lshPairsCollapsed(Dedup.shingles(nearCorpus(s, dir), 3))
+    Dedup.connectedComponents(repPairs)
+      .join(mem, col("node") === col("__rep"))
+      .select(col("__member").as("node"), col("label"))
   }
 
   val d2MinhashLsh: Q = (s, dir) =>
@@ -588,7 +631,7 @@ object TextQueries {
     * signature join moves O(docs·bands) rows where the exact join moves
     * O(docs·shingles) — the same dedup decision both stages serve. */
   val d6DupClusters: Q = (s, dir) =>
-    Dedup.connectedComponents(lshPairs(s, dir))
+    lshClusters(s, dir)
       .select(col("node").as("doc_id"), col("label").as("cluster"))
       .orderBy("doc_id")
 
@@ -621,7 +664,7 @@ object TextQueries {
     val docs = nearCorpus(s, dir)
     val q = docs.select(col("doc_id"),
       round(TextOps.qualityScore(col("text")), 6).as("quality"))
-    val cl = Dedup.connectedComponents(lshPairs(s, dir))
+    val cl = lshClusters(s, dir)
     val labeled = q.join(cl, q("doc_id") === cl("node"), "left")
       .select(col("doc_id"), col("quality"),
         coalesce(col("label"), col("doc_id")).as("cluster"))

@@ -201,30 +201,44 @@ object VectorOps {
     require(planes.size >= bands * rowsPerBand,
       s"need ${bands * rowsPerBand} planes, got ${planes.size}")
     val sorted = planes.sortBy(_._1).take(bands * rowsPerBand)
-    // all band keys in ONE pass over the vectors (an array of bucket
+    // Exact-dup collapse (graft.dedup.ExactCollapse): bucket codes and
+    // the rerank cosine are functions of the embedding VALUE only, so
+    // value-identical vectors collapse to one representative before the
+    // bucket join — without this, a class of n identical vectors
+    // collides in every band and alone makes the join O(n²).
+    val base = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+    val tagged = graft.dedup.ExactCollapse.tag(base, "id", Seq(col("__v")))
+    val reps = graft.dedup.ExactCollapse.reps(tagged, "id")
+    val mem = graft.dedup.ExactCollapse.members(tagged, "id")
+    // all band keys in ONE pass over the rep vectors (an array of bucket
     // codes, unpivoted), not one scan per band
     val bucketCols = (0 until bands).map { b =>
       (0 until rowsPerBand).map { r =>
         val planeCol = array(sorted(b * rowsPerBand + r)._2.map(v => lit(v)): _*)
-        when(dot(col(vecCol), planeCol) > 0, 1L << r).otherwise(0L)
+        when(dot(col("__v"), planeCol) > 0, 1L << r).otherwise(0L)
       }.reduce(_ + _)
     }
     // materialized once: the (id, band, bucket) frame feeds BOTH sides of
     // the candidate self-join — without this the scan + bands·rowsPerBand
     // dot products run twice
     val banded = graft.Graft.materialize(
-      vectors.select(col(idCol).cast("long").as("id"),
+      reps.select(col("id"),
         posexplode(array(bucketCols: _*)).as(Seq("band", "bucket"))))
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("vec_a"), col("y.id").as("vec_b"))
       .distinct()
-    val va = vectors.select(col(idCol).cast("long").as("vec_a"), col(vecCol).as("__va"))
-    val vb = vectors.select(col(idCol).cast("long").as("vec_b"), col(vecCol).as("__vb"))
-    cand.join(va, "vec_a").join(vb, "vec_b")
+      // in-group duplicate pairs surface via rep self-pairs, not buckets;
+      // the rerank below scores them with the same cosine expression (and
+      // drops e.g. identical zero vectors exactly as the bucket path would)
+      .unionByName(graft.dedup.ExactCollapse.dupSelfPairs(mem, "vec_a", "vec_b"))
+    val va = reps.select(col("id").as("vec_a"), col("__v").as("__va"))
+    val vb = reps.select(col("id").as("vec_b"), col("__v").as("__vb"))
+    val scored = cand.join(va, "vec_a").join(vb, "vec_b")
       .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
+    graft.dedup.ExactCollapse.expand(scored, mem, "vec_a", "vec_b")
   }
 
   /** Near-dup dispatcher: the exact O(n²) sweep only under

@@ -31,6 +31,20 @@ object Graft {
     // (PARQUET_TYPE_ILLEGAL); as a long it keeps full ns precision — convert
     // with timestamp_micros(ts/1000) where a real timestamp is needed.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Scan-split sizing for THIS deployment's data scale. The defaults
+    // (128 MB partitions, 4 MB per-file open cost) target HDFS-block-sized
+    // files; the sandbox's tables are 10–125 MB in ≤8-file directories,
+    // which the default packing collapses into 1–2 scan partitions — a
+    // serialized parquet decode on a 32-thread host (measured: the sf1
+    // events table, 18 MB across 8 files, scanned as ONE task). 8 MB
+    // splits / 512 KB open cost restore scan parallelism at every sandbox
+    // SF while keeping partitions far above per-task overhead. These are
+    // runtime session confs, not code semantics: a 100 TB cluster
+    // deployment reading block-sized files should keep the 128 MB
+    // default — builders for such a deployment pass their own sizing
+    // after configure() (builder config is last-write-wins).
+    .config("spark.sql.files.maxPartitionBytes", "8m")
+    .config("spark.sql.files.openCostInBytes", "524288")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests / ad-hoc mains. */

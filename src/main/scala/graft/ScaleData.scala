@@ -62,10 +62,13 @@ object ScaleData {
           }
           shifted.drop("__rep")
         }
-      // Match the driver layout: one parquet FILE per table (the loaders
-      // read "$dir/$name.parquet"; a directory with that name works too,
-      // but keep part counts sane for the 32-thread local runs).
-      val parts = if (fixed(t)) 1 else factor.min(8)
+      // Match the driver layout ("$dir/$name.parquet"; a directory with
+      // that name works too). File granularity is the scan-parallelism
+      // ceiling for parquet (a ~16 MB file is one row group, and a row
+      // group is indivisible), so write enough parts that a 32-thread
+      // local run can scan the big tables 32-wide — mirroring how a real
+      // 100 TB dataset arrives as thousands of block-sized files.
+      val parts = if (fixed(t)) 1 else (factor * 8).min(64)
       scaled.repartition(parts).write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scale] $t -> ${if (fixed(t)) "copied" else s"x$factor"}")
     }

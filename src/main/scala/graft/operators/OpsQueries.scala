@@ -689,10 +689,14 @@ object OpsQueries {
     *    argument, 1-D case; k8Zorder is the 2-D profile).
     *
     * The data-skipping math behind every columnar format's footer
-    * stats. The by_price layout uses one global ntile — a full sort,
-    * exactly what a real re-clustering write pays; at 100 TB the same
-    * profile would come from `repartitionByRange(price)` stats instead
-    * of a single-partition window. */
+    * stats. The by_price layout needs a GLOBAL equal-frequency
+    * bucketing — `ntile` over an unpartitioned window funnels the full
+    * table through one task (measured 13× superlinear at sf1), so the
+    * zone ids come from [[graft.functions.GlobalRank.withNtile]]:
+    * range-repartition on the price order + per-partition rank offsets,
+    * bit-identical to the window `ntile` (the oracle still uses it) and
+    * parallel at any scale — the distributed analogue of what a real
+    * re-clustering write (`repartitionByRange(price)`) pays. */
   val e5ZonemapPrune: Q = (s, dir) => {
     val threshold = 55000.0
     val nZones = 84
@@ -702,11 +706,11 @@ object OpsQueries {
     val byMonth = li.select(lit("by_month").as("layout"),
       (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long").as("zone"),
       col("price"))
-    val byPrice = li.select(lit("by_price").as("layout"),
-      ntile(nZones).over(
-        Window.orderBy(col("price"), col("l_orderkey"), col("l_linenumber")))
-        .cast("long").as("zone"),
-      col("price"))
+    val byPrice = graft.functions.GlobalRank.withNtile(
+        li.select(col("price"), col("l_orderkey"), col("l_linenumber")),
+        "zone", nZones,
+        col("price"), col("l_orderkey"), col("l_linenumber"))
+      .select(lit("by_price").as("layout"), col("zone"), col("price"))
     byMonth.unionByName(byPrice)
       .groupBy("layout", "zone")
       .agg(count(lit(1)).as("n_rows"),

@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.GlobalRank
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GlobalRank must be bit-identical to the single-partition window
+  * idiom it replaces (row_number / ntile over an unpartitioned Window),
+  * including ntile's uneven-bucket arithmetic and duplicate sort-key
+  * values under a unique tiebreaker. */
+class GlobalRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(seed: Int, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    // heavy duplication in the primary key: ranks must come from the
+    // (value, id) total order, not value alone
+    (1 to n).map(i => (i.toLong, rnd.nextInt(40).toDouble))
+      .toDF("id", "v")
+      // spread across partitions so offsets actually matter
+      .repartition(7)
+  }
+
+  test("withRowNumber matches global window row_number") {
+    Seq((1, 257), (2, 1000), (3, 31)).foreach { case (seed, n) =>
+      val df = fixture(seed, n)
+      val expected = df.withColumn("r",
+        row_number().over(Window.orderBy(col("v"), col("id"))))
+      val got = GlobalRank.withRowNumber(df, "r", col("v"), col("id"))
+      assert(got.select("id", "v", "r").exceptAll(
+        expected.select("id", "v", "r")).isEmpty, s"seed $seed")
+      assert(expected.select("id", "v", "r").exceptAll(
+        got.select("id", "v", "r")).isEmpty, s"seed $seed")
+    }
+  }
+
+  test("withNtile matches global window ntile, incl. uneven buckets") {
+    // n chosen to exercise rem = 0, rem > 0, and n < buckets
+    Seq((1, 840, 84), (2, 1013, 84), (3, 40, 84), (4, 1000, 7)).foreach {
+      case (seed, n, b) =>
+        val df = fixture(seed, n)
+        val expected = df.withColumn("z",
+          ntile(b).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+        val got = GlobalRank.withNtile(df, "z", b, col("v"), col("id"))
+        assert(got.select("id", "v", "z").exceptAll(
+          expected.select("id", "v", "z")).isEmpty, s"seed $seed n=$n b=$b")
+        assert(expected.select("id", "v", "z").exceptAll(
+          got.select("id", "v", "z")).isEmpty, s"seed $seed n=$n b=$b")
+    }
+  }
+
+  test("ranks are a permutation of 1..n") {
+    val df = fixture(9, 500)
+    val r = GlobalRank.withRowNumber(df, "r", col("v"), col("id"))
+      .select("r").as[Long].collect().sorted
+    assert(r.toSeq == (1L to 500L))
+  }
+}

@@ -630,4 +630,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"band must ride the user_id equi-join, not a nested loop:\n$p")
   }
+
+  test("e5 zonemap: by_price zones rank distributively, no global-window ntile") {
+    val p = plan(graft.operators.OpsQueries.e5ZonemapPrune(spark, sf))
+    assert(!p.contains("ntile"),
+      s"zones must come from GlobalRank offsets, not a single-partition ntile:\n$p")
+    assert(p.contains("__gr_pid"),
+      s"expected the per-partition rank window over the range layout:\n$p")
+  }
 }

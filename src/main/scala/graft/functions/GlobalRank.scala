@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Distributed global row numbering — the scale-safe replacement for
   * `row_number()/ntile()` over an UNPARTITIONED window, which moves the
@@ -11,12 +11,18 @@ import org.apache.spark.sql.functions._
   * e5_zonemap_prune before this helper existed).
   *
   * Shape: range-repartition on the sort key (each partition owns a
-  * contiguous key range), count rows per partition, collect the ≤
-  * numShufflePartitions counts to the driver (documented-small — this
-  * is partition METADATA, not data), turn them into prefix offsets,
-  * and add each row's within-partition `row_number` to its partition's
-  * offset. Global rank = offset + local rank, exact at any scale; both
-  * shuffles (range + the window's hash-by-pid) are fully parallel.
+  * contiguous key range) and sort ONCE within partitions; materialize
+  * that layout; count rows per partition with a partial-aggregated
+  * `spark_partition_id` count (32-row exchange — partition METADATA,
+  * not data); turn the counts into prefix offsets; then assign each
+  * row offset + its position in a single per-partition sweep over the
+  * already-sorted data. One data shuffle, one sort, no second pass
+  * re-sorting — the same two-phase structure as
+  * `clean.Cleaning.forwardFillScan`. (A first cut used
+  * `row_number over Window.partitionBy(pid)` for the local position;
+  * that re-shuffled AND re-sorted the full input — 2× the data motion
+  * for no semantic difference — so the sweep is the per-partition
+  * imperative path that mapPartitions is actually for.)
   *
   * The sort key must be a TOTAL order (include a unique tiebreaker):
   * range partitioning puts equal keys in one partition, but a
@@ -30,26 +36,26 @@ object GlobalRank {
   private def ranked(df: DataFrame, sort: Seq[Column]): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    // Materialize the ranged layout once: the counts pass and the rank
-    // pass below would otherwise each re-execute the upstream plan.
-    val ranged = graft.Graft.materialize(
-      df.repartitionByRange(parts, sort: _*)
-        .withColumn("__gr_pid", spark_partition_id()))
-    val counts = ranged.groupBy("__gr_pid").count().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // Materialize the sorted range layout once: the counts pass and
+    // the rank pass below both read it; without the checkpoint each
+    // would re-execute the upstream scan + shuffle + sort.
+    val sorted = graft.Graft.materialize(
+      df.repartitionByRange(parts, sort: _*).sortWithinPartitions(sort: _*))
+    val counts = sorted.groupBy(spark_partition_id().as("__gr_pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
       (pid, acc + n)
     }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
-    // Offsets ride into the plan as one map literal (≤ parts entries).
-    // Empty partitions simply have no map entry — and no rows to rank.
-    val offMap = map(offsets.flatMap { case (pid, off) =>
-      Seq(lit(pid), lit(off)) }: _*)
-    val local = Window.partitionBy("__gr_pid").orderBy(sort: _*)
-    val out = ranged
-      .withColumn("__gr_rank",
-        coalesce(element_at(offMap, col("__gr_pid")), lit(0L)) +
-          row_number().over(local))
-      .drop("__gr_pid")
+    val offByPid: Map[Int, Long] = offsets.toMap
+    val maxPid = if (counts.isEmpty) 0 else counts.map(_._1).max
+    val offArr = Array.tabulate(maxPid + 1)(p => offByPid.getOrElse(p, 0L))
+    val bc = spark.sparkContext.broadcast(offArr)
+    val out = spark.createDataFrame(
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var i = bc.value(pid)
+        it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
+      },
+      sorted.schema.add("__gr_rank", LongType, nullable = false))
     (out, counts.map(_._2).sum)
   }
 

@@ -635,7 +635,9 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.operators.OpsQueries.e5ZonemapPrune(spark, sf))
     assert(!p.contains("ntile"),
       s"zones must come from GlobalRank offsets, not a single-partition ntile:\n$p")
-    assert(p.contains("__gr_pid"),
-      s"expected the per-partition rank window over the range layout:\n$p")
+    assert(!p.contains("Window"),
+      s"no window at all: ranks come from the per-partition sweep:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected the GlobalRank sweep output feeding the zone agg:\n$p")
   }
 }

@@ -204,7 +204,10 @@ object OpsQueries {
   /** Symmetrized (self-loop-free, weight-merged) view of [[nationEdges]],
     * shared by g4's label propagation and g5's BFS. */
   private def undNationEdges(s: SparkSession, dir: String): DataFrame = {
-    val e = nationEdges(s, dir)
+    // Materialize BEFORE the self-union: the symmetrizing union refers
+    // to the edge frame twice, and un-checkpointed that re-executes the
+    // full fact-table join once per side (the d6_dup_clusters lesson).
+    val e = Graft.materialize(nationEdges(s, dir))
     Graft.materialize(
       e.select(col("src").as("u"), col("dst").as("v"), col("w"))
         .unionByName(e.select(col("dst").as("u"), col("src").as("v"), col("w")))
@@ -220,7 +223,11 @@ object OpsQueries {
       |  WHERE u <> v GROUP BY u, v)""".stripMargin
 
   val g2Pagerank: Q = (s, dir) => {
-    val edges = nationEdges(s, dir)
+    // The nation-edge aggregation is a full fact-table join; it feeds
+    // nodes, out-weights, AND both iterations' contribution joins, so
+    // materialize it once (measured: the un-checkpointed plan re-ran
+    // the 60 M-row join ~5x at the sf10 replica).
+    val edges = Graft.materialize(nationEdges(s, dir))
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst"))).distinct()
     val cnt = nodes.agg(count(lit(1)).as("n"))

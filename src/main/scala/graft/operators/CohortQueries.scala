@@ -155,12 +155,13 @@ object CohortQueries {
     * count), monetary (exact-decimal purchase value sum), each bucketed
     * into quintiles (5 = best) with user_id tiebreaks, plus the
     * standard champion/at-risk/new/regular read of the (r, f) cell.
-    * Shape: events reduce to one row per user FIRST, so the global
-    * quintile windows run over the user aggregate (users ≪ events —
-    * the same aggregate-then-rank posture as a6's risk ranking); at
-    * extreme user counts the windows swap for broadcast quantile
-    * boundaries without changing semantics. Determinism: the monetary
-    * ranking key is the exact DECIMAL sum, never a float. */
+    * Shape: events reduce to one row per user FIRST (users ≪ events —
+    * the same aggregate-then-rank posture as a6's risk ranking), and
+    * each quintile comes from [[graft.functions.GlobalRank.withNtile]]
+    * (range-partitioned ranks + SQL ntile arithmetic) rather than an
+    * unpartitioned `ntile` window, so no single task ever sorts the
+    * whole user base. Determinism: the monetary ranking key is the
+    * exact DECIMAL sum, never a float. */
   val f15Rfm: Q = (s, dir) => {
     val ev = eventsWithDay(s, dir)
     val maxDay = ev.agg(max(col("day")).as("max_day"))
@@ -171,13 +172,13 @@ object CohortQueries {
         sum(col("value").cast("decimal(28,12)")).as("mon"))
       .crossJoin(broadcast(maxDay))
       .withColumn("recency", datediff(col("max_day"), col("last_day")).cast("long"))
-    users
-      .withColumn("r_score",
-        ntile(5).over(Window.orderBy(col("recency").desc, col("user_id"))).cast("long"))
-      .withColumn("f_score",
-        ntile(5).over(Window.orderBy(col("freq").asc, col("user_id"))).cast("long"))
-      .withColumn("m_score",
-        ntile(5).over(Window.orderBy(col("mon").asc, col("user_id"))).cast("long"))
+    val gr = graft.functions.GlobalRank
+    val scored = gr.withNtile(
+      gr.withNtile(
+        gr.withNtile(users, "r_score", 5, col("recency").desc, col("user_id")),
+        "f_score", 5, col("freq").asc, col("user_id")),
+      "m_score", 5, col("mon").asc, col("user_id"))
+    scored
       .select(col("user_id"), col("recency"), col("freq").cast("long").as("freq"),
         q6(col("mon").cast("double")).as("monetary"),
         col("r_score"), col("f_score"), col("m_score"),

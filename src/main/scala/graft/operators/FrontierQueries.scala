@@ -247,15 +247,19 @@ object FrontierQueries {
     * customer count), G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) on sorted
     * spend — all DECIMAL until the final division. Rank ties (equal
     * spend) cannot change the sum, so the custkey tiebreak is for
-    * determinism of the sweep only. */
+    * determinism of the sweep only. The ranks come from
+    * [[graft.functions.GlobalRank.withRowNumber]] (range-partitioned
+    * prefix offsets), not an unpartitioned window: the per-customer
+    * frame scales linearly with the fact table, and a single-task
+    * sort over every customer is exactly the shape that dies first
+    * on a real cluster. */
   val a24Gini: Q = (s, dir) => {
     val spend = Graft.table(s, dir, "orders")
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(18,2)").as("spend"))
-    val rk = Window.orderBy(col("spend"), col("o_custkey"))
-    spend
-      .withColumn("i", row_number().over(rk).cast("long"))
+    graft.functions.GlobalRank
+      .withRowNumber(spend, "i", col("spend"), col("o_custkey"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("spend")).as("s"),

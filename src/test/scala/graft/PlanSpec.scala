@@ -380,10 +380,13 @@ class PlanSpec extends SparkSpec {
       "per-source and global distributions each need partial+final aggs")
   }
 
-  test("f15 RFM: quintile windows run over the user aggregate, not raw events") {
+  test("f15 RFM: quintiles come from GlobalRank, not a single-task ntile window") {
+    // The quintile scores are assigned by GlobalRank.withNtile (range
+    // shuffle + per-partition sweep behind a materialize), so the final
+    // plan must carry NO window at all — the unpartitioned ntile it
+    // replaced would show as WindowExec with an empty partition spec.
     val p = plan(graft.operators.CohortQueries.f15Rfm(spark, sf))
-    assert("HashAggregate".r.findAllIn(p).length >= 2, "users must aggregate first")
-    assert(p.contains("Window"))
+    assert(!p.contains("Window"), s"no single-task ntile window may survive:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 

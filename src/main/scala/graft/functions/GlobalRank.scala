@@ -63,6 +63,69 @@ object GlobalRank {
   def withRowNumber(df: DataFrame, rankCol: String, sort: Column*): DataFrame =
     ranked(df, sort)._1.withColumnRenamed("__gr_rank", rankCol)
 
+  /** `df` plus, for each `(srcCol, outCol)` in `sums`, the running
+    * total of `srcCol` (LongType) in global `sort` order — including
+    * the current row when `inclusive`, else the exclusive prefix (0 at
+    * the first row). The distributed replacement for
+    * `sum(x).over(Window.orderBy(...))`, which is the same
+    * single-task funnel as an unpartitioned `row_number`: range
+    * shuffle + within-partition sort (materialized once), per-column
+    * per-partition totals collected as partition METADATA (≤ one row
+    * per partition), prefix offsets broadcast, and one accumulating
+    * sweep over the already-sorted partitions. Same total-order
+    * caveat as [[withRowNumber]] — though for sums, ties in `sort`
+    * only affect intermediate (not post-aggregation) values. */
+  def withPrefixSums(df: DataFrame, sums: Seq[(String, String)],
+      inclusive: Boolean, sort: Column*): DataFrame = {
+    require(sums.nonEmpty, "withPrefixSums needs at least one column")
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = graft.Graft.materialize(
+      df.repartitionByRange(parts, sort: _*).sortWithinPartitions(sort: _*))
+    val idxs = sums.map { case (src, _) =>
+      val i = sorted.schema.fieldIndex(src)
+      require(sorted.schema(i).dataType == LongType,
+        s"withPrefixSums expects LongType for '$src', got ${sorted.schema(i).dataType}")
+      i
+    }.toArray
+    val aggs = sums.zipWithIndex.map { case ((src, _), i) =>
+      sum(col(src)).as(s"__ps_$i")
+    }
+    val totals = sorted
+      .groupBy(spark_partition_id().as("__ps_pid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => (r.getInt(0), Array.tabulate(sums.size)(i =>
+        if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1))))
+      .sortBy(_._1)
+    val offByPid = scala.collection.mutable.Map.empty[Int, Array[Long]]
+    val acc = Array.fill(sums.size)(0L)
+    totals.foreach { case (pid, t) =>
+      offByPid(pid) = acc.clone()
+      var i = 0; while (i < acc.length) { acc(i) += t(i); i += 1 }
+    }
+    val bc = spark.sparkContext.broadcast(offByPid.toMap)
+    val outSchema = sums.foldLeft(sorted.schema) { case (sch, (_, out)) =>
+      sch.add(out, LongType, nullable = false)
+    }
+    spark.createDataFrame(
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val run = bc.value.get(pid).map(_.clone())
+          .getOrElse(Array.fill(idxs.length)(0L))
+        it.map { r =>
+          val out = new Array[Any](idxs.length)
+          var j = 0
+          while (j < idxs.length) {
+            val v = if (r.isNullAt(idxs(j))) 0L else r.getLong(idxs(j))
+            if (inclusive) { run(j) += v; out(j) = run(j) }
+            else { out(j) = run(j); run(j) += v }
+            j += 1
+          }
+          Row.fromSeq(r.toSeq ++ out)
+        }
+      }, outSchema)
+  }
+
   /** `df` plus `zoneCol` = `ntile(buckets)` under `sort`, computed from
     * global ranks with SQL ntile's exact arithmetic (the first n mod b
     * buckets get one extra row) — identical output to

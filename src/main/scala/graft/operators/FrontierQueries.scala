@@ -205,14 +205,15 @@ object FrontierQueries {
       .groupBy("value").agg(
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cb"))
-    val sweep = Window.orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val tot = Window.partitionBy()
-    ev
-      .withColumn("cuma", sum(col("ca")).over(sweep))
-      .withColumn("cumb", sum(col("cb")).over(sweep))
-      .withColumn("na", sum(col("ca")).over(tot))
-      .withColumn("nb", sum(col("cb")).over(tot))
+    // Ordered CDF pass over distinct values — distributed via the
+    // GlobalRank prefix-sum sweep instead of an unpartitioned window
+    // (value cardinality scales with real data). Totals fall out of
+    // the inclusive running sums (max = last row), rejoined as a
+    // broadcast 1-row frame.
+    val cum = graft.functions.GlobalRank.withPrefixSums(ev,
+      Seq("ca" -> "cuma", "cb" -> "cumb"), inclusive = true, col("value"))
+    val tots = cum.agg(max(col("cuma")).as("na"), max(col("cumb")).as("nb"))
+    cum.crossJoin(broadcast(tots))
       .agg(
         max(abs(col("cuma").cast("decimal(18,0)") * col("nb") -
           col("cumb").cast("decimal(18,0)") * col("na"))).as("dnum"),

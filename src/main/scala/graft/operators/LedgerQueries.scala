@@ -139,10 +139,13 @@ object LedgerQueries {
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cb"))
       .withColumn("call", col("ca") + col("cb"))
-    val sweep = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
-    val tot = Window.partitionBy()
-    ev
-      .withColumn("cumbefore", coalesce(sum(col("call")).over(sweep), lit(0L)))
+    // The ordered pass runs over distinct values — which in real data
+    // scales with the input — so the cumulative counts come from the
+    // distributed GlobalRank.withPrefixSums sweep, not an
+    // unpartitioned window (a single task sorting the whole frame).
+    graft.functions.GlobalRank
+      .withPrefixSums(ev, Seq("call" -> "cumbefore"),
+        inclusive = false, col("value"))
       .withColumn("r2a",
         col("ca").cast("decimal(18,0)") *
           (lit(2L) * col("cumbefore") + col("call") + 1))

@@ -177,10 +177,13 @@ object TrainPrepQueries {
       Graft.table(s, dir, "events")
         .filter(col("value").isNotNull)
         .select(col("event_id"), col("event_type"), col("value")))
-    // global rank axis: distinct-value CDF + within-value row_number
-    val vg = base.groupBy("value").agg(count(lit(1)).as("cnt"))
-      .withColumn("cumb", coalesce(sum(col("cnt")).over(
-        Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // global rank axis: distinct-value CDF + within-value row_number.
+    // The CDF sweep is distributed (GlobalRank.withPrefixSums): the
+    // distinct-value frame scales with real data, so an unpartitioned
+    // cumulative window here would funnel it through one task.
+    val vg = graft.functions.GlobalRank.withPrefixSums(
+      base.groupBy("value").agg(count(lit(1)).as("cnt")),
+      Seq("cnt" -> "cumb"), inclusive = false, col("value"))
     val g = base.join(vg.select(col("value"), col("cumb")), "value")
       .withColumn("rg", col("cumb") +
         row_number().over(Window.partitionBy("value").orderBy("event_id")))
@@ -190,12 +193,19 @@ object TrainPrepQueries {
       .withColumn("tcumb", coalesce(sum(col("tcnt")).over(
         Window.partitionBy("event_type").orderBy("value")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // nt / n are group totals, not per-row state: computed as tiny
+    // aggregate frames and broadcast-joined back. The windowed
+    // formulation (partitionBy(event_type) / partitionBy()) would put
+    // ALL rows of a type — or the whole table — in one window
+    // partition, the classic low-cardinality-window skew bomb.
+    val ntdf = base.groupBy("event_type").agg(count(lit(1)).as("nt"))
+    val ndf = base.agg(count(lit(1)).as("n"))
     val t = base.join(vt.select(col("event_type"), col("value"), col("tcumb")),
         Seq("event_type", "value"))
       .withColumn("rn", col("tcumb") +
         row_number().over(Window.partitionBy("event_type", "value").orderBy("event_id")))
-      .withColumn("nt", sum(lit(1L)).over(Window.partitionBy("event_type")))
-      .withColumn("n", sum(lit(1L)).over(Window.partitionBy()))
+      .join(broadcast(ntdf), "event_type")
+      .crossJoin(broadcast(ndf))
       .withColumn("tr", expr("(rn * n + nt - 1) div nt"))
     t.join(g, col("tr") === col("rg"))
       .select(col("event_id"), col("event_type"), col("value"), col("norm_value"))

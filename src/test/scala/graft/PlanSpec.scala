@@ -459,12 +459,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("w16 KS: the ordered sweep runs over the per-value aggregate, not raw rows") {
+  test("w16 KS: the ordered CDF sweep is distributed, not a single-task window") {
+    // The cumulative counts come from GlobalRank.withPrefixSums, so the
+    // plan must carry NO window at all; the only nested-loop join is
+    // the broadcast of the 1-row totals frame.
     val p = plan(graft.operators.FrontierQueries.w16KsTest(spark, sf))
-    assert("HashAggregate".r.findAllIn(p).length >= 2,
-      "per-value jump counts must reduce partial+final before the window")
-    assert(p.contains("Window"))
+    assert(!p.contains("Window"), s"no unpartitioned CDF window may survive:\n$p")
     assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin"), "totals rejoin as a broadcast")
   }
 
   test("a24 gini: ranked sweep over the per-customer aggregate only") {
@@ -620,11 +622,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("t37 quantile norm: rank axes build from per-value aggregates, lookup is an equi-join") {
+    // The global CDF comes from GlobalRank.withPrefixSums and the
+    // nt/n totals from broadcast-joined aggregate frames; the only
+    // permissible nested-loop join is the 1-row global-count
+    // broadcast (crossJoin(broadcast(ndf))) — the rank→value lookup
+    // itself must stay a keyed equi-join, and the full-frame windows
+    // (partitionBy(event_type) / partitionBy()) must be gone.
     val p = plan(graft.operators.TrainPrepQueries.t37QuantileNorm(spark, sf))
-    assert("HashAggregate".r.findAllIn(p).length >= 2,
-      "per-value counts must reduce partial+final before the CDF windows")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"the rank lookup must stay an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"rank lookup must stay keyed:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"only the 1-row n broadcast may nest-loop:\n$p")
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(p).nonEmpty,
+      s"the rank lookup must be an equi-join:\n$p")
   }
 
   test("s11 unattributed: the anti join stays a keyed user join with the band as condition") {

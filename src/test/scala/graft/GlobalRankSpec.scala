@@ -55,4 +55,57 @@ class GlobalRankSpec extends SparkSpec {
       .select("r").as[Long].collect().sorted
     assert(r.toSeq == (1L to 500L))
   }
+
+  /** One grouped row per key with long counts — the shape every
+    * withPrefixSums call site feeds (per-value jump counts). Includes
+    * nulls in a summed column to pin null-as-zero. */
+  private def sumFixture(seed: Int, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      val b: java.lang.Long =
+        if (rnd.nextInt(10) == 0) null else rnd.nextInt(100).toLong
+      (i.toLong, rnd.nextInt(50).toLong, b)
+    }.toDF("k", "a", "b").repartition(7)
+  }
+
+  test("withPrefixSums (inclusive) matches unbounded-preceding window sums") {
+    Seq((1, 257), (2, 1000), (3, 3)).foreach { case (seed, n) =>
+      val df = sumFixture(seed, n)
+      val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+      val expected = df
+        .withColumn("ca", sum(col("a")).over(w))
+        .withColumn("cb", coalesce(sum(col("b")).over(w), lit(0L)))
+      val got = GlobalRank.withPrefixSums(df,
+        Seq("a" -> "ca", "b" -> "cb"), inclusive = true, col("k"))
+      assert(got.select("k", "ca", "cb").exceptAll(
+        expected.select("k", "ca", "cb")).isEmpty, s"seed $seed")
+      assert(expected.select("k", "ca", "cb").exceptAll(
+        got.select("k", "ca", "cb")).isEmpty, s"seed $seed")
+    }
+  }
+
+  test("withPrefixSums (exclusive) matches 1-preceding window sums") {
+    Seq((4, 513), (5, 64)).foreach { case (seed, n) =>
+      val df = sumFixture(seed, n)
+      val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+      val expected = df
+        .withColumn("ca", coalesce(sum(col("a")).over(w), lit(0L)))
+      val got = GlobalRank.withPrefixSums(df,
+        Seq("a" -> "ca"), inclusive = false, col("k"))
+      assert(got.select("k", "ca").exceptAll(
+        expected.select("k", "ca")).isEmpty, s"seed $seed")
+      assert(expected.select("k", "ca").exceptAll(
+        got.select("k", "ca")).isEmpty, s"seed $seed")
+    }
+  }
+
+  test("withPrefixSums rejects non-long columns and empty specs") {
+    val df = sumFixture(6, 10).withColumn("d", col("a").cast("double"))
+    intercept[IllegalArgumentException] {
+      GlobalRank.withPrefixSums(df, Seq("d" -> "cd"), inclusive = true, col("k"))
+    }
+    intercept[IllegalArgumentException] {
+      GlobalRank.withPrefixSums(df, Seq.empty, inclusive = true, col("k"))
+    }
+  }
 }

@@ -180,23 +180,40 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
     * keys (any pair within hamming ≤ 3 of a band collides in ≥1 band for
-    * uniformly spread differences), then exact hamming filter. */
+    * uniformly spread differences), then exact hamming filter.
+    *
+    * Equal-SIGNATURE classes collapse to a min-id representative before
+    * the band join (hamming is a function of the signatures alone, so
+    * every member pair inherits its rep pair's hamming; in-class pairs
+    * are hamming 0 by definition and come from rep self-pairs). This is
+    * the d2/d4/d10 rule applied to the one kernel that had skipped it:
+    * a corpus that is mostly exact duplicates makes the un-collapsed
+    * banded self-join quadratic in clone-class size ×4 bands — measured
+    * 232 s at the 100× replica vs linear-in-unique + output after. */
   def simhashPairs(sigs0: DataFrame, maxHamming: Int, idCol: String = "doc_id"): DataFrame = {
-    // 4 bands × 2 join sides read the signatures — materialize once so
-    // the per-word hash UDF doesn't run 8× (see Graft.materialize for
+    // null signatures (null text) never banded-match today; keep them out
+    // of the collapse so they don't self-pair at hamming 0
+    val tagged = ExactCollapse.tag(
+      sigs0.filter(col("simhash").isNotNull), idCol, Seq(col("simhash")))
+    val mem = ExactCollapse.members(tagged, idCol)
+    // 4 bands × 2 join sides read the rep signatures — materialize once
+    // so the per-word hash UDF doesn't run 8× (see Graft.materialize for
     // the localCheckpoint-vs-cache trade).
-    val sigs = graft.Graft.materialize(sigs0)
+    val sigs = graft.Graft.materialize(ExactCollapse.reps(tagged, idCol))
     val banded = (0 until 4).map { b =>
       sigs.select(col(idCol).as("id"), col("simhash").as("sig"),
         lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
     }.reduce(_ unionByName _)
-    banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+    val repPairs = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .unionByName(ExactCollapse.dupSelfPairs(mem, "doc_a", "doc_b")
+        .withColumn("hamming", lit(0)))
+    ExactCollapse.expand(repPairs, mem, "doc_a", "doc_b")
   }
 
   /** Connected components over an undirected pair list — turns near-dup

@@ -188,11 +188,6 @@ object TrainPrepQueries {
       .withColumn("rg", col("cumb") +
         row_number().over(Window.partitionBy("value").orderBy("event_id")))
       .select(col("rg"), col("value").as("norm_value"))
-    // per-type rank axis, same construction keyed by (type, value)
-    val vt = base.groupBy("event_type", "value").agg(count(lit(1)).as("tcnt"))
-      .withColumn("tcumb", coalesce(sum(col("tcnt")).over(
-        Window.partitionBy("event_type").orderBy("value")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     // nt / n are group totals, not per-row state: computed as tiny
     // aggregate frames and broadcast-joined back. The windowed
     // formulation (partitionBy(event_type) / partitionBy()) would put
@@ -200,6 +195,23 @@ object TrainPrepQueries {
     // partition, the classic low-cardinality-window skew bomb.
     val ntdf = base.groupBy("event_type").agg(count(lit(1)).as("nt"))
     val ndf = base.agg(count(lit(1)).as("n"))
+    // per-type rank axis, same construction keyed by (type, value).
+    // A `partition by event_type` cumulative window would be the same
+    // skew bomb in miniature (5 window partitions, each holding every
+    // distinct value of its type), so the per-type CDF comes from ONE
+    // global prefix sum in (type, value) order minus a broadcast
+    // per-type offset — the offset window runs over the
+    // type-cardinality frame (bounded), not data.
+    val typeOff = ntdf.withColumn("toff", coalesce(sum(col("nt")).over(
+        Window.orderBy("event_type").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("event_type"), col("toff"))
+    val vt = graft.functions.GlobalRank.withPrefixSums(
+        base.groupBy("event_type", "value").agg(count(lit(1)).as("tcnt")),
+        Seq("tcnt" -> "gcum"), inclusive = false,
+        col("event_type"), col("value"))
+      .join(broadcast(typeOff), "event_type")
+      .withColumn("tcumb", col("gcum") - col("toff"))
     val t = base.join(vt.select(col("event_type"), col("value"), col("tcumb")),
         Seq("event_type", "value"))
       .withColumn("rn", col("tcumb") +

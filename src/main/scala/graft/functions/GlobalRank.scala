@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -124,6 +125,60 @@ object GlobalRank {
           Row.fromSeq(r.toSeq ++ out)
         }
       }, outSchema)
+  }
+
+  /** Per-group `row_number` for BOUNDED-cardinality group keys whose
+    * per-group row counts scale with data. `Window.partitionBy(group)`
+    * there funnels every group through ONE task (the low-cardinality-
+    * window skew bomb); a partitioned window remains the right tool
+    * when group cardinality is high (many small partitions, no skew).
+    * Shape: ONE global ranking over (group ++ sort) order — groups are
+    * contiguous under range partitioning — then each group's rank
+    * offset is recovered as `min(global rank) − 1` per group (an
+    * aggregate over the already-materialized ranked layout, reduced to
+    * one row per group) and broadcast-joined back. No ordering
+    * assumptions beyond the global machinery's own. */
+  def withGroupRowNumber(df: DataFrame, rankCol: String,
+      groupCols: Seq[String], sort: Column*): DataFrame = {
+    require(groupCols.nonEmpty, "withGroupRowNumber needs group columns")
+    val gcols = groupCols.map(col)
+    val ranked = withRowNumber(df, "__gg_rank", gcols ++ sort: _*)
+    val off = ranked.groupBy(gcols: _*)
+      .agg((min(col("__gg_rank")) - 1L).as("__gg_off"))
+    ranked.join(broadcast(off), groupCols)
+      .withColumn(rankCol, col("__gg_rank") - col("__gg_off"))
+      .drop("__gg_rank", "__gg_off")
+  }
+
+  /** Per-group running totals for BOUNDED-cardinality group keys — the
+    * [[withPrefixSums]] of `sum(x).over(Window.partitionBy(group)
+    * .orderBy(sort))`, with the same skew rationale as
+    * [[withGroupRowNumber]]. One global prefix-sum pass in
+    * (group ++ sort) order; each group's starting offset is the
+    * exclusive prefix of the per-group totals in group order, computed
+    * with a window over the DISTINCT-GROUP frame (metadata-sized under
+    * the bounded-cardinality contract; its `orderBy(group)` matches the
+    * global pass's ascending range order) and broadcast-joined back. */
+  def withGroupPrefixSums(df: DataFrame, sums: Seq[(String, String)],
+      inclusive: Boolean, groupCols: Seq[String], sort: Column*): DataFrame = {
+    require(groupCols.nonEmpty, "withGroupPrefixSums needs group columns")
+    val gcols = groupCols.map(col)
+    val cum = withPrefixSums(df, sums.map { case (s, o) => (s, s"__gg_$o") },
+      inclusive, gcols ++ sort: _*)
+    val aggs = sums.map { case (src, out) => sum(col(src)).as(s"__gt_$out") }
+    val w = Window.orderBy(gcols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = sums.foldLeft(
+        cum.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)) {
+        case (d, (_, out)) =>
+          d.withColumn(s"__go_$out",
+            coalesce(sum(col(s"__gt_$out")).over(w), lit(0L)))
+      }
+      .select(gcols ++ sums.map(s => col(s"__go_${s._2}")): _*)
+    sums.foldLeft(cum.join(broadcast(off), groupCols)) { case (d, (_, out)) =>
+      d.withColumn(out, col(s"__gg_$out") - col(s"__go_$out"))
+        .drop(s"__gg_$out", s"__go_$out")
+    }
   }
 
   /** `df` plus `zoneCol` = `ntile(buckets)` under `sort`, computed from

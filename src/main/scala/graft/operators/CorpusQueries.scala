@@ -33,15 +33,18 @@ object CorpusQueries {
   /** T15: balanced stratified sample — downsample every language to the
     * size of the smallest one, keeping each stratum's md5-smallest doc
     * ids (deterministic, engine-independent, no RNG state). The quota is
-    * a one-row broadcast; the per-stratum ranking is one window. */
+    * a one-row broadcast; the per-stratum ranking comes from
+    * [[graft.functions.GlobalRank.withGroupRowNumber]] — a
+    * `partition by lang` window would sort each language's ENTIRE
+    * stratum in one task (strata scale with the corpus; lang
+    * cardinality doesn't). */
   val t15BalancedSample: Q = (s, dir) => {
     val docs = Graft.table(s, dir, "documents")
     val quota = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
       .agg(min(col("cnt")).as("k"))
-    docs
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("lang")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+    graft.functions.GlobalRank.withGroupRowNumber(
+        docs, "rk", Seq("lang"),
+        md5(col("doc_id").cast("string")), col("doc_id"))
       .crossJoin(broadcast(quota))
       .filter(col("rk") <= col("k"))
       .select(col("lang"), col("doc_id"), col("rk").cast("long").as("rk"))

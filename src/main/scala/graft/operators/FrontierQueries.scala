@@ -293,28 +293,32 @@ object FrontierQueries {
     * that an unweighted median misstates whenever quantity correlates
     * with price. Weights aggregate per (flag, price) FIRST (the ordered
     * sweep runs over distinct prices, not rows), cumulative and total
-    * quantities stay exact DECIMAL, and the crossing test doubles the
-    * cumulative (2·cum ≥ tot) instead of halving the total — no
-    * division, no float, no tie ambiguity. The OUTPUT total is cast to
-    * DOUBLE (not DECIMAL(38,2)): quantities are integral and flag
-    * totals sit far below 2^53, so the cast is value-exact in both
-    * engines, and it sidesteps the one driver-side DECIMAL
+    * quantities stay exact — DECIMAL(18,2) scaled ×100 to long CENTS
+    * so [[graft.functions.GlobalRank.withGroupPrefixSums]] can run the
+    * sweep distributed (distinct prices scale with data; there are 3
+    * flags, so a `partition by flag` window is three whole-table
+    * single-task sorts) — and the crossing test doubles the cumulative
+    * (2·cum ≥ tot) instead of halving the total: no division, no
+    * float, no tie ambiguity. The OUTPUT total is cents/100.0 in
+    * DOUBLE (not DECIMAL(38,2)): one correctly-rounded IEEE division
+    * of an exactly-represented integer ≡ DuckDB's decimal→double cast,
+    * and it sidesteps the one driver-side DECIMAL
     * hash-canonicalization mismatch this query hit in round 4 (the
     * values were cell-identical; only the hash differed). */
   val qWeightedMedian: Q = (s, dir) => {
     val g = Graft.table(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_extendedprice")
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("qty"))
-    val sweep = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val tot = Window.partitionBy("l_returnflag")
-    g
-      .withColumn("cum", sum(col("qty")).over(sweep))
-      .withColumn("tot", sum(col("qty")).over(tot))
-      .filter(col("cum") * 2 >= col("tot"))
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)")
+        * 100).cast("long").as("qty_c"))
+    val cum = graft.functions.GlobalRank.withGroupPrefixSums(
+      g, Seq("qty_c" -> "cum_c"), inclusive = true, Seq("l_returnflag"),
+      col("l_extendedprice"))
+    val tot = cum.groupBy("l_returnflag").agg(sum(col("qty_c")).as("tot_c"))
+    cum.join(broadcast(tot), "l_returnflag")
+      .filter(col("cum_c") * 2 >= col("tot_c"))
       .groupBy(col("l_returnflag"))
       .agg(min(col("l_extendedprice")).as("weighted_median"),
-        max(col("tot")).cast("double").as("total_qty"))
+        (max(col("tot_c")).cast("double") / lit(100.0)).as("total_qty"))
       .orderBy("l_returnflag")
   }
 

@@ -149,8 +149,12 @@ object RetrievalQueries {
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"))
       .withColumn("priority",
         greatest(col("n_chars"), lit(1)).cast("double") / (col("h") + 1))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("source").orderBy(col("priority").desc, col("doc_id"))))
+      // per-source ranking via GlobalRank.withGroupRowNumber: sources
+      // are few but each holds a data-scaling slice, so a
+      // `partition by source` window would sort whole slices in single
+      // tasks
+      .transform(d => graft.functions.GlobalRank.withGroupRowNumber(
+        d, "rk", Seq("source"), col("priority").desc, col("doc_id")))
       .filter(col("rk") <= 5)
       .select(col("source"), col("rk").cast("long").as("rk"),
         col("doc_id"), col("n_chars"),

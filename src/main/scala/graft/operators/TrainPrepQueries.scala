@@ -63,17 +63,20 @@ object TrainPrepQueries {
   /** T8: sequence packing, concat-then-cut: documents are concatenated
     * in a deterministic per-language order (md5 of doc_id) and cut every
     * 2048 tokens; each doc reports its pack and whether it straddles a
-    * cut. One window per shard — the exact shape of pretraining data
-    * packing at any scale. */
+    * cut. The per-shard running offset comes from
+    * [[graft.functions.GlobalRank.withGroupPrefixSums]] — shards are
+    * few (lang cardinality) but each concatenation order spans the
+    * whole shard, exactly the frame a `partition by lang` window would
+    * funnel through one task. */
   val t8Pack: Q = (s, dir) => {
     val budget = 2048
-    val w = Window.partitionBy("lang")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    Graft.table(s, dir, "documents")
-      .withColumn("n_tokens",
-        when(length(trim(col("text"))) === 0, 0)
-          .otherwise(size(words(col("text")))))
-      .withColumn("end_offset", sum(col("n_tokens")).over(w))
+    graft.functions.GlobalRank.withGroupPrefixSums(
+        Graft.table(s, dir, "documents")
+          .withColumn("n_tokens",
+            when(length(trim(col("text"))) === 0, 0L)
+              .otherwise(size(words(col("text"))).cast("long"))),
+        Seq("n_tokens" -> "end_offset"), inclusive = true, Seq("lang"),
+        md5(col("doc_id").cast("string")), col("doc_id"))
       .withColumn("start_offset", col("end_offset") - col("n_tokens"))
       .select(col("lang"), col("doc_id"),
         col("n_tokens").cast("long").as("n_tokens"),

@@ -99,6 +99,57 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  /** Group fixture: few groups (the bounded-cardinality contract),
+    * data-scaling rows per group, duplicate sort keys under a unique
+    * tiebreaker, including a single-row group and a null summed value. */
+  private def groupFixture(seed: Int, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    ((1 to n).map { i =>
+      val b: java.lang.Long =
+        if (rnd.nextInt(10) == 0) null else rnd.nextInt(100).toLong
+      (i.toLong, s"g${rnd.nextInt(5)}", rnd.nextInt(40).toLong, b)
+    } :+ ((n + 1).toLong, "solo", 7L, 3L: java.lang.Long))
+      .toDF("id", "grp", "v", "b").repartition(7)
+  }
+
+  test("withGroupRowNumber matches partitionBy-window row_number") {
+    Seq((11, 257), (12, 1000)).foreach { case (seed, n) =>
+      val df = groupFixture(seed, n)
+      val expected = df.withColumn("r", row_number().over(
+        Window.partitionBy("grp").orderBy(col("v").desc, col("id"))).cast("long"))
+      val got = GlobalRank.withGroupRowNumber(df, "r", Seq("grp"),
+        col("v").desc, col("id"))
+      assert(got.select("id", "grp", "r").exceptAll(
+        expected.select("id", "grp", "r")).isEmpty, s"seed $seed")
+      assert(expected.select("id", "grp", "r").exceptAll(
+        got.select("id", "grp", "r")).isEmpty, s"seed $seed")
+    }
+  }
+
+  test("withGroupPrefixSums matches partitionBy-window running sums") {
+    Seq((13, 513), (14, 64)).foreach { case (seed, n) =>
+      val df = groupFixture(seed, n)
+      val w = Window.partitionBy("grp").orderBy(col("v"), col("id"))
+      val expected = df
+        .withColumn("cb", coalesce(sum(col("b")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)), lit(0L)))
+        .withColumn("xb", coalesce(sum(col("b")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val inc = GlobalRank.withGroupPrefixSums(df, Seq("b" -> "cb"),
+        inclusive = true, Seq("grp"), col("v"), col("id"))
+      val exc = GlobalRank.withGroupPrefixSums(df, Seq("b" -> "xb"),
+        inclusive = false, Seq("grp"), col("v"), col("id"))
+      assert(inc.select("id", "cb").exceptAll(
+        expected.select("id", "cb")).isEmpty, s"seed $seed inclusive")
+      assert(expected.select("id", "cb").exceptAll(
+        inc.select("id", "cb")).isEmpty, s"seed $seed inclusive")
+      assert(exc.select("id", "xb").exceptAll(
+        expected.select("id", "xb")).isEmpty, s"seed $seed exclusive")
+      assert(expected.select("id", "xb").exceptAll(
+        exc.select("id", "xb")).isEmpty, s"seed $seed exclusive")
+    }
+  }
+
   test("withPrefixSums rejects non-long columns and empty specs") {
     val df = sumFixture(6, 10).withColumn("d", col("a").cast("double"))
     intercept[IllegalArgumentException] {

@@ -163,30 +163,54 @@ object StatQueries {
 
   /** W13: rolling skewness and excess kurtosis (21-point trailing
     * window) per series — the tail-risk / regime-change monitors next
-    * to w12's rolling median. Raw power sums accumulate as exact
-    * DECIMAL inside one window frame (constant state per row); the
-    * central-moment assembly is a single shared IEEE chain. Emits null
-    * during warm-up and when the window is numerically degenerate
-    * (m2 ≤ 1e-9 — also keeps the 1e6 display grid's floor() argument
-    * bounded). */
+    * to w12's rolling median. Power sums accumulate as exact LONG
+    * arithmetic on cent-scaled values (`c = round(value·100)` — the
+    * telemetry stream is 2-decimal by contract, enforced by a loud
+    * per-row grid guard rather than a silent quantization): c, c², c³
+    * sum directly; c⁴ can exceed a signed long (c=56 021 → 9.8e18), so
+    * it is carried as exact base-1e9 digits (hi, lo) built from a
+    * division chain whose every intermediate fits a long for
+    * |c| ≤ 7e5. The sliding sums are 21 long adds per row — an order
+    * of magnitude cheaper than the previous DECIMAL(38,10) frames
+    * (sf10 replica: 49 s → the decimal adds were the whole cost) —
+    * and order-independent, so the DuckDB oracle matches exactly; the
+    * central-moment assembly is a single shared IEEE chain on both
+    * engines. Emits null during warm-up and when the window is
+    * numerically degenerate (m2 ≤ 1e-9 — also keeps the 1e6 display
+    * grid's floor() argument bounded). */
   val w13RollingMoments: Q = (s, dir) => {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val frame = w.rowsBetween(-20, 0)
+    val cRaw = round(col("value") * 100).cast("long")
     val ev = Graft.events(s, dir)
-      .withColumn("v2", col("value") * col("value"))
-      .withColumn("v3", col("value") * col("value") * col("value"))
-      .withColumn("v4", (col("value") * col("value")) * (col("value") * col("value")))
+      .withColumn("c",
+        when(col("value").isNull, lit(null).cast("long"))
+          .when(abs(col("value") * 100 - cRaw) <= lit(1e-6) &&
+            cRaw.between(-700000L, 700000L), cRaw)
+          .otherwise(raise_error(concat(lit("w13 expects 2-decimal values in [-7000, 7000], got "),
+            col("value").cast("string")))))
+      .withColumn("c2", col("c") * col("c"))
+      .withColumn("c3", col("c2") * col("c"))
+      .withColumn("qa", expr("(c2 div 1000) * c2"))
+      .withColumn("qb", (col("c2") % 1000L) * col("c2"))
+      .withColumn("t4", (col("qa") % 1000000L) * 1000L + col("qb"))
+      .withColumn("hi4", expr("qa div 1000000") + expr("t4 div 1000000000"))
+      .withColumn("lo4", col("t4") % 1000000000L)
       .withColumn("rn", row_number().over(w))
-      .withColumn("s1", sum(col("value").cast("decimal(28,10)")).over(frame).cast("double"))
-      .withColumn("s2", sum(col("v2").cast("decimal(38,10)")).over(frame).cast("double"))
-      .withColumn("s3", sum(col("v3").cast("decimal(38,10)")).over(frame).cast("double"))
-      .withColumn("s4", sum(col("v4").cast("decimal(38,10)")).over(frame).cast("double"))
-      .withColumn("mean", col("s1") / 21)
-      .withColumn("m2", col("s2") / 21 - col("mean") * col("mean"))
-      .withColumn("m3", col("s3") / 21 - lit(3.0) * col("mean") * (col("s2") / 21)
+      .withColumn("s1", sum(col("c")).over(frame).cast("double"))
+      .withColumn("s2", sum(col("c2")).over(frame).cast("double"))
+      .withColumn("s3", sum(col("c3")).over(frame).cast("double"))
+      .withColumn("s4", sum(col("hi4")).over(frame).cast("double") * lit(1e9)
+        + sum(col("lo4")).over(frame).cast("double"))
+      .withColumn("mean", col("s1") / lit(2100.0))
+      .withColumn("s2n", col("s2") / lit(210000.0))
+      .withColumn("s3n", col("s3") / lit(21000000.0))
+      .withColumn("s4n", col("s4") / lit(2100000000.0))
+      .withColumn("m2", col("s2n") - col("mean") * col("mean"))
+      .withColumn("m3", col("s3n") - lit(3.0) * col("mean") * col("s2n")
         + lit(2.0) * col("mean") * col("mean") * col("mean"))
-      .withColumn("m4", col("s4") / 21 - lit(4.0) * col("mean") * (col("s3") / 21)
-        + lit(6.0) * col("mean") * col("mean") * (col("s2") / 21)
+      .withColumn("m4", col("s4n") - lit(4.0) * col("mean") * col("s3n")
+        + lit(6.0) * col("mean") * col("mean") * col("s2n")
         - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
     ev.select(col("event_id"), col("user_id"),
         when(col("rn") >= 21 && col("m2") > 1e-9,
@@ -198,31 +222,42 @@ object StatQueries {
 
   val w13RollingMomentsSql: String =
     """WITH p AS (
-      |  SELECT event_id, user_id, ts, value,
-      |    value * value AS v2,
-      |    value * value * value AS v3,
-      |    (value * value) * (value * value) AS v4,
+      |  SELECT event_id, user_id, ts,
+      |    CAST(round(value * 100) AS BIGINT) AS c,
       |    row_number() OVER w AS rn
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |d AS (
+      |  SELECT *, c * c AS c2, (c * c) * c AS c3 FROM p),
+      |e AS (
+      |  SELECT *, (c2 // 1000) * c2 AS qa, (c2 % 1000) * c2 AS qb FROM d),
+      |f0 AS (
+      |  SELECT *, (qa % 1000000) * 1000 + qb AS t4 FROM e),
+      |g AS (
+      |  SELECT event_id, user_id, ts, rn, c, c2, c3,
+      |    (qa // 1000000) + (t4 // 1000000000) AS hi4,
+      |    t4 % 1000000000 AS lo4
+      |  FROM f0),
       |sums AS (
       |  SELECT event_id, user_id, rn,
-      |    CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER f AS DOUBLE) AS s1,
-      |    CAST(SUM(CAST(v2 AS DECIMAL(38,10))) OVER f AS DOUBLE) AS s2,
-      |    CAST(SUM(CAST(v3 AS DECIMAL(38,10))) OVER f AS DOUBLE) AS s3,
-      |    CAST(SUM(CAST(v4 AS DECIMAL(38,10))) OVER f AS DOUBLE) AS s4
-      |  FROM p
+      |    CAST(SUM(c) OVER f AS DOUBLE) AS s1,
+      |    CAST(SUM(c2) OVER f AS DOUBLE) AS s2,
+      |    CAST(SUM(c3) OVER f AS DOUBLE) AS s3,
+      |    CAST(SUM(hi4) OVER f AS DOUBLE) * 1e9
+      |      + CAST(SUM(lo4) OVER f AS DOUBLE) AS s4
+      |  FROM g
       |  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
       |               ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)),
       |m AS (
       |  SELECT event_id, user_id, rn,
-      |    s1 / 21 AS mean, s2, s3, s4
+      |    s1 / 2100.0 AS mean, s2 / 210000.0 AS s2n,
+      |    s3 / 21000000.0 AS s3n, s4 / 2100000000.0 AS s4n
       |  FROM sums),
       |cm AS (
       |  SELECT event_id, user_id, rn,
-      |    s2 / 21 - mean * mean AS m2,
-      |    s3 / 21 - 3.0 * mean * (s2 / 21) + 2.0 * mean * mean * mean AS m3,
-      |    s4 / 21 - 4.0 * mean * (s3 / 21) + 6.0 * mean * mean * (s2 / 21)
+      |    s2n - mean * mean AS m2,
+      |    s3n - 3.0 * mean * s2n + 2.0 * mean * mean * mean AS m3,
+      |    s4n - 4.0 * mean * s3n + 6.0 * mean * mean * s2n
       |      - 3.0 * mean * mean * mean * mean AS m4
       |  FROM m)
       |SELECT event_id, user_id,

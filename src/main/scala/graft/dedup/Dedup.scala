@@ -396,39 +396,95 @@ object Dedup {
     * frequency test). Default Int.MaxValue = uncapped. */
   def ngramJaccard(docs: DataFrame, k: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
-      maxDf: Int = Int.MaxValue): DataFrame =
-    ngramJaccardFromShingles(shingles(docs, k, idCol, textCol), threshold,
-      idCol, maxDf)
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val (reps, mem) = textCollapse(docs, idCol, textCol)
+    val (repPairs, memFull) = ngramJaccardCollapsedW(
+      shingles(reps, k, idCol, textCol), mem, threshold, idCol, maxDf)
+    ExactCollapse.expand(repPairs, memFull, "doc_a", "doc_b")
+  }
 
-  /** [[ngramJaccard]] from a prebuilt (id, shingle) frame — lets a
-    * composite query (d9's LSH-vs-exact eval) build the shingle
-    * universe ONCE and feed both candidate generators. */
+  /** [[ngramJaccard]] from a prebuilt (id, shingle) frame over the FULL
+    * corpus — no pre-shingle text collapse (the identity membership),
+    * so every doc pays its own shingle hashing. Prefer
+    * [[textCollapse]] + [[ngramJaccardCollapsedW]] when the corpus may
+    * contain exact duplicates. */
   def ngramJaccardFromShingles(shingleDf: DataFrame, threshold: Double,
       idCol: String = "doc_id", maxDf: Int = Int.MaxValue): DataFrame = {
+    val ids = shingleDf.select(col(idCol)).distinct()
+    val identityMem = ids.select(col(idCol).as("__rep"), col(idCol).as("__member"))
+    val (repPairs, mem) =
+      ngramJaccardCollapsedW(shingleDf, identityMem, threshold, idCol, maxDf)
+    ExactCollapse.expand(repPairs, mem, "doc_a", "doc_b")
+  }
+
+  /** Collapse value-identical documents (on the normalized-text md5
+    * fingerprint — the identity [[exact]] uses) to their min-id rep
+    * BEFORE any shingling or signature work: (rep docs, (__rep,
+    * __member) membership). Every per-shingle cost downstream
+    * (explode, 64-bit hashing, 16 minhash lanes, collect_list set
+    * keys) then scales with UNIQUE text instead of the corpus — on a
+    * web-crawl-shaped corpus that is the dominant constant. One md5
+    * per doc + one hash-partitioned window; no global sort. */
+  def textCollapse(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    val tagged = ExactCollapse.tag(
+      docs.withColumn("__fp", TextOps.fingerprint(col(textCol))),
+      idCol, Seq(col("__fp")))
+    (ExactCollapse.reps(tagged, idCol).drop("__fp"),
+      ExactCollapse.members(tagged, idCol))
+  }
+
+  /** Collapsed n-gram-Jaccard kernel over an already text-collapsed
+    * corpus: `repSh` is the (id, shingle) frame of the REP docs from
+    * [[textCollapse]] and `textMem` its membership. Returns (rep-level
+    * pairs incl. (r, r) in-class rows, membership composed down to
+    * original doc ids). The document-frequency cap counts DOCUMENTS of
+    * the full corpus, so each rep shingle weighs its clone-class size —
+    * exactly the full-corpus df, at unique-content cost. The second
+    * collapse key is the post-cap shingle-hash multiset (two reps with
+    * different text can still tie there when the cap eats the
+    * difference); final classes = multiset classes composed with text
+    * classes. Counting consumers ([[evalCollapsedPairs]]) stay at rep
+    * level; pair-list consumers expand. */
+  def ngramJaccardCollapsedW(repSh: DataFrame, textMem: DataFrame,
+      threshold: Double, idCol: String = "doc_id",
+      maxDf: Int = Int.MaxValue): (DataFrame, DataFrame) = {
     // join on the 64-bit shingle hash, not the string: same counts
     // (collisions at ~1e-10 for realistic shingle cardinalities) with a
     // far smaller shuffle payload.
-    val shAll = graft.Graft.materialize(shingleDf
+    val shAll = graft.Graft.materialize(repSh
       .select(col(idCol), xxhash64(col("shingle")).as("sh"))) // feeds 2 join sides + sizes
-    val sh = if (maxDf == Int.MaxValue) shAll else
-      // one aggregation on the shingle key (already the join key, so the
-      // df filter and the pair join share a partitioning) + a semi-join
+    val sh = if (maxDf == Int.MaxValue) shAll else {
+      // full-corpus df = Σ clone-class sizes over rep docs containing
+      // the shingle; one aggregation on the shingle key (already the
+      // join key, so the df filter and the pair join share a
+      // partitioning) + a semi-join
+      val weights = textMem.groupBy(col("__rep"))
+        .agg(count(lit(1)).as("__w"))
+        .select(col("__rep").as(idCol), col("__w"))
       graft.Graft.materialize(shAll.join(
-        shAll.groupBy("sh").agg(count(lit(1)).as("__df"))
+        shAll.join(weights, idCol)
+          .groupBy("sh").agg(sum(col("__w")).as("__df"))
           .filter(col("__df") <= maxDf).select("sh"),
         "sh"))
+    }
 
     // Exact-dup collapse (ExactCollapse): sizes, intersections — hence
     // every jaccard — are functions of the doc's capped shingle-hash
-    // MULTISET, so docs identical on it collapse to one rep before the
-    // shared-shingle self-join (the join is quadratic in the size of an
-    // identical-doc class; under maxDf the multiset is the post-cap one,
-    // so the collapse key sees exactly what the join sees). Rep shingle
-    // rows come back from exploding the key — no second scan of `sh`.
+    // MULTISET, so reps identical on it collapse once more before the
+    // shared-shingle self-join (under maxDf the multiset is the
+    // post-cap one, so the collapse key sees exactly what the join
+    // sees). Rep shingle rows come back from exploding the key — no
+    // second scan of `sh`.
     val setKey = sh.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("sh"))).as("__set"))
     val tagged = ExactCollapse.tag(setKey, idCol, Seq(col("__set")))
+    // compose multiset classes (over reps) with text classes (over all
+    // docs): a member's final rep is its text-rep's multiset-rep
     val mem = ExactCollapse.members(tagged, idCol)
+      .select(col("__rep"), col("__member").as("__mid"))
+      .join(textMem.select(col("__rep").as("__mid"), col("__member")), "__mid")
+      .select(col("__rep"), col("__member"))
     val shReps = ExactCollapse.reps(tagged, idCol)
       .select(col(idCol), explode(col("__set")).as("sh"))
     val sizes = shReps.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
@@ -447,7 +503,53 @@ object Dedup {
       .unionByName(ExactCollapse.dupSelfPairs(mem, "doc_a", "doc_b")
         .withColumn("jaccard", lit(1.0)))
       .filter(col("jaccard") >= threshold)
-    ExactCollapse.expand(repPairs, mem, "doc_a", "doc_b")
+    (repPairs, mem)
+  }
+
+  /** Count |expand(truthRp)|, |expand(candRp)| and the size of their
+    * member-pair intersection WITHOUT expanding either side — class
+    * arithmetic on the collapsed forms of two pair generators over the
+    * same corpus. A cross rep pair (a, b) expands to nₐ·n_b member
+    * pairs, an in-class row (r, r) to n·(n−1)/2. The two generators
+    * collapse on DIFFERENT keys, so the hit count runs through their
+    * common refinement: joint classes (rep_t, rep_c) built by joining
+    * the memberships on the member id; a member pair is in the
+    * intersection iff its truth rep pair is in `truthRp` AND its cand
+    * rep pair is in `candRp`. Requires memT's universe ⊆ memC's (every
+    * truth-side member also has a cand-side rep). Returns one row
+    * (n_truth, n_cand, n_hit) — the shape that stays linear in unique
+    * content when the corpus is 99 % clones and the expanded pair sets
+    * are quadratic. */
+  def evalCollapsedPairs(truthRp: DataFrame, memT: DataFrame,
+      candRp: DataFrame, memC: DataFrame): DataFrame = {
+    def expandedCount(rp: DataFrame, mem: DataFrame, out: String): DataFrame = {
+      val sz = mem.groupBy(col("__rep")).agg(count(lit(1)).as("n"))
+      rp.join(sz.select(col("__rep").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sz.select(col("__rep").as("doc_b"), col("n").as("nb")), "doc_b")
+        .agg(coalesce(sum(when(col("doc_a") === col("doc_b"),
+          expr("na * (na - 1) div 2")).otherwise(col("na") * col("nb"))),
+          lit(0L)).as(out))
+    }
+    val jc = graft.Graft.materialize(
+      memT.select(col("__rep").as("rt"), col("__member").as("m"))
+        .join(memC.select(col("__rep").as("rc"), col("__member").as("m")), "m")
+        .groupBy("rt", "rc").agg(count(lit(1)).as("nj")))
+    val tj = truthRp.select("doc_a", "doc_b")
+      .join(jc.select(col("rt").as("doc_a"), col("rc").as("ca"), col("nj").as("nja")), "doc_a")
+      .join(jc.select(col("rt").as("doc_b"), col("rc").as("cb"), col("nj").as("njb")), "doc_b")
+      // within an in-class truth row the joint-class pair is unordered:
+      // keep each (ca, cb) combination once
+      .filter(col("doc_a") =!= col("doc_b") || col("ca") <= col("cb"))
+    val hit = tj.join(
+        candRp.select(col("doc_a").as("x"), col("doc_b").as("y")),
+        least(col("ca"), col("cb")) === col("x") &&
+          greatest(col("ca"), col("cb")) === col("y"))
+      .agg(coalesce(sum(when(col("ca") === col("cb") && col("doc_a") === col("doc_b"),
+        expr("nja * (nja - 1) div 2")).otherwise(col("nja") * col("njb"))),
+        lit(0L)).as("n_hit"))
+    expandedCount(truthRp, memT, "n_truth")
+      .crossJoin(expandedCount(candRp, memC, "n_cand"))
+      .crossJoin(hit)
   }
 
   /** Word-level edit-distance ≤ 1 near-dup pairs via deletion-

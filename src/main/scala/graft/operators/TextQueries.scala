@@ -429,30 +429,46 @@ object TextQueries {
   /** Shared MinHash-LSH near-dup pair pipeline (md5 family, 16 hashes,
     * 4×4 bands, est-Jaccard ≥ 0.5) — the candidate generator for both
     * d2's pair listing and d6's cluster building. */
-  private def lshPairs(s: SparkSession, dir: String): DataFrame =
-    lshPairsFromShingles(Dedup.shingles(nearCorpus(s, dir), 3))
+  /** Text-collapsed nearCorpus: (shingles of the REP docs, (__rep,
+    * __member) membership). Every dedup-family query starts here so the
+    * per-shingle work (explode, 16 md5 minhash lanes, set keys) scales
+    * with unique text, not corpus size — the clone-heavy crawl shape. */
+  private def nearCorpusCollapsed(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (reps, mem) = Dedup.textCollapse(nearCorpus(s, dir))
+    (Graft.materialize(Dedup.shingles(reps, 3)), Graft.materialize(mem))
+  }
 
-  /** Collapsed form of the MinHash-LSH pipeline: (rep-level pairs,
-    * (__rep, __member) membership). Consumers that only need the pair
-    * LIST expand immediately ([[lshPairsFromShingles]]); the cluster
-    * consumers (d6/d11) run connected components on the REP graph first
-    * and expand labels afterwards — identical clusters, because every
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val (repSh, textMem) = nearCorpusCollapsed(s, dir)
+    val (repPairs, mem) = lshPairsCollapsed(repSh, textMem)
+    graft.dedup.ExactCollapse.expand(repPairs, mem, "doc_a", "doc_b")
+  }
+
+  /** Collapsed form of the MinHash-LSH pipeline over a text-collapsed
+    * corpus ([[nearCorpusCollapsed]]): (rep-level pairs, membership
+    * composed down to original doc ids). Consumers that only need the
+    * pair LIST expand immediately ([[lshPairs]]); the cluster consumers
+    * (d6/d11) run connected components on the REP graph first and
+    * expand labels afterwards — identical clusters, because every
     * member's label is its rep's label and a cluster's min doc_id IS the
     * min over its reps (each rep is the min of its group). */
-  private def lshPairsCollapsed(sh: DataFrame): (DataFrame, DataFrame) = {
+  private def lshPairsCollapsed(repSh: DataFrame, textMem: DataFrame): (DataFrame, DataFrame) = {
     // the signature frame feeds four join branches — materialize it once
     // (S7 cache operator) instead of recomputing the shingle groupBy 4×;
     // localCheckpoint so the blocks don't outlive the query.
-    val sigsAll = Dedup.minhashMd5(sh, 16)
-    // Exact-dup collapse (Dedup.ExactCollapse) keyed on the SIGNATURE:
-    // band buckets and est-Jaccard are functions of (h0..h15) alone, so
-    // signature-identical docs (in particular text-identical ones) run
-    // the candidate join once; self-pairs score through the same
-    // signature join (estimate 16/16 = 1.0 exactly).
+    val sigsAll = Dedup.minhashMd5(repSh, 16)
+    // Second exact-dup collapse (Dedup.ExactCollapse) keyed on the
+    // SIGNATURE: band buckets and est-Jaccard are functions of
+    // (h0..h15) alone, so signature-identical reps (different text,
+    // same minhash lanes) run the candidate join once; self-pairs score
+    // through the same signature join (estimate 16/16 = 1.0 exactly).
     val tagged = graft.dedup.ExactCollapse.tag(
       sigsAll, "doc_id", (0 until 16).map(i => col(s"h$i")))
     val sigs = Graft.materialize(graft.dedup.ExactCollapse.reps(tagged, "doc_id"))
     val mem = graft.dedup.ExactCollapse.members(tagged, "doc_id")
+      .select(col("__rep"), col("__member").as("__mid"))
+      .join(textMem.select(col("__rep").as("__mid"), col("__member")), "__mid")
+      .select(col("__rep"), col("__member"))
     val cands = Dedup.minhashCandidates(sigs, 4, 4)
       .unionByName(graft.dedup.ExactCollapse.dupSelfPairs(mem, "doc_a", "doc_b"))
     val repPairs = Dedup.minhashJaccard(sigs, cands, 16)
@@ -460,16 +476,12 @@ object TextQueries {
     (repPairs, mem)
   }
 
-  private def lshPairsFromShingles(sh: DataFrame): DataFrame = {
-    val (repPairs, mem) = lshPairsCollapsed(sh)
-    graft.dedup.ExactCollapse.expand(repPairs, mem, "doc_a", "doc_b")
-  }
-
   /** (node, label) duplicate-cluster assignment over the LSH pair graph,
     * one row per doc appearing in any pair — CC on the rep graph +
     * label expansion to members. */
   private def lshClusters(s: SparkSession, dir: String): DataFrame = {
-    val (repPairs, mem) = lshPairsCollapsed(Dedup.shingles(nearCorpus(s, dir), 3))
+    val (repSh, textMem) = nearCorpusCollapsed(s, dir)
+    val (repPairs, mem) = lshPairsCollapsed(repSh, textMem)
     Dedup.connectedComponents(repPairs)
       .join(mem, col("node") === col("__rep"))
       .select(col("__member").as("node"), col("label"))
@@ -756,23 +768,32 @@ object TextQueries {
     * candidate pipeline (d2's pairs, est-Jaccard ≥ 0.5) against the
     * exact n-gram-Jaccard ground truth (d4's pairs, true Jaccard ≥ 0.5,
     * same maxDf=50 cap). The measurement every production dedup rollout
-    * needs before trusting the sketch path at 100 TB — and it stays
-    * cheap because BOTH sides are the bucketed/banded plans, never an
-    * all-pairs sweep. One row: counts + recall + precision. */
+    * needs before trusting the sketch path at 100 TB — and unlike the
+    * pair-LISTING queries (whose contract is to emit every member
+    * pair), d9's contract is three COUNTS, so the quadratic
+    * duplicate-pair sets never materialize: both generators stay in
+    * collapsed (rep-pair + membership) form and every count is class
+    * arithmetic — a cross rep pair expands to na·nb member pairs, an
+    * in-class row to n·(n−1)/2. The hit count crosses the two collapse
+    * partitions (truth collapses on capped shingle multiset, LSH on
+    * signature) through their common refinement: joint classes
+    * (rep_t, rep_c), with a member pair in the intersection iff its
+    * truth rep pair is in the truth set AND its LSH rep pair is in the
+    * candidate set. Replica sf10: the expanded sets are 10⁸·rows (90 %
+    * clone corpus); the rep-level frames are 10³ — this is the shape
+    * that survives a 100 TB crawl. One row: counts + recall/precision. */
   val d9LshEval: Q = (s, dir) => {
-    // one shingle universe feeds BOTH candidate generators, and each
-    // pair set feeds two branches (its own count + the hit join) — all
-    // three materialize once, or the shingle explode and the self-joins
-    // run twice each (measured 2x wall-clock without this).
-    val sh = Graft.materialize(Dedup.shingles(nearCorpus(s, dir), 3))
-    val truth = Graft.materialize(
-      Dedup.ngramJaccardFromShingles(sh, 0.5, maxDf = 50)
-        .select("doc_a", "doc_b"))
-    val cand = Graft.materialize(lshPairsFromShingles(sh).select("doc_a", "doc_b"))
-    val hit = truth.join(cand, Seq("doc_a", "doc_b"))
-    truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+    // one text-collapsed shingle universe feeds BOTH candidate
+    // generators; rep-pair frames feed two branches each (own count +
+    // hit join) — materialize. universe_T ⊆ universe_C (capped shingle
+    // rows are a subset of raw ones), the evalCollapsedPairs
+    // precondition.
+    val (repSh, textMem) = nearCorpusCollapsed(s, dir)
+    val (truthRp0, memT) = Dedup.ngramJaccardCollapsedW(repSh, textMem, 0.5, maxDf = 50)
+    val truthRp = Graft.materialize(truthRp0.select("doc_a", "doc_b"))
+    val (candRp0, memC) = lshPairsCollapsed(repSh, textMem)
+    val candRp = Graft.materialize(candRp0.select("doc_a", "doc_b"))
+    Dedup.evalCollapsedPairs(truthRp, memT, candRp, memC)
       .select(col("n_truth"), col("n_cand"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"),
         round(col("n_hit").cast("double") / col("n_cand"), 6).as("prec"))

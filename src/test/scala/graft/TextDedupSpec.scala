@@ -205,6 +205,95 @@ class TextDedupSpec extends SparkSpec {
     assert(approx(j, 2.0 / 7.0), s"jaccard over capped universe: $j")
   }
 
+  test("evalCollapsedPairs equals the expanded pipelines on a clone-heavy corpus") {
+    import graft.dedup.ExactCollapse
+    // Clone-heavy corpus with every collapse topology the counting must
+    // survive: text-identical clone classes (collapse in BOTH
+    // generators), a pair that is one truth class but TWO cand classes
+    // (same post-cap shingle multiset, different raw shingles — the
+    // differing shingles are made hot so the df cap removes them), and
+    // a seeded-random block for the combinations not constructed by
+    // hand.
+    val hotA = "h1 h2 h3"
+    val hotB = "h1 h2 h4"
+    val det = Seq(
+      (1L, s"j k l $hotA"), // same post-cap multiset as 2 (hot tails
+      (2L, s"j k l $hotB"), // capped away), different signatures
+      (3L, "j k l s t u"),  // shares one capped shingle with 1/2
+      (10L, "m n o p q r s"), (11L, "m n o p q r s"), // clone class
+      (12L, "m n o p q r s"), (13L, "m n o p q r s z")) ++ // + near-dup
+      // hot-makers: push df("h1 h2 h3") and df("h1 h2 h4") over the cap
+      (20L to 23L).map(i => (i, s"f$i $hotA g$i")) ++
+      (30L to 33L).map(i => (i, s"f$i $hotB g$i"))
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val fuzz = (0 until 12).flatMap { b =>
+      val t = (0 until (4 + rnd.nextInt(3)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (0 until (1 + rnd.nextInt(4))).map(c => (100L + b * 10 + c, t))
+    }
+    val docs = (det ++ fuzz).toDF("doc_id", "text")
+    val thr = 0.4; val cap = 4
+    // independent ground truth: the NAIVE uncollapsed pipelines — no
+    // ExactCollapse/textCollapse machinery anywhere on this side
+    val shFull = Dedup.shingles(docs, 3)
+    val shH = shFull.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val keep = shH.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select("h")
+    val capped = shH.join(keep, "h")
+    val szN = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val truthExp = capped.select(col("doc_id").as("doc_a"), col("h"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      .join(szN.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(szN.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+      .filter(col("i").cast("double") / (col("sa") + col("sb") - col("i")) >= thr)
+      .select("doc_a", "doc_b")
+    val sigsFull = Dedup.minhashMd5(shFull, 16)
+    val candExp = Dedup.minhashJaccard(sigsFull,
+        Dedup.minhashCandidates(sigsFull, 4, 4), 16)
+      .filter(col("jaccard_est") >= 0.5).select("doc_a", "doc_b")
+    // the collapsed side: text collapse first, then both kernels
+    val (reps, textMem) = Dedup.textCollapse(docs)
+    val repSh = Dedup.shingles(reps, 3)
+    val (truthRp, memT) = Dedup.ngramJaccardCollapsedW(repSh, textMem, thr, maxDf = cap)
+    val sigsAll = Dedup.minhashMd5(repSh, 16)
+    val tagged = ExactCollapse.tag(sigsAll, "doc_id", (0 until 16).map(i => col(s"h$i")))
+    val sigs = ExactCollapse.reps(tagged, "doc_id")
+    val memC = ExactCollapse.members(tagged, "doc_id")
+      .select(col("__rep"), col("__member").as("__mid"))
+      .join(textMem.select(col("__rep").as("__mid"), col("__member")), "__mid")
+      .select(col("__rep"), col("__member"))
+    val candRp = Dedup.minhashJaccard(sigs,
+        Dedup.minhashCandidates(sigs, 4, 4)
+          .unionByName(ExactCollapse.dupSelfPairs(memC, "doc_a", "doc_b")), 16)
+      .filter(col("jaccard_est") >= 0.5).select("doc_a", "doc_b")
+    // the hand-built topology must actually be present, or the test
+    // stops guarding anything: a clone class and a split truth class
+    assert(textMem.groupBy("__rep").count().filter(col("count") >= 3).count() >= 1)
+    assert(memC.filter(col("__member").isin(1L, 2L))
+      .select("__rep").distinct().count() == 2,
+      "docs 1/2 must stay separate cand classes")
+    assert(memT.filter(col("__member").isin(1L, 2L))
+      .select("__rep").distinct().count() == 1,
+      "docs 1/2 must share a truth class via the df cap")
+    // expanded pair SETS match the naive pipelines exactly
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    assert(pairs(ExactCollapse.expand(truthRp.select("doc_a", "doc_b"),
+      memT, "doc_a", "doc_b")) == pairs(truthExp), "truth pair set")
+    assert(pairs(ExactCollapse.expand(candRp, memC, "doc_a", "doc_b")) ==
+      pairs(candExp), "cand pair set")
+    // and the collapsed counting reproduces the naive counts
+    val row = Dedup.evalCollapsedPairs(
+      truthRp.select("doc_a", "doc_b"), memT, candRp, memC).head()
+    assert(row.getLong(0) == truthExp.count(), "n_truth")
+    assert(row.getLong(1) == candExp.count(), "n_cand")
+    assert(row.getLong(2) ==
+      truthExp.join(candExp, Seq("doc_a", "doc_b")).count(), "n_hit")
+  }
+
   test("segments: non-overlapping, short tail kept, blank doc yields none") {
     val docs = Seq(
       (1L, "a b c d e f g"),   // 7 words -> "a b c", "d e f", "g"

@@ -1,12 +1,19 @@
 #!/usr/bin/env python3
 """Local replica of the driver's t2 correctness gate.
 
-Usage: python3 scripts/oracle_check.py [sfDir] [outDir]
+Usage: python3 scripts/oracle_check.py [sfDir] [outDir] [skip1,skip2,...]
 
 Reads each parquet result that graft.Verify dumped to outDir, runs the
 matching oracle SQL (outDir/oracle_sql.json) in DuckDB over the same sf
 tables, sorts columns by name and rows by value, and compares cell-by-cell.
 Exit 0 iff every query matches.
+
+Works on scale replicas too: a table path that is a DIRECTORY of part
+files (graft.ScaleData's layout) is globbed. The optional third arg
+skips named queries (for replica-scale runs where a recursive-CTE
+oracle would take DuckDB hours — skips are reported, not silently
+dropped). Set ORACLE_JSON=<path> to also dump a machine-readable
+per-query verdict artifact.
 """
 import json, math, sys, glob, os
 
@@ -43,6 +50,8 @@ def fetch(rel):
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+SKIP = set(s for s in (sys.argv[3].split(",") if len(sys.argv) > 3 else []) if s)
+JSON_OUT = os.environ.get("ORACLE_JSON")
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -73,15 +82,20 @@ def main():
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     result_dirs = sorted(d for d in glob.glob(f"{OUT}/*") if os.path.isdir(d))
     failures, passed, rows_only = [], [], []
+    skipped = sorted(SKIP & {os.path.basename(d) for d in result_dirs})
 
     for d in result_dirs:
         name = os.path.basename(d)
+        if name in SKIP:
+            continue
         files = glob.glob(f"{d}/*.parquet")
         if not files:
             failures.append((name, "no parquet output"))
@@ -122,11 +136,27 @@ def main():
         print(f"ROWS  {n} ({c} rows, no oracle)")
     for n, msg in failures:
         print(f"FAIL  {n}: {msg}")
-    missing = set(oracle) - {os.path.basename(d) for d in result_dirs}
+    for n in skipped:
+        print(f"SKIP  {n}: excluded by skip list")
+    missing = set(oracle) - {os.path.basename(d) for d in result_dirs} - SKIP
     for n in sorted(missing):
         print(f"MISS  {n}: oracle declared but no result dir")
     print(f"\n{len(passed)} pass, {len(rows_only)} rows-only, "
-          f"{len(failures)} fail, {len(missing)} missing")
+          f"{len(failures)} fail, {len(missing)} missing, {len(skipped)} skipped")
+    if JSON_OUT:
+        verdicts = {}
+        verdicts.update({n: {"status": "pass", "rows": c} for n, c in passed})
+        verdicts.update({n: {"status": "rows_only", "rows": c} for n, c in rows_only})
+        verdicts.update({n: {"status": "fail", "detail": str(m)[:500]} for n, m in failures})
+        verdicts.update({n: {"status": "skip"} for n in skipped})
+        verdicts.update({n: {"status": "missing"} for n in sorted(missing)})
+        with open(JSON_OUT, "w") as f:
+            json.dump({"sf_dir": SF, "out_dir": OUT,
+                       "counts": {"pass": len(passed), "rows_only": len(rows_only),
+                                  "fail": len(failures), "missing": len(missing),
+                                  "skipped": len(skipped)},
+                       "queries": verdicts}, f, indent=1, sort_keys=True)
+        print(f"wrote {JSON_OUT}")
     sys.exit(1 if failures or missing else 0)
 
 

@@ -16,12 +16,26 @@ import org.apache.spark.sql.functions._
   * is unchanged and only the number of keys grows, which is exactly how
   * TPC-H itself scales. `nation`/`region` stay fixed (as in TPC-H) and
   * nationkeys are NOT offset, so dimension joins stay broadcast-sized.
-  * Payload columns (text, embeddings, prices, timestamps) are copied
-  * verbatim: the corpus becomes 90 % exact duplicates across replicas,
-  * which is a deliberately adversarial stress for the dedup/LSH family
-  * (bucket sizes ×N ⇒ candidate pairs ×N²).
   *
-  * Usage: runMain graft.ScaleData <srcSfDir> <outDir> [factor=10]
+  * Two payload modes:
+  *  - **clone** (default): payload columns (text, embeddings, prices,
+  *    timestamps) are copied verbatim — the corpus becomes 90 % exact
+  *    duplicates across replicas, a deliberately adversarial stress for
+  *    the dedup/LSH family (bucket sizes ×N ⇒ candidate pairs ×N²).
+  *    Blind spot: distinct-VALUE cardinality stays constant at every
+  *    factor, so single-task sweeps over distinct values (CDF ranks,
+  *    distinct counts, near-dup shingles) never show in clone timings.
+  *  - **jitter**: value-bearing payloads are perturbed per replica so
+  *    their distinct cardinality scales ~linearly with the factor, the
+  *    way real continuous data does: `events.value` and every price
+  *    move by `__rep` cents (stays on the 2-decimal grid the w13
+  *    contract enforces, bounded by +0.01·factor), document text gets
+  *    a per-replica suffix token (shingle/fingerprint spaces scale;
+  *    length-family stats shift by one token), and embedding dim 0
+  *    moves by `__rep`·1e-4 (cosine neighborhoods survive, exact-dup
+  *    vectors don't). FK structure is identical in both modes.
+  *
+  * Usage: runMain graft.ScaleData <srcSfDir> <outDir> [factor=10] [jitter]
   */
 object ScaleData {
   // Strides sit above any key the driver generates at sf0.1 (max
@@ -42,7 +56,33 @@ object ScaleData {
 
   private val fixed = Set("region", "nation")
 
-  def replicate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+  /** Cent-grid price/value columns perturbed in jitter mode. */
+  private val centJitter: Map[String, Seq[String]] = Map(
+    "events" -> Seq("value"),
+    "lineitem" -> Seq("l_extendedprice"),
+    "orders" -> Seq("o_totalprice"),
+    "part" -> Seq("p_retailprice"))
+
+  private def jitterTable(t: String, df: DataFrame): DataFrame = {
+    val cents = centJitter.getOrElse(t, Nil).foldLeft(df) { (acc, c) =>
+      acc.withColumn(c, col(c) + col("__rep") * lit(0.01))
+    }
+    t match {
+      case "documents" =>
+        cents.withColumn("text",
+            concat(col("text"), lit(" r"), col("__rep").cast("string")))
+          .withColumn("n_chars", length(col("text")))
+      case "embeddings" =>
+        cents.withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + (col("__rep") * lit(1e-4)).cast("float"))
+              .otherwise(x)))
+      case _ => cents
+    }
+  }
+
+  def replicate(spark: SparkSession, src: String, out: String, factor: Int,
+      jitter: Boolean = false): Unit = {
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.foreach { t =>
@@ -60,7 +100,7 @@ object ScaleData {
               case None => acc
             }
           }
-          shifted.drop("__rep")
+          (if (jitter) jitterTable(t, shifted) else shifted).drop("__rep")
         }
       // Match the driver layout ("$dir/$name.parquet"; a directory with
       // that name works too). File granularity is the scan-parallelism
@@ -78,6 +118,7 @@ object ScaleData {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "target/scale/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val jitter = args.length > 3 && args(3) == "jitter"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Graft.configure(SparkSession.builder()
       .master(s"local[$cpus]")

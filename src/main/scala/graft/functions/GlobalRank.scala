@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -32,8 +32,32 @@ import org.apache.spark.sql.types.LongType
   */
 object GlobalRank {
 
+  /** Per-partition offsets of the materialized `sorted` layout as a
+    * (metadata-sized) literal-array lookup column indexed by
+    * `spark_partition_id()`, given per-partition values `byPid`. Sized
+    * by the layout's TOTAL partition count, not the max non-empty pid:
+    * repartitionByRange leaves trailing partitions EMPTY when the sort
+    * key has fewer distinct values than partitions (single-distinct-key
+    * frames range into partition 0 only). */
+  private def offsetLookup(sorted: DataFrame, byPid: Map[Int, Long]): Column =
+    element_at(
+      typedlit((0 until sorted.rdd.getNumPartitions).map(byPid.getOrElse(_, 0L))),
+      spark_partition_id() + 1)
+
   /** Core pass: (frame with `__gr_rank`, total row count — free from
-    * the same per-partition counts the offsets need). */
+    * the same per-partition counts the offsets need).
+    *
+    * The rank assignment never leaves Catalyst: over the materialized
+    * range-shuffled + within-partition-sorted layout, the rank is
+    * `offset(pid) + runningCount` — a [[PartitionRunningSum]] of 1
+    * plus the per-partition offsets inlined as ONE array literal
+    * (≤ one slot per shuffle partition — metadata, not data). The
+    * counts pass stays a 32-row aggregate over the checkpoint. An
+    * earlier version swept `sorted.rdd.mapPartitionsWithIndex` +
+    * `createDataFrame`, which converted every row out of and back
+    * into the unsafe format and broke whole-stage codegen for
+    * everything downstream — a fixed ~0.2–1.7 s tax per call at bench
+    * scale for machinery only the second pass needed. */
   private def ranked(df: DataFrame, sort: Seq[Column]): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
@@ -47,16 +71,9 @@ object GlobalRank {
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
       (pid, acc + n)
     }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
-    val offByPid: Map[Int, Long] = offsets.toMap
-    val maxPid = if (counts.isEmpty) 0 else counts.map(_._1).max
-    val offArr = Array.tabulate(maxPid + 1)(p => offByPid.getOrElse(p, 0L))
-    val bc = spark.sparkContext.broadcast(offArr)
-    val out = spark.createDataFrame(
-      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-        var i = bc.value(pid)
-        it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
-      },
-      sorted.schema.add("__gr_rank", LongType, nullable = false))
+    val out = sorted.withColumn("__gr_rank",
+      offsetLookup(sorted, offsets.toMap)
+        + PartitionRunningSum.running_sum(lit(1L)))
     (out, counts.map(_._2).sum)
   }
 
@@ -83,12 +100,10 @@ object GlobalRank {
     val parts = spark.sessionState.conf.numShufflePartitions
     val sorted = graft.Graft.materialize(
       df.repartitionByRange(parts, sort: _*).sortWithinPartitions(sort: _*))
-    val idxs = sums.map { case (src, _) =>
-      val i = sorted.schema.fieldIndex(src)
-      require(sorted.schema(i).dataType == LongType,
-        s"withPrefixSums expects LongType for '$src', got ${sorted.schema(i).dataType}")
-      i
-    }.toArray
+    sums.foreach { case (src, _) =>
+      require(sorted.schema(src).dataType == LongType,
+        s"withPrefixSums expects LongType for '$src', got ${sorted.schema(src).dataType}")
+    }
     val aggs = sums.zipWithIndex.map { case ((src, _), i) =>
       sum(col(src)).as(s"__ps_$i")
     }
@@ -99,32 +114,23 @@ object GlobalRank {
       .map(r => (r.getInt(0), Array.tabulate(sums.size)(i =>
         if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1))))
       .sortBy(_._1)
+    // Exclusive scan of the per-partition totals, per summed column.
     val offByPid = scala.collection.mutable.Map.empty[Int, Array[Long]]
     val acc = Array.fill(sums.size)(0L)
     totals.foreach { case (pid, t) =>
       offByPid(pid) = acc.clone()
       var i = 0; while (i < acc.length) { acc(i) += t(i); i += 1 }
     }
-    val bc = spark.sparkContext.broadcast(offByPid.toMap)
-    val outSchema = sums.foldLeft(sorted.schema) { case (sch, (_, out)) =>
-      sch.add(out, LongType, nullable = false)
+    // One codegen'd projection: each output is offset(pid) + a
+    // per-partition running sum (its own state per column); exclusive
+    // mode subtracts the current row back out (nulls counted as 0,
+    // matching the accumulator).
+    sums.zipWithIndex.foldLeft(sorted) { case (d, ((src, out), i)) =>
+      val incl = offsetLookup(sorted, offByPid.map { case (p, t) => (p, t(i)) }.toMap) +
+        PartitionRunningSum.running_sum(col(src))
+      d.withColumn(out,
+        if (inclusive) incl else incl - coalesce(col(src), lit(0L)))
     }
-    spark.createDataFrame(
-      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-        val run = bc.value.get(pid).map(_.clone())
-          .getOrElse(Array.fill(idxs.length)(0L))
-        it.map { r =>
-          val out = new Array[Any](idxs.length)
-          var j = 0
-          while (j < idxs.length) {
-            val v = if (r.isNullAt(idxs(j))) 0L else r.getLong(idxs(j))
-            if (inclusive) { run(j) += v; out(j) = run(j) }
-            else { out(j) = run(j); run(j) += v }
-            j += 1
-          }
-          Row.fromSeq(r.toSeq ++ out)
-        }
-      }, outSchema)
   }
 
   /** Per-group `row_number` for BOUNDED-cardinality group keys whose

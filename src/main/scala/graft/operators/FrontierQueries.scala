@@ -341,26 +341,46 @@ object FrontierQueries {
   /** J6: calendar coverage gaps as islands — for each user, the
     * maximal runs of consecutive master-calendar days with NO events:
     * how long each series goes dark, not just how often (C1 counts
-    * holes; this shapes them). The dense user×calendar spine is the
-    * standard gap-analysis frame (bounded by users × distinct days —
-    * the calendar side is tiny at any scale); missing days become
-    * islands via the rank-difference constant (day_rank − seq is
-    * invariant inside a consecutive run), one window + one aggregate.
-    */
+    * holes; this shapes them). Computed O(present), never densified:
+    * a gap between consecutive PRESENT days is `lead(drk) − drk − 1`
+    * calendar slots (one per-user window over present rows), plus a
+    * head run before `min(drk)` and a tail run after `max(drk)`
+    * against the calendar bounds — the earlier users×calendar dense
+    * spine materialized |users|·|days| rows (~2000× the present set
+    * for sparse users) to derive the same runs. The calendar is
+    * bounded (distinct days), so its rank/total window and the two
+    * broadcast lookups (drk attach, gap-start day recovery) are
+    * metadata-sized at any scale. */
   val j6GapIslands: Q = (s, dir) => {
     val ev = Graft.table(s, dir, "events")
       .withColumn("day", to_date(expr("timestamp_micros(ts div 1000)")))
-    val cal = ev.select(col("day")).distinct()
-      .withColumn("drk", row_number().over(Window.orderBy("day")))
-    val users = ev.select(col("user_id")).distinct()
-    val present = ev.select("user_id", "day").distinct()
-    val missing = users.crossJoin(broadcast(cal))
-      .join(present, Seq("user_id", "day"), "left_anti")
-    val seqW = Window.partitionBy("user_id").orderBy("drk")
-    missing
-      .withColumn("grp", col("drk") - row_number().over(seqW))
-      .groupBy("user_id", "grp")
-      .agg(count(lit(1)).as("len"), min(col("day")).as("gap_start"))
+    val wCal = Window.orderBy("day")
+    // drk + calendar total in ONE tiny window pass; materialized because
+    // both the present-attach and the gap-start lookup read it.
+    val cal = Graft.materialize(ev.select(col("day")).distinct()
+      .withColumn("drk", row_number().over(wCal))
+      .withColumn("dmax", count(lit(1)).over(
+        wCal.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))))
+    val present = Graft.materialize(
+      ev.select("user_id", "day").distinct().join(broadcast(cal), "day"))
+    val leadW = Window.partitionBy("user_id").orderBy("drk")
+    val internal = present
+      .withColumn("nxt", lead(col("drk"), 1).over(leadW))
+      .where(col("nxt") - col("drk") > 1)
+      .select(col("user_id"), (col("drk") + 1).as("srk"),
+        (col("nxt") - col("drk") - 1).cast("long").as("len"))
+    val bounds = present.groupBy("user_id")
+      .agg(min(col("drk")).as("mn"), max(col("drk")).as("mx"),
+        max(col("dmax")).as("dm"))
+    val headRuns = bounds.where(col("mn") > 1)
+      .select(col("user_id"), lit(1).as("srk"),
+        (col("mn") - 1).cast("long").as("len"))
+    val tailRuns = bounds.where(col("mx") < col("dm"))
+      .select(col("user_id"), (col("mx") + 1).as("srk"),
+        (col("dm") - col("mx")).cast("long").as("len"))
+    internal.unionByName(headRuns).unionByName(tailRuns)
+      .join(broadcast(cal.select(col("drk").as("srk"), col("day").as("gap_start"))),
+        "srk")
       .groupBy("user_id")
       .agg(count(lit(1)).cast("long").as("n_gaps"),
         max(col("len")).cast("long").as("max_gap_days"),

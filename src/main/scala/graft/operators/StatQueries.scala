@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Graft
 import graft.Graft.Q
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -168,9 +168,13 @@ object StatQueries {
     * telemetry stream is 2-decimal by contract, enforced by a loud
     * per-row grid guard rather than a silent quantization): c, c², c³
     * sum directly; c⁴ can exceed a signed long (c=56 021 → 9.8e18), so
-    * it is carried as exact base-1e9 digits (hi, lo) built from a
-    * division chain whose every intermediate fits a long for
-    * |c| ≤ 7e5. The sliding sums are 21 long adds per row — an order
+    * it is carried as exact base-1e9 digits (hi, lo). To keep every
+    * partial product inside a long for the FULL |c| ≤ 7e5 domain, c²
+    * (≤ 4.9e11) is first split into base-1e6 digits a·1e6 + b, so
+    * c⁴ = a²·1e12 + 2ab·1e6 + b² with each term ≤ ~1e12 before the
+    * base-1e9 carry (a direct (c² div 1000)·c² product overflows once
+    * |c| > ~3.1e5 — see [[c4Digits]]). The sliding sums are 21 long
+    * adds per row — an order
     * of magnitude cheaper than the previous DECIMAL(38,10) frames
     * (sf10 replica: 49 s → the decimal adds were the whole cost) —
     * and order-independent, so the DuckDB oracle matches exactly; the
@@ -178,6 +182,22 @@ object StatQueries {
     * engines. Emits null during warm-up and when the window is
     * numerically degenerate (m2 ≤ 1e-9 — also keeps the 1e6 display
     * grid's floor() argument bounded). */
+  /** Exact c⁴ as base-1e9 digits (hi4, lo4) from an integer column c2
+    * (= c², 0 ≤ c2 ≤ 4.9e11): split c2 = a·1e6 + b, assemble
+    * c2² = a²·1e12 + 2ab·1e6 + b² with a base-1e9 carry. Largest
+    * intermediate is a²·1000 ≤ 2.4e14 — every step fits a long for
+    * |c| ≤ 7e5 (spec'd against BigInt in StatHelperSpec). Appends
+    * columns `a4,b4,ab2,bb,t4,hi4,lo4`; callers use hi4/lo4. */
+  private[graft] def c4Digits(df: DataFrame): DataFrame = df
+    .withColumn("a4", expr("c2 div 1000000"))
+    .withColumn("b4", col("c2") % 1000000L)
+    .withColumn("ab2", col("a4") * col("b4") * 2L)
+    .withColumn("bb", col("b4") * col("b4"))
+    .withColumn("t4", (col("ab2") % 1000L) * 1000000L + col("bb") % 1000000000L)
+    .withColumn("hi4", col("a4") * col("a4") * 1000L + expr("ab2 div 1000")
+      + expr("bb div 1000000000") + expr("t4 div 1000000000"))
+    .withColumn("lo4", col("t4") % 1000000000L)
+
   val w13RollingMoments: Q = (s, dir) => {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val frame = w.rowsBetween(-20, 0)
@@ -191,11 +211,7 @@ object StatQueries {
             col("value").cast("string")))))
       .withColumn("c2", col("c") * col("c"))
       .withColumn("c3", col("c2") * col("c"))
-      .withColumn("qa", expr("(c2 div 1000) * c2"))
-      .withColumn("qb", (col("c2") % 1000L) * col("c2"))
-      .withColumn("t4", (col("qa") % 1000000L) * 1000L + col("qb"))
-      .withColumn("hi4", expr("qa div 1000000") + expr("t4 div 1000000000"))
-      .withColumn("lo4", col("t4") % 1000000000L)
+      .transform(c4Digits)
       .withColumn("rn", row_number().over(w))
       .withColumn("s1", sum(col("c")).over(frame).cast("double"))
       .withColumn("s2", sum(col("c2")).over(frame).cast("double"))
@@ -230,12 +246,15 @@ object StatQueries {
       |d AS (
       |  SELECT *, c * c AS c2, (c * c) * c AS c3 FROM p),
       |e AS (
-      |  SELECT *, (c2 // 1000) * c2 AS qa, (c2 % 1000) * c2 AS qb FROM d),
+      |  SELECT *, c2 // 1000000 AS a4, c2 % 1000000 AS b4 FROM d),
+      |e2 AS (
+      |  SELECT *, 2 * a4 * b4 AS ab2, b4 * b4 AS bb FROM e),
       |f0 AS (
-      |  SELECT *, (qa % 1000000) * 1000 + qb AS t4 FROM e),
+      |  SELECT *, (ab2 % 1000) * 1000000 + bb % 1000000000 AS t4 FROM e2),
       |g AS (
       |  SELECT event_id, user_id, ts, rn, c, c2, c3,
-      |    (qa // 1000000) + (t4 // 1000000000) AS hi4,
+      |    a4 * a4 * 1000 + (ab2 // 1000) + (bb // 1000000000)
+      |      + (t4 // 1000000000) AS hi4,
       |    t4 % 1000000000 AS lo4
       |  FROM f0),
       |sums AS (

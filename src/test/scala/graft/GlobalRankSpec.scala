@@ -49,6 +49,24 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("single distinct sort key: trailing range partitions are empty, no crash") {
+    // repartitionByRange on one distinct key ranges every row into
+    // partition 0 and leaves the rest EMPTY; the offset broadcast must
+    // cover those pids (regression: ArrayIndexOutOfBoundsException when
+    // the array was sized by the max NON-EMPTY pid).
+    val df = (1 to 100).map(i => (i.toLong, 42.0)).toDF("id", "v")
+      .repartition(7)
+    val r = GlobalRank.withRowNumber(df, "r", col("v"), col("id"))
+      .select("r").as[Long].collect().sorted
+    assert(r.toSeq == (1L to 100L))
+    val z = GlobalRank.withNtile(df, "z", 4, col("v"), col("id"))
+      .groupBy("z").count().as[(Long, Long)].collect().sortBy(_._1)
+    assert(z.toSeq == Seq((1L, 25L), (2L, 25L), (3L, 25L), (4L, 25L)))
+    val g = GlobalRank.withGroupRowNumber(df, "r", Seq("v"), col("id"))
+      .select("r").as[Long].collect().sorted
+    assert(g.toSeq == (1L to 100L))
+  }
+
   test("ranks are a permutation of 1..n") {
     val df = fixture(9, 500)
     val r = GlobalRank.withRowNumber(df, "r", col("v"), col("id"))

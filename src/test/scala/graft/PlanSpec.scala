@@ -533,11 +533,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("j6 gap islands: calendar spine broadcasts, anti join stays keyed") {
+  test("j6 gap islands: O(present) runs — no dense spine, calendar broadcasts") {
     val p = plan(graft.operators.FrontierQueries.j6GapIslands(spark, sf))
-    assert(p.contains("LeftAnti"), s"expected a left-anti join:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"the tiny calendar must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no users×calendar densification:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny calendar lookups must broadcast:\n$p")
   }
 
   test("w19 ACF: ten lags ride one series window, one stacked aggregation") {

@@ -37,6 +37,22 @@ class StatSpec extends SparkSpec {
     assert(psi >= -1e-9 && psi.isFinite, s"PSI $psi") // each contrib (p-q)ln(p/q) >= 0
   }
 
+  test("w13 c4Digits: hi4*1e9 + lo4 equals exact c^4 over the full |c| <= 7e5 domain") {
+    // includes the old decomposition's overflow region (|c| > ~309,900,
+    // where (c2 div 1000) * c2 exceeded Long.MaxValue) and both signs
+    val cs = Seq(0L, 1L, 999L, 1000L, 56021L, 309900L, 309901L, 310000L,
+      500000L, 699999L, 700000L, -56021L, -310000L, -700000L)
+    val got = StatQueries.c4Digits(
+        cs.toDF("c").withColumn("c2", col("c") * col("c")))
+      .select("c", "hi4", "lo4").as[(Long, Long, Long)].collect()
+    got.foreach { case (c, hi, lo) =>
+      val exact = BigInt(c).pow(4)
+      assert(BigInt(hi) * BigInt(1000000000L) + BigInt(lo) == exact,
+        s"c=$c: hi=$hi lo=$lo vs $exact")
+      assert(lo >= 0 && lo < 1000000000L, s"c=$c lo out of digit range: $lo")
+    }
+  }
+
   test("w13 rolling moments: warm-up nulls, then finite values on every row") {
     val rows = StatQueries.w13RollingMoments(spark, dir)
       .select("user_id", "skew", "kurtosis")

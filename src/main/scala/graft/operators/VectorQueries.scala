@@ -131,26 +131,41 @@ object VectorQueries {
       |SELECT vec_a, vec_b, cos FROM ndp
       |ORDER BY vec_a, vec_b""".stripMargin
 
-  /** M1: multimodal payload plumbing — binary column → mapPartitions
-    * stub decoder → typed metadata. */
+  /** M1: multimodal decode — binary payloads (real PNG/JPEG containers
+    * around the text bytes) → per-partition byte-level header parse
+    * (magic sniff, IHDR/SOF field extraction, CRC check) → typed
+    * metadata + a byte-histogram fingerprint of the pixel-data region.
+    * The oracle recomputes every field arithmetically (dimensions from
+    * the byte count the encoder embedded in the header; the fingerprint
+    * as Σ(b+1)³ mod 1e9+7 over the text bytes via per-char ord), so a
+    * misparsed offset or endianness shows up as a hash mismatch. */
   val m1MultimodalMeta: Q = (s, dir) =>
-    Multimodal.decodeStub(
+    Multimodal.decode(
       Multimodal.attachPayload(Graft.table(s, dir, "documents")))
       .toDF()
       .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
-        col("channels").cast("long").as("channels"), col("format"))
+        col("channels").cast("long").as("channels"), col("format"),
+        col("fingerprint"))
       .orderBy("doc_id")
 
   val m1MultimodalMetaSql: String =
-    """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
-      |SELECT doc_id, n AS n_bytes,
-      |  64 + n % 512 AS width,
-      |  64 + (n * 7) % 512 AS height,
+    """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      |fp AS (
+      |  SELECT t.doc_id,
+      |    SUM(CAST(ord(substr(t.text, CAST(j AS INT), 1)) + 1 AS BIGINT)
+      |      * (ord(substr(t.text, CAST(j AS INT), 1)) + 1)
+      |      * (ord(substr(t.text, CAST(j AS INT), 1)) + 1))
+      |      % 1000000007 AS f
+      |  FROM t, UNNEST(range(1, t.n + 1)) AS u(j) GROUP BY t.doc_id)
+      |SELECT t.doc_id, t.n AS n_bytes,
+      |  64 + t.n % 512 AS width,
+      |  64 + (t.n * 7) % 512 AS height,
       |  CAST(3 AS BIGINT) AS channels,
-      |  CASE WHEN n % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
-      |FROM t ORDER BY doc_id""".stripMargin
+      |  CASE WHEN t.n % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+      |  CAST(COALESCE(fp.f, 0) AS BIGINT) AS fingerprint
+      |FROM t LEFT JOIN fp USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** V4: IVF search (nprobe=3 of 8 centroids, exact rerank inside the
     * probed buckets). Approximate relative to exact kNN, but fully
@@ -314,28 +329,35 @@ object VectorQueries {
   /** M3: multimodal near-dup — videos whose SAMPLED-FRAME fingerprint
     * sets overlap at Jaccard ≥ 0.5, composing m2's frame sampler with
     * the d4 set-similarity machinery (shared-fingerprint candidate
-    * join, never n²). The per-frame fingerprint is the stub feature as
-    * an exact integer (a real pipeline swaps in a 64-bit perceptual
-    * hash — NB the stub's 1000-value space is artificially dense; a
-    * perceptual hash space is sparse, which is what keeps the
+    * join, never n²). Each frame's fingerprint is computed from the
+    * frame's ACTUAL bytes (chunk byte sum mod 100003 — a real pipeline
+    * swaps in a 64-bit perceptual hash; NB a byte-sum space is denser
+    * than a perceptual-hash space, whose sparsity is what keeps the
     * shared-fingerprint join skew-free at scale, and `maxDf` guards the
     * dense case like d4). */
   val m3MediaNeardup: Q = (s, dir) => {
     val frames = Multimodal.sampleFrames(
       Multimodal.attachPayload(Graft.table(s, dir, "documents")), 1)
     val fps = frames.select(col("doc_id"),
-      (col("n_bytes") * (col("frame_idx") + 3) % 1000)
-        .cast("string").as("shingle")).distinct()
+      col("fp").cast("string").as("shingle")).distinct()
     graft.dedup.Dedup.ngramJaccardFromShingles(fps, 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
   val m3MediaNeardupSql: String =
-    """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
-      |f AS (SELECT doc_id, n, n % 7 + 1 AS n_frames FROM t),
-      |fp AS (SELECT DISTINCT doc_id, (n * (i + 3)) % 1000 AS fp
-      |       FROM f, UNNEST(range(0, n_frames, 1)) AS u(i)),
+    """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      |f AS (SELECT doc_id, text, n, n % 7 + 1 AS n_frames,
+      |        (n + n % 7) // (n % 7 + 1) AS csz FROM t),
+      |fr AS (SELECT doc_id, text, n, csz, i AS frame_idx
+      |       FROM f, UNNEST(range(0, n_frames, 1)) AS u(i)
+      |       WHERE i * csz < n),
+      |ch AS (SELECT doc_id, frame_idx,
+      |         SUM(ord(substr(text, CAST(j AS INT), 1))) AS s
+      |       FROM fr, UNNEST(range(frame_idx * csz + 1,
+      |                             least((frame_idx + 1) * csz, n) + 1)) AS v(j)
+      |       GROUP BY 1, 2),
+      |fp AS (SELECT DISTINCT doc_id, s % 100003 AS fp FROM ch),
       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM fp GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
       |          FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -348,9 +370,10 @@ object VectorQueries {
       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** M2: multimodal frame-sample plumbing — video-shaped payloads,
-    * every-2nd-frame sampling, per-frame stub features (see
-    * Multimodal.sampleFrames for what's stub vs real). */
+  /** M2: multimodal frame sampling — container parse, every-2nd-frame
+    * chunking of the pixel-data region, per-frame features from the
+    * frame's ACTUAL bytes (see Multimodal.sampleFrames). The oracle
+    * replays the chunk arithmetic and the byte sums per-char in SQL. */
   val m2FrameSample: Q = (s, dir) =>
     Multimodal.sampleFrames(
       Multimodal.attachPayload(Graft.table(s, dir, "documents")), 2)
@@ -360,12 +383,20 @@ object VectorQueries {
       .orderBy("doc_id", "frame_idx")
 
   val m2FrameSampleSql: String =
-    """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
-      |f AS (SELECT doc_id, n, n % 7 + 1 AS n_frames FROM t)
-      |SELECT doc_id, n_frames, i AS frame_idx,
-      |  ROUND(CAST((n * (i + 3)) % 1000 AS DOUBLE) / 1000.0, 6) AS feature
-      |FROM f, UNNEST(range(0, n_frames, 2)) AS u(i)
-      |ORDER BY doc_id, frame_idx""".stripMargin
+    """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      |f AS (SELECT doc_id, text, n, n % 7 + 1 AS n_frames,
+      |        (n + n % 7) // (n % 7 + 1) AS csz FROM t),
+      |fr AS (SELECT doc_id, text, n, n_frames, csz, i AS frame_idx
+      |       FROM f, UNNEST(range(0, n_frames, 2)) AS u(i)
+      |       WHERE i * csz < n),
+      |ch AS (SELECT doc_id, n_frames, frame_idx,
+      |         SUM(ord(substr(text, CAST(j AS INT), 1))) AS s
+      |       FROM fr, UNNEST(range(frame_idx * csz + 1,
+      |                             least((frame_idx + 1) * csz, n) + 1)) AS v(j)
+      |       GROUP BY 1, 2, 3)
+      |SELECT doc_id, n_frames, frame_idx,
+      |  ROUND(CAST(s % 1000 AS DOUBLE) / 1000.0, 6) AS feature
+      |FROM ch ORDER BY doc_id, frame_idx""".stripMargin
 
   /** V6: int8 scalar quantization — per-dimension min/max over the corpus,
     * quantize to [−128, 127], report each vector's worst reconstruction

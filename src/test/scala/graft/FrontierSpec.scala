@@ -317,6 +317,44 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("TopKPerKey partial pass flushes when the memory manager denies the grant") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    val ev = graft.Graft.table(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    // Cap the consumer's total unified-memory grant at 16 KiB: the heap
+    // map's estimated bytes exceed that within a few hundred unique
+    // keys, so every segment ends through the denial→flush path the
+    // real pool-exhaustion case takes (acquireMemory is exercised for
+    // real; only the grant total is faked).
+    spark.conf.set("spark.graft.topk.testMaxGrantBytes", (16 * 1024).toString)
+    try {
+      val native = graft.plans.TopKPerKey(ev, Seq("event_id"), Seq(("value", true)), 1)
+      native.collect()
+      def find(p: org.apache.spark.sql.execution.SparkPlan): Seq[graft.plans.TopKPerKeyExec] = {
+        val here = p match {
+          case e: graft.plans.TopKPerKeyExec if e.partial => Seq(e)
+          case _ => Seq.empty
+        }
+        val below = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here ++ below.flatMap(find)
+      }
+      val partials = find(native.queryExecution.executedPlan)
+      assert(partials.nonEmpty, "partial exec missing from the plan")
+      assert(partials.head.metrics("memFlushes").value > 0,
+        "a 16 KiB grant cap over thousands of unique keys must deny and flush")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_id").orderBy(col("value").desc)
+      val idiom = ev.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 1).drop("rk")
+      assert(native.exceptAll(idiom).isEmpty && idiom.exceptAll(native).isEmpty,
+        "memory-flushed partials must re-reduce to exactly the window idiom's rows")
+    } finally spark.conf.unset("spark.graft.topk.testMaxGrantBytes")
+  }
+
   test("g6 SSSP relaxes to true weighted distances within the round budget") {
     val got = graft.operators.OpsQueries.g6Sssp(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -154,13 +154,13 @@ class VectorSpec extends SparkSpec {
     assert(viaDispatch == exact)
   }
 
-  test("multimodal stub decoder: deterministic metadata from payload bytes") {
+  test("multimodal decoder: parses real container headers, deterministic") {
     val docs = Seq((1L, "abcd"), (2L, "héllo")).toDF("doc_id", "text")
-    val got = Multimodal.decodeStub(Multimodal.attachPayload(docs))
+    val got = Multimodal.decode(Multimodal.attachPayload(docs))
       .collect().map(m => m.doc_id -> m).toMap
     assert(got(1L).n_bytes == 4 && got(1L).width == 64 + 4 && got(1L).format == "png")
     assert(got(2L).n_bytes == 6 && got(2L).format == "png") // utf-8 é = 2 bytes
-    val again = Multimodal.decodeStub(Multimodal.attachPayload(docs))
+    val again = Multimodal.decode(Multimodal.attachPayload(docs))
       .collect().map(m => m.doc_id -> m).toMap
     assert(got == again)
   }

@@ -125,7 +125,7 @@ object ScaleData {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    replicate(spark, src, out, factor)
+    replicate(spark, src, out, factor, jitter)
     spark.stop()
   }
 }

@@ -13,12 +13,43 @@ files (graft.ScaleData's layout) is globbed. The optional third arg
 skips named queries (for replica-scale runs where a recursive-CTE
 oracle would take DuckDB hours — skips are reported, not silently
 dropped). Set ORACLE_JSON=<path> to also dump a machine-readable
-per-query verdict artifact.
+per-query verdict artifact. Set ORACLE_TIMEOUT_S=<sec> to bound each
+oracle SQL with a watchdog (duckdb interrupt): a query whose oracle
+exceeds the budget is reported as TIMEOUT (named, like a skip) rather
+than stalling the whole replica-scale gate.
 """
-import json, math, sys, glob, os
+import json, math, sys, glob, os, threading
 
 import duckdb
 import pyarrow.types as pt
+
+TIMEOUT_S = float(os.environ.get("ORACLE_TIMEOUT_S", "0") or 0)
+
+
+class OracleTimeout(Exception):
+    pass
+
+
+def run_with_timeout(con, sql):
+    """Execute oracle SQL; interrupt + raise OracleTimeout past the budget."""
+    if not TIMEOUT_S:
+        return fetch(con.sql(sql))
+    timed_out = [False]
+
+    def kill():
+        timed_out[0] = True
+        con.interrupt()
+
+    t = threading.Timer(TIMEOUT_S, kill)
+    t.start()
+    try:
+        return fetch(con.sql(sql))
+    except Exception:
+        if timed_out[0]:
+            raise OracleTimeout()
+        raise
+    finally:
+        t.cancel()
 
 
 def type_cat(t):
@@ -89,7 +120,7 @@ def main():
 
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     result_dirs = sorted(d for d in glob.glob(f"{OUT}/*") if os.path.isdir(d))
-    failures, passed, rows_only = [], [], []
+    failures, passed, rows_only, timeouts = [], [], [], []
     skipped = sorted(SKIP & {os.path.basename(d) for d in result_dirs})
 
     for d in result_dirs:
@@ -105,7 +136,11 @@ def main():
             rows_only.append((name, len(grows)))
             continue
         try:
-            ecols, erows, etypes = fetch(con.sql(oracle[name]))
+            ecols, erows, etypes = run_with_timeout(con, oracle[name])
+        except OracleTimeout:
+            timeouts.append(name)
+            print(f"TIME  {name}: oracle exceeded {TIMEOUT_S:.0f}s budget", flush=True)
+            continue
         except Exception as e:
             failures.append((name, f"oracle SQL error: {e}"))
             continue
@@ -138,23 +173,30 @@ def main():
         print(f"FAIL  {n}: {msg}")
     for n in skipped:
         print(f"SKIP  {n}: excluded by skip list")
-    missing = set(oracle) - {os.path.basename(d) for d in result_dirs} - SKIP
+    # Subset mode (graft.Verify's `only` arg dumps the FULL oracle map):
+    # don't flag oracle entries outside the produced result set as missing.
+    if os.environ.get("ORACLE_SUBSET_ONLY"):
+        missing = set()
+    else:
+        missing = set(oracle) - {os.path.basename(d) for d in result_dirs} - SKIP
     for n in sorted(missing):
         print(f"MISS  {n}: oracle declared but no result dir")
     print(f"\n{len(passed)} pass, {len(rows_only)} rows-only, "
-          f"{len(failures)} fail, {len(missing)} missing, {len(skipped)} skipped")
+          f"{len(failures)} fail, {len(missing)} missing, "
+          f"{len(skipped)} skipped, {len(timeouts)} timeout")
     if JSON_OUT:
         verdicts = {}
         verdicts.update({n: {"status": "pass", "rows": c} for n, c in passed})
         verdicts.update({n: {"status": "rows_only", "rows": c} for n, c in rows_only})
         verdicts.update({n: {"status": "fail", "detail": str(m)[:500]} for n, m in failures})
         verdicts.update({n: {"status": "skip"} for n in skipped})
+        verdicts.update({n: {"status": "timeout", "budget_s": TIMEOUT_S} for n in timeouts})
         verdicts.update({n: {"status": "missing"} for n in sorted(missing)})
         with open(JSON_OUT, "w") as f:
             json.dump({"sf_dir": SF, "out_dir": OUT,
                        "counts": {"pass": len(passed), "rows_only": len(rows_only),
                                   "fail": len(failures), "missing": len(missing),
-                                  "skipped": len(skipped)},
+                                  "skipped": len(skipped), "timeout": len(timeouts)},
                        "queries": verdicts}, f, indent=1, sort_keys=True)
         print(f"wrote {JSON_OUT}")
     sys.exit(1 if failures or missing else 0)

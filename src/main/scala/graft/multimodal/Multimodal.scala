@@ -112,16 +112,30 @@ object Multimodal {
     } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
         (bytes(1) & 0xff) == 0xd8) {
       // Walk marker segments until a start-of-frame (SOF0–SOF3).
+      // Real-world JPEGs pad with 0xFF fill bytes before a marker, and
+      // TEM (0x01) / RST0–7 (0xD0–0xD7) are standalone markers with NO
+      // length field — treating them as length-carrying would read a
+      // garbage offset and scan past the frame header.
       var o = 2
-      while (o + 4 <= bytes.length && (bytes(o) & 0xff) == 0xff) {
-        val marker = bytes(o + 1) & 0xff
-        val len = be16At(bytes, o + 2)
-        if (marker >= 0xc0 && marker <= 0xc3) {
-          if (o + 2 + len > bytes.length || len < 9) return None
-          return Some(("jpeg", be16At(bytes, o + 7), be16At(bytes, o + 5),
-            bytes(o + 9) & 0xff, o + 2 + len))
+      while (o + 2 <= bytes.length && (bytes(o) & 0xff) == 0xff) {
+        var m = o + 1
+        while (m < bytes.length && (bytes(m) & 0xff) == 0xff) m += 1 // fill bytes
+        if (m >= bytes.length) return None
+        val marker = bytes(m) & 0xff
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+          o = m + 1 // standalone marker: no segment length
+        } else if (marker == 0xd9) {
+          return None // EOI before any SOF
+        } else {
+          if (m + 3 > bytes.length) return None
+          val len = be16At(bytes, m + 1)
+          if (marker >= 0xc0 && marker <= 0xc3) {
+            if (m + 1 + len > bytes.length || len < 9) return None
+            return Some(("jpeg", be16At(bytes, m + 6), be16At(bytes, m + 4),
+              bytes(m + 8) & 0xff, m + 1 + len))
+          }
+          o = m + 1 + len
         }
-        o += 2 + len
       }
       None
     } else None
@@ -152,7 +166,9 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val px = text.getBytes("UTF-8")
+          // Null text must not kill the scan (same contract as decode's
+          // corrupt-blob path): encode it as an empty pixel region.
+          val px = Option(text).getOrElse("").getBytes("UTF-8")
           val n = px.length
           val w = 64 + n % 512
           val h = 64 + (n * 7) % 512

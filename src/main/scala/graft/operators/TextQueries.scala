@@ -341,11 +341,16 @@ object TextQueries {
     * scale. Pure set arithmetic on normalized (min,max) pairs; ratios
     * are single divisions of exact counts. */
   val t40SnmEval: Q = (s, dir) => {
+    // Materialize the derived corpus ONCE: both the truth side (shingle
+    // Jaccard) and the candidate side (SNM prefix blocking) consume it,
+    // and each then materializes its own pair set — without this the
+    // union+regex normalization ran twice end-to-end.
+    val corpus = Graft.materialize(nearCorpus(s, dir))
     val truth = Graft.materialize(
-      Dedup.ngramJaccard(nearCorpus(s, dir), 3, 0.5, maxDf = 50)
+      Dedup.ngramJaccard(corpus, 3, 0.5, maxDf = 50)
         .select(col("doc_a"), col("doc_b")))
     val cand = Graft.materialize(
-      graft.operators.LedgerQueries.snmPairs(nearCorpus(s, dir))
+      graft.operators.LedgerQueries.snmPairs(corpus)
         .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
           greatest(col("doc_a"), col("doc_b")).as("doc_b"))
         .distinct())

@@ -150,6 +150,14 @@ object VectorQueries {
         col("fingerprint"))
       .orderBy("doc_id")
 
+  // ASCII-corpus invariant (m1/m2/m3 oracles): DuckDB's
+  // ord(substr(text, j, 1)) walks CODE POINTS while the Scala side walks
+  // UTF-8 BYTES — they coincide only when every document is pure ASCII
+  // (then octet_length == char length and each ord == the byte value).
+  // The shipped corpora and the jittered replica's " rN" suffixes are
+  // ASCII; MultimodalSpec's "corpus is ASCII" test enforces the
+  // invariant so a future non-ASCII corpus fails loudly there instead of
+  // as a silent byte/codepoint oracle divergence here.
   val m1MultimodalMetaSql: String =
     """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
       |fp AS (

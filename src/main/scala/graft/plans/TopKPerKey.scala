@@ -175,13 +175,15 @@ case class TopKPerKeyExec(
       def nextBatch(): Iterator[UnsafeRow] = {
         while (it.hasNext) {
           consume(it.next())
+          // A denial (or budget hit) on the FINAL input row coincides
+          // with the end-of-input drain — don't count it as a pressure
+          // event, or the metric overstates flushes by one.
           if (memPressure) {
-            flushMetric += 1
-            memFlushMetric += 1
+            if (it.hasNext) { flushMetric += 1; memFlushMetric += 1 }
             return drain()
           }
           if (retained >= rowBudget) {
-            flushMetric += 1
+            if (it.hasNext) flushMetric += 1
             return drain()
           }
         }

@@ -109,4 +109,52 @@ class MultimodalSpec extends SparkSpec {
       Seq((2L, payloadFor(""))).toDF("doc_id", "payload"), 1)
     assert(empty.count() == 0)
   }
+
+  test("jpeg fill bytes and standalone markers are skipped, not misparsed") {
+    // Real-world JPEGs pad with 0xFF fill bytes and may carry TEM/RSTn
+    // standalone markers (no length field) before the frame header. A
+    // parser that assumes every marker has a length would read garbage
+    // offsets here; ours must still land on the SOF.
+    val px = "hello".getBytes("UTF-8")
+    val bb = scala.collection.mutable.ArrayBuffer[Byte]()
+    def b(i: Int): Unit = bb += i.toByte
+    b(0xff); b(0xd8)                          // SOI
+    b(0xff); b(0xff); b(0x01)                 // fill byte, then TEM (standalone)
+    b(0xff); b(0xd0)                          // RST0 (standalone)
+    b(0xff); b(0xe0); b(0); b(4); b(0); b(0)  // APP0, len=4 (2 payload bytes)
+    b(0xff); b(0xc0); b(0); b(11)             // SOF0, len=11
+    b(8)                                      // precision
+    b(0); b(100)                              // height = 100
+    b(0); b(200)                              // width = 200
+    b(3)                                      // ncomponents
+    b(1); b(2); b(3)                          // filler to fill len=11
+    px.foreach(bb += _)
+    val got = Multimodal.decode(
+      Seq((9L, bb.toArray)).toDF("doc_id", "payload")).head()
+    assert(got.format == "jpeg" && got.width == 200 && got.height == 100)
+    assert(got.channels == 3 && got.n_bytes == 5)
+    assert(got.fingerprint == fpOf(px))
+  }
+
+  test("corpus is ASCII: the m1/m2/m3 byte-level oracles stay valid") {
+    // The DuckDB oracles for m1/m2/m3 walk code points via
+    // ord(substr(text, j, 1)); the Scala side walks UTF-8 bytes. Equal
+    // only on pure-ASCII text — enforce that on the shipped corpus so a
+    // future non-ASCII document fails HERE, not as a silent oracle
+    // divergence (VectorQueries.scala, m1MultimodalMetaSql note).
+    val nonAscii = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter(not(col("text").rlike("^[\\x00-\\x7F]*$")))
+      .count()
+    assert(nonAscii == 0, s"$nonAscii non-ASCII documents break the byte-level oracles")
+  }
+
+  test("attachPayload survives a null text row (empty pixel region)") {
+    val docs = Seq((1L, "ab"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val metas = Multimodal.decode(Multimodal.attachPayload(docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(metas(2L).n_bytes == 0 && metas(2L).format == "png")
+    assert(metas(1L).n_bytes == 2)
+  }
 }

@@ -653,4 +653,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
       s"expected the GlobalRank sweep output feeding the zone agg:\n$p")
   }
+
+  test("running_sum: a filter above the projection never pushes below it") {
+    // PartitionRunningSum's correctness rests on two optimizer contracts
+    // (PartitionRunningSum.scala:23-28): PushPredicateThroughNonJoin must
+    // not move a filter below a nondeterministic project list, and
+    // CollapseProject must not inline the expression into consumers. Pin
+    // both: the optimized plan keeps Filter ABOVE the running_sum
+    // Project, and the filter condition holds no inlined copy.
+    import graft.functions.PartitionRunningSum
+    import graft.functions.PartitionRunningSum.running_sum
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val df = spark.range(100).toDF("v")
+      .repartition(4)
+      .sortWithinPartitions("v")
+      .select(col("v"), running_sum(col("v")).as("rs"))
+      .filter(col("rs") <= lit(10L))
+    val optimized = df.queryExecution.optimizedPlan
+    val fil = optimized.collectFirst { case f: LFilter => f }
+      .getOrElse(fail(s"no Filter survived optimization:\n$optimized"))
+    assert(!fil.condition.exists(_.isInstanceOf[PartitionRunningSum]),
+      s"CollapseProject inlined the running sum into the filter:\n$optimized")
+    assert(fil.child.exists(n => n.expressions.exists(
+        _.exists(_.isInstanceOf[PartitionRunningSum]))),
+      s"the running_sum projection must sit BELOW the filter:\n$optimized")
+    // And the whole thing still executes: sums accumulate per partition.
+    assert(df.count() > 0)
+  }
 }

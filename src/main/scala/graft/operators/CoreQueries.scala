@@ -96,15 +96,22 @@ object CoreQueries {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("decimal(28,8)")).cast("double").as("revenue"),
+      // Exact-decimal PRODUCT, not a decimal cast of the double product:
+      // both inputs are exact 2-decimal values, so the whole sum is
+      // exact and engine-independent — casting the double product to
+      // decimal instead leaves each row at the mercy of the engines'
+      // double→decimal boundary rounding, which diverged at sf1.
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+        .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
 
   val q5NationSql: String =
     """SELECT r_name, n_name,
-      | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |          * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
       | COUNT(*) AS n_items
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey

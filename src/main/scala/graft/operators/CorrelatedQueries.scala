@@ -234,14 +234,14 @@ object CorrelatedQueries {
     * broadcast into the HAVING filter. */
   val q11ValueConcentration: Q = (s, dir) => sql(s, dir,
     """SELECT p.p_brand,
-      |  CAST(SUM(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+      |  CAST(SUM((CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(14,2)))) AS DOUBLE)
       |    AS total_value
       |FROM @lineitem l, @part p, @supplier s, @nation n
       |WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
       |  AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_5'
       |GROUP BY p.p_brand
-      |HAVING CAST(SUM(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(28,8))) AS DOUBLE) >
-      |  (SELECT CAST(SUM(CAST(l2.l_extendedprice * l2.l_quantity AS DECIMAL(28,8))) AS DOUBLE) * 0.02
+      |HAVING CAST(SUM((CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(14,2)))) AS DOUBLE) >
+      |  (SELECT CAST(SUM((CAST(l2.l_extendedprice AS DECIMAL(18,2)) * CAST(l2.l_quantity AS DECIMAL(14,2)))) AS DOUBLE) * 0.02
       |   FROM @lineitem l2, @supplier s2, @nation n2
       |   WHERE l2.l_suppkey = s2.s_suppkey AND s2.s_nationkey = n2.n_nationkey
       |     AND n2.n_name = 'NATION_5')
@@ -249,14 +249,14 @@ object CorrelatedQueries {
 
   val q11ValueConcentrationSql: String =
     """SELECT p.p_brand,
-      |  CAST(SUM(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+      |  CAST(SUM((CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(14,2)))) AS DOUBLE)
       |    AS total_value
       |FROM lineitem l, part p, supplier s, nation n
       |WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
       |  AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_5'
       |GROUP BY p.p_brand
-      |HAVING CAST(SUM(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(28,8))) AS DOUBLE) >
-      |  (SELECT CAST(SUM(CAST(l2.l_extendedprice * l2.l_quantity AS DECIMAL(28,8))) AS DOUBLE) * 0.02
+      |HAVING CAST(SUM((CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(14,2)))) AS DOUBLE) >
+      |  (SELECT CAST(SUM((CAST(l2.l_extendedprice AS DECIMAL(18,2)) * CAST(l2.l_quantity AS DECIMAL(14,2)))) AS DOUBLE) * 0.02
       |   FROM lineitem l2, supplier s2, nation n2
       |   WHERE l2.l_suppkey = s2.s_suppkey AND s2.s_nationkey = n2.n_nationkey
       |     AND n2.n_name = 'NATION_5')

@@ -575,13 +575,16 @@ object ExtendedQueries {
   val q14PromoShare: Q = (s, dir) => {
     val li = Graft.table(s, dir, "lineitem")
     val part = Graft.table(s, dir, "part")
-    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-      .cast("decimal(28,8)")
+    // Exact-decimal product (both inputs are exact 2-decimal values):
+    // the sum is exact and engine-independent, unlike a decimal cast of
+    // the double product whose boundary rounding diverged at sf1.
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
     li.join(part, col("l_partkey") === col("p_partkey"))
       .withColumn("month", to_date(date_trunc("month", col("l_shipdate"))))
       .groupBy("month")
       .agg(sum(when(col("p_type") === "PROMO", rev)
-          .otherwise(lit(0).cast("decimal(28,8)"))).as("promo"),
+          .otherwise(lit(0).cast("decimal(24,4)"))).as("promo"),
         sum(rev).as("total"))
       .select(col("month"),
         (floor(col("promo").cast("double") / col("total").cast("double")
@@ -593,11 +596,14 @@ object ExtendedQueries {
   val q14PromoShareSql: String =
     """SELECT date_trunc('month', l_shipdate) AS month,
       |  FLOOR(CAST(SUM(CASE WHEN p_type = 'PROMO'
-      |                      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))
-      |                      ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
-      |          / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE)
+      |                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |                           * (1.00 - CAST(l_discount AS DECIMAL(4,2)))
+      |                      ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
+      |          / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                     * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
       |          * 100.0 * 1e6 + 0.5) / 1e6 AS promo_share,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 

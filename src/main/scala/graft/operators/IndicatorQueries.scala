@@ -255,10 +255,15 @@ object IndicatorQueries {
     * factors are the identical doubles). */
   val i14Holt: Q = (s, dir) =>
     Indicators.holt(events(s, dir), 3.0 / 10, 1.0 / 10)
+      // floor-grid, not round(): Spark rounds the exact binary double
+      // while DuckDB rounds a float multiply — states within one ULP of
+      // the 1e-6 half boundary split between engines (40/1M rows at the
+      // sf1 gate). floor(x*1e6+0.5)/1e6 is the identical IEEE chain on
+      // both sides.
       .select(col("event_id"), col("user_id"),
-        round(col("level"), 6).as("level"),
-        round(col("trend"), 6).as("trend"),
-        round(col("level") + col("trend"), 6).as("forecast"))
+        q6i(col("level")).as("level"),
+        q6i(col("trend")).as("trend"),
+        q6i(col("level") + col("trend")).as("forecast"))
       .orderBy("user_id", "event_id")
 
   val i14HoltSql: String = {
@@ -275,8 +280,10 @@ object IndicatorQueries {
         |         $lNew AS l,
         |         $bb * (($lNew) - p.l) + (1 - $bb) * p.b AS b
         |  FROM h p JOIN ord o ON o.user_id = p.user_id AND o.rn = p.rn + 1)
-        |SELECT event_id, user_id, ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
-        |  ROUND(l + b, 6) AS forecast
+        |SELECT event_id, user_id,
+        |  FLOOR(l * 1e6 + 0.5) / 1e6 AS level,
+        |  FLOOR(b * 1e6 + 0.5) / 1e6 AS trend,
+        |  FLOOR((l + b) * 1e6 + 0.5) / 1e6 AS forecast
         |FROM h ORDER BY user_id, event_id""".stripMargin
   }
 

@@ -369,7 +369,11 @@ object StatQueries {
     * the oracle replays it as a recursive CTE stepping rn → rn+1. Every
     * step is the same IEEE chain on both engines (the max-with-zero is
     * spelled `if (x > 0) x else 0` so a −0.0 can never leak out), so
-    * states match bit-for-bit before the final 1e-6 floor-grid. */
+    * states match bit-for-bit before the final 1e-6 floor-grid — with
+    * one defined exception: a ZERO previous close makes the return
+    * undefined, and the step resets both sums to 0 (the kernel guards
+    * the division; the SQL side gets the same reset for free from
+    * NULL division). */
   val w14Cusum: Q = (s, dir) => {
     import s.implicits._
     val k = 5e-4; val h = 0.05
@@ -382,9 +386,21 @@ object StatQueries {
         val pts = it.toArray.sortBy(_._2) // ISO day strings sort chronologically
         var sp = 0.0; var sn = 0.0
         (1 until pts.length).iterator.map { i =>
-          val ret = pts(i)._3 / pts(i - 1)._3 - 1.0
-          val xp = sp + ret - k; sp = if (xp > 0) xp else 0.0
-          val xn = sn - ret - k; sn = if (xn > 0) xn else 0.0
+          if (pts(i - 1)._3 == 0) {
+            // A zero close makes the next return undefined. Raw IEEE
+            // division would latch sp at +Infinity (and the alarm at
+            // true) for the REST of the series — one bad tick must not
+            // permanently poison a monitor. Reset both sums instead,
+            // which is also the oracle's NULL-division semantic (DuckDB
+            // x/0 = NULL; NULL > 0 is false, so both CASE arms take the
+            // ELSE 0 branch). Caught by the sf1 replica gate: sf0.1
+            // user 367 closes at 0.00 on 2024-01-16.
+            sp = 0.0; sn = 0.0
+          } else {
+            val ret = pts(i)._3 / pts(i - 1)._3 - 1.0
+            val xp = sp + ret - k; sp = if (xp > 0) xp else 0.0
+            val xn = sn - ret - k; sn = if (xn > 0) xn else 0.0
+          }
           (uid, pts(i)._2, sp, sn, sp > h || sn > h)
         }
       }

@@ -64,7 +64,12 @@ object TsQueries {
   /** W2: simple returns, 0.0 on zero denominator. */
   val w2SimpleReturns: Q = (s, dir) =>
     events(s, dir)
-      .withColumn("ret", round(Technical.simpleReturn(col("value"), keys, order), 6))
+      // floor-grid, not round(): engines disagree within one ULP of the
+      // 1e-6 half boundary (one sf0.1 row, ×10 replicas at the sf1
+      // gate); floor(x*1e6+0.5)/1e6 is the same IEEE chain on both.
+      .withColumn("ret",
+        floor(Technical.simpleReturn(col("value"), keys, order) * lit(1e6)
+          + lit(0.5)) / lit(1e6))
       .filter(col("ret").isNotNull)
       .select("event_id", "user_id", "ret")
       .orderBy("user_id", "event_id")
@@ -72,7 +77,8 @@ object TsQueries {
   val w2SimpleReturnsSql: String = orderedCte +
     """
       |SELECT event_id, user_id,
-      |  ROUND(CASE WHEN prev = 0 THEN 0.0 ELSE (value - prev) / prev END, 6) AS ret
+      |  FLOOR(CASE WHEN prev = 0 THEN 0.0 ELSE (value - prev) / prev END
+      |        * 1e6 + 0.5) / 1e6 AS ret
       |FROM r WHERE prev IS NOT NULL
       |ORDER BY user_id, event_id""".stripMargin
 
@@ -162,26 +168,62 @@ object TsQueries {
       |GROUP BY 1 ORDER BY risk_class""".stripMargin
 
   /** F10: linear-regression trend line per series (regr_slope/intercept —
-    * the reference's client-side JS trend, similarity.js:220-232). */
-  val f10RegrTrend: Q = (s, dir) =>
+    * the reference's client-side JS trend, similarity.js:220-232).
+    * Computed from EXACT sums, not the engines' regr_* aggregates: x is
+    * an integer rank and y an exact 2-decimal value, so Σx, Σx², Σy, Σxy
+    * are all exact (long / decimal) and order-independent; the closed
+    * forms then run as one identical IEEE chain per engine. regr_slope
+    * itself accumulates running co-moments in doubles, whose ULP drift
+    * differs between engines AND with partial-aggregation order — the
+    * sf1 gate caught 10/15k rows split across the rounding boundary. */
+  val f10RegrTrend: Q = (s, dir) => {
+    val nD = col("n").cast("double")
+    val denom = nD * col("sxx") - col("sx") * col("sx")
+    val slope = (nD * col("sxy") - col("sx") * col("sy")) / denom
+    val grid: Column => Column = c => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     Similarity.withPos(events(s, dir), keys, order)
+      .select(col("user_id"), col("pos").cast("long").as("pos"),
+        col("value").cast("decimal(18,2)").as("y"))
       .groupBy("user_id")
       .agg(
-        round(regr_slope(col("value"), col("pos").cast("double")), 6).as("slope"),
-        round(regr_intercept(col("value"), col("pos").cast("double")), 6).as("intercept"),
+        sum(col("pos")).cast("double").as("sx"),
+        sum(col("pos") * col("pos")).cast("double").as("sxx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("pos").cast("decimal(12,0)") * col("y")).cast("double").as("sxy"),
         count(lit(1)).as("n"))
+      .select(col("user_id"),
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(grid(slope)).as("slope"),
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(grid((col("sy") - slope * col("sx")) / nD)).as("intercept"),
+        col("n"))
       .orderBy("user_id")
+  }
 
   val f10RegrTrendSql: String =
     """WITH p AS (
-      |  SELECT user_id, value,
-      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS pos
-      |  FROM events)
+      |  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS y,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS pos
+      |  FROM events),
+      |a AS (
+      |  SELECT user_id, COUNT(*) AS n,
+      |    CAST(SUM(pos) AS DOUBLE) AS sx,
+      |    CAST(SUM(pos * pos) AS DOUBLE) AS sxx,
+      |    CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(pos * y) AS DOUBLE) AS sxy
+      |  FROM p GROUP BY user_id)
       |SELECT user_id,
-      |  ROUND(regr_slope(value, pos), 6) AS slope,
-      |  ROUND(regr_intercept(value, pos), 6) AS intercept,
-      |  COUNT(*) AS n
-      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+      |  CASE WHEN CAST(n AS DOUBLE)*sxx - sx*sx = 0 THEN NULL
+      |       ELSE FLOOR((CAST(n AS DOUBLE)*sxy - sx*sy)
+      |                  / (CAST(n AS DOUBLE)*sxx - sx*sx) * 1e6 + 0.5) / 1e6
+      |  END AS slope,
+      |  CASE WHEN CAST(n AS DOUBLE)*sxx - sx*sx = 0 THEN NULL
+      |       ELSE FLOOR((sy - (CAST(n AS DOUBLE)*sxy - sx*sy)
+      |                        / (CAST(n AS DOUBLE)*sxx - sx*sx) * sx)
+      |                  / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6
+      |  END AS intercept,
+      |  n
+      |FROM a ORDER BY user_id""".stripMargin
 
   /** C9: chart downsampling — every k-th element so ≤200 points survive
     * per series (app.py:213-238). */

@@ -78,4 +78,37 @@ class StatSpec extends SparkSpec {
       assert(n >= 2)
     }
   }
+
+  test("w14 CUSUM: a zero close resets the sums instead of latching Infinity") {
+    // sf0.1 user 367 closes at 0.00 — raw IEEE division would drive
+    // sp to +Infinity and hold the alarm true for the rest of the
+    // series (caught by the sf1 replica oracle gate). Contract: the
+    // day AFTER a zero close has an undefined return and resets both
+    // sums to 0 (the oracle's NULL-division semantic).
+    val tmp = java.nio.file.Files.createTempDirectory("w14zero")
+    try {
+      // one tick per day: closes 10, 0, 5, 5
+      Seq((1L, 1L, 10.0), (2L, 2L, 0.0), (3L, 3L, 5.0), (4L, 4L, 5.0))
+        .toDF("event_id", "dayIdx", "value")
+        .withColumn("user_id", lit(1L))
+        .withColumn("ts", // epoch-ns within the loader's accepted band
+          (lit(1704067200L) + col("dayIdx") * 86400L) * 1000000000L)
+        .drop("dayIdx")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val got = StatQueries.w14Cusum(spark, tmp.toString)
+        .select("day", "cusum_pos", "cusum_neg", "alarm")
+        .as[(java.sql.Date, Double, Double, Boolean)].collect()
+        .sortBy(_._1.toString)
+      assert(got.length == 3)
+      // day2: ret = 0/10-1 = -1 -> sn = 0.9995, alarm
+      assert(got(0)._2 == 0.0 && got(0)._3 == 0.9995 && got(0)._4)
+      // day3: prev close 0 -> reset, no alarm, and NO Infinity anywhere
+      assert(got(1)._2 == 0.0 && got(1)._3 == 0.0 && !got(1)._4)
+      // day4: ret = 0 -> both sums floor at 0
+      assert(got(2)._2 == 0.0 && got(2)._3 == 0.0 && !got(2)._4)
+      assert(got.forall(r => !r._2.isInfinite && !r._3.isInfinite))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
 }

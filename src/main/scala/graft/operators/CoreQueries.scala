@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   * Spark's parallel partial aggregates and DuckDB's single-node sum), and
   * `round(x, 6)` on any float whose computation is per-row or
   * variance-like (cross-engine libm differences live far below 1e-6).
+  * Two refinements the sf1 replica gate forced (SCALE_r07.md §1):
+  * money/quantity PRODUCTS are computed IN decimal from the exact
+  * ≤2-decimal inputs — `CAST(double_product AS DECIMAL)` leaves each row
+  * at the mercy of the engines' double→decimal boundary rounding — and
+  * displayed floats that can land on a rounding half-boundary prefer the
+  * `floor(x*1e6 + 0.5)/1e6` grid over `round(x, 6)` (Spark rounds the
+  * exact binary expansion, DuckDB a float multiply; the floor grid is
+  * the identical IEEE chain on both). Existing `round(,6)` pairs on
+  * bounded per-row floats are kept (boundary hits there need the
+  * unrounded doubles to already be bit-identical AND sitting exactly on
+  * a half-ULP — the scale gate is the detector if one ever appears).
   *
   * Scale notes: all aggregations here are partial-aggregate friendly
   * (map-side combine before the shuffle); top-K compiles to
@@ -31,8 +42,8 @@ object CoreQueries {
       .agg(
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(28,8)")).cast("double").as("sum_disc_price"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))).cast("double").as("sum_disc_price"),
         round(avg("l_quantity"), 6).as("avg_qty"),
         round(avg("l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -43,7 +54,7 @@ object CoreQueries {
     """SELECT l_returnflag, l_linestatus,
       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM((CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS sum_disc_price,
       | ROUND(AVG(l_quantity), 6) AS avg_qty,
       | ROUND(AVG(l_discount), 6) AS avg_disc,
       | COUNT(*) AS count_order
@@ -67,15 +78,15 @@ object CoreQueries {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey")
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("decimal(28,8)")).cast("double").as("revenue"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
   val q3JoinSql: String =
     """SELECT l_orderkey,
-      | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+      | CAST(SUM((CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey

@@ -194,12 +194,13 @@ object CorrelatedQueries {
   /** Q15 shape: top supplier by quarterly revenue — aggregate over a
     * join over an aggregate, with an uncorrelated scalar MAX over the
     * inner aggregate (the "view + max over view" pattern). Revenue sums
-    * stay DECIMAL(28,8) end-to-end so the equality against the max
-    * compares exact decimals, never doubles. */
+    * are EXACT decimals end-to-end (decimal products of exact 2-decimal
+    * inputs) so the equality against the max compares exact decimals,
+    * never doubles. */
   val q15TopSupplier: Q = (s, dir) => sql(s, dir,
     """WITH revenue AS (
       |  SELECT l_suppkey AS supplier_no,
-      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS total_rev
+      |    SUM((CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2))))) AS total_rev
       |  FROM @lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -213,7 +214,7 @@ object CorrelatedQueries {
   val q15TopSupplierSql: String =
     """WITH revenue AS (
       |  SELECT l_suppkey AS supplier_no,
-      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS total_rev
+      |    SUM((CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2))))) AS total_rev
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'

@@ -499,14 +499,14 @@ object ExtendedQueries {
     li.join(part, col("l_partkey") === col("p_partkey"))
       .filter(cond)
       .agg(
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(28,8)")).cast("double").as("revenue"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
   val q19DisjunctiveSql: String =
     """SELECT
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+      |  CAST(SUM((CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
@@ -524,8 +524,8 @@ object ExtendedQueries {
     val cust = Graft.table(s, dir, "customer")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_custkey")
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("decimal(28,8)")).as("rev"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))).as("rev"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
         col("rev").cast("double").as("revenue"))
@@ -535,7 +535,7 @@ object ExtendedQueries {
 
   val q10ReturnedCustomersSql: String =
     """SELECT c_custkey, c_name, c_mktsegment,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+      |  CAST(SUM((CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -554,13 +554,13 @@ object ExtendedQueries {
       .filter(col("l_shipdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
         col("l_shipdate") < lit("1996-01-01 00:00:00").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(sum((col("l_extendedprice") * col("l_discount"))
-        .cast("decimal(28,8)")).cast("double").as("revenue"),
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(4,2)")).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
 
   val q6ForecastSql: String =
     """SELECT
-      |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+      |  CAST(SUM((CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'

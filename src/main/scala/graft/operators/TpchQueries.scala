@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * below the lineitem fact at any sf). Filters sit directly on the
   * scans so parquet pushdown prunes row groups before the joins.
   *
-  * Numeric policy (CoreQueries scaladoc): revenue terms are IEEE-double
-  * per-row products (bit-identical cross-engine), summed through
-  * DECIMAL(28,8) for order-independence, cast to double at the edge.
+  * Numeric policy (CoreQueries scaladoc): revenue terms are EXACT
+  * decimal products of exact ≤2-decimal inputs (never a decimal cast of
+  * the double product — the engines' double→decimal boundary rounding
+  * diverges, caught at the sf1 gate), summed exactly, cast to double at
+  * the edge.
   * Years are int32 on both engines (DuckDB year() is int64, so oracles
   * CAST(... AS INTEGER)).
   */
@@ -52,15 +54,15 @@ object TpchQueries {
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("decimal(28,8)")).cast("double").as("revenue"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))).cast("double").as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
   val q7VolumeShippingSql: String =
     """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |  CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-      |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+      |  CAST(SUM((CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l.l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS revenue
       |FROM lineitem l, orders o, customer c, supplier s, nation n1, nation n2
       |WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
       |  AND l.l_suppkey = s.s_suppkey
@@ -86,8 +88,8 @@ object TpchQueries {
       .select(col("n_nationkey").as("cn_key"))
     val suppNation = Graft.table(s, dir, "nation")
       .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
-    val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-      .cast("decimal(28,8)")
+    val vol = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
     Graft.table(s, dir, "lineitem")
       .join(Graft.table(s, dir, "part").filter(col("p_type") === "PROMO"),
         col("l_partkey") === col("p_partkey"))
@@ -110,9 +112,9 @@ object TpchQueries {
   val q8MarketShareSql: String =
     """SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
       |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_6'
-      |    THEN CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,8))
+      |    THEN (CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l.l_discount AS DECIMAL(4,2))))
       |    ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
-      |  / CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,8))) AS DOUBLE)
+      |  / CAST(SUM((CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l.l_discount AS DECIMAL(4,2))))) AS DOUBLE)
       |    AS mkt_share
       |FROM part p, lineitem l, orders o, customer c, supplier s,
       |     nation n1, nation n2, region r
@@ -129,12 +131,15 @@ object TpchQueries {
   /** Q9 product-type profit: per supplier nation × order year, profit on
     * red-named parts. No partsupp in the schema, so the supply-cost term
     * is re-expressed as 5% of p_retailprice per unit:
-    * amount = extprice·(1−disc) − p_retailprice·l_quantity·0.05 (all
-    * IEEE-double per row, left-associative in both engines), summed
-    * through decimal. */
+    * amount = extprice·(1−disc) − p_retailprice·l_quantity·0.05, all in
+    * EXACT decimal arithmetic (every factor is an exact ≤2-decimal
+    * value; the tight precisions keep the difference inside 38 digits),
+    * summed exactly — order- and engine-independent. */
   val q9ProductProfit: Q = (s, dir) => {
-    val amount = (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
-      col("p_retailprice") * col("l_quantity") * lit(0.05)).cast("decimal(28,8)")
+    val amount = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")) -
+      col("p_retailprice").cast("decimal(10,2)") *
+        col("l_quantity").cast("decimal(4,2)") * lit(0.05).cast("decimal(4,2)")
     val nations = Graft.table(s, dir, "nation")
       .select(col("n_nationkey").as("sn_key"), col("n_name"))
     Graft.table(s, dir, "lineitem")
@@ -150,8 +155,11 @@ object TpchQueries {
 
   val q9ProductProfitSql: String =
     """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-      |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
-      |      - p.p_retailprice * l.l_quantity * 0.05 AS DECIMAL(28,8))) AS DOUBLE)
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+      |             * (1.00 - CAST(l.l_discount AS DECIMAL(4,2)))
+      |           - CAST(p.p_retailprice AS DECIMAL(10,2))
+      |             * CAST(l.l_quantity AS DECIMAL(4,2))
+      |             * CAST(0.05 AS DECIMAL(4,2))) AS DOUBLE)
       |    AS sum_profit
       |FROM lineitem l, part p, supplier s, nation n, orders o
       |WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey

@@ -342,10 +342,25 @@ object VectorQueries {
     * swaps in a 64-bit perceptual hash; NB a byte-sum space is denser
     * than a perceptual-hash space, whose sparsity is what keeps the
     * shared-fingerprint join skew-free at scale, and `maxDf` guards the
-    * dense case like d4). */
+    * dense case like d4).
+    *
+    * Runs on a DERIVED media corpus (documents ∪ every 5th document
+    * with its LAST character replaced — the media twin of d4's
+    * last-word-dropped near-corpus): the derived payload keeps the
+    * byte LENGTH, so frame chunking aligns and every chunk except the
+    * last is byte-identical — a genuine positive near-dup population
+    * at every sf, which keeps this oracle row from passing vacuously
+    * on corpora without natural media near-dups (it matched 0 rows at
+    * sf0.01 before this). Char-level substring == byte-level here by
+    * the spec-enforced ASCII-corpus invariant above. */
   val m3MediaNeardup: Q = (s, dir) => {
-    val frames = Multimodal.sampleFrames(
-      Multimodal.attachPayload(Graft.table(s, dir, "documents")), 1)
+    val docs = Graft.table(s, dir, "documents").select("doc_id", "text")
+    val media = docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0 && length(col("text")) > 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(expr("substring(text, 1, length(text) - 1)"), lit("X"))
+            .as("text")))
+    val frames = Multimodal.sampleFrames(Multimodal.attachPayload(media), 1)
     val fps = frames.select(col("doc_id"),
       col("fp").cast("string").as("shingle")).distinct()
     graft.dedup.Dedup.ngramJaccardFromShingles(fps, 0.5)
@@ -354,7 +369,13 @@ object VectorQueries {
   }
 
   val m3MediaNeardupSql: String =
-    """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+    """WITH t0 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id,
+      |         substr(text, 1, length(text) - 1) || 'X' AS text
+      |  FROM documents WHERE doc_id % 5 = 0 AND length(text) > 0),
+      |t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM t0),
       |f AS (SELECT doc_id, text, n, n % 7 + 1 AS n_frames,
       |        (n + n % 7) // (n % 7 + 1) AS csz FROM t),
       |fr AS (SELECT doc_id, text, n, csz, i AS frame_idx

@@ -860,13 +860,17 @@ object TextQueries {
   val g3KcoreSql: String = {
     // unrolled peel: e0 = d4's pair graph; k_r = nodes with deg >= 2 in
     // e_{r-1}; e_r = e_{r-1} restricted to surviving endpoints.
+    // Every stage is AS MATERIALIZED: DuckDB inlines plain CTEs per
+    // REFERENCE, so without the hint each round re-expands the whole
+    // shingle self-join — exponentially. (At sf0.1 the un-hinted form
+    // spilled >75 GB of temp before exhausting the disk.)
     val rounds = (1 to 3).map { r =>
       s""",
-        |k$r AS (
+        |k$r AS MATERIALIZED (
         |  SELECT n FROM (
         |    SELECT doc_a AS n FROM e${r - 1} UNION ALL SELECT doc_b FROM e${r - 1})
         |  GROUP BY n HAVING COUNT(*) >= 2),
-        |e$r AS (
+        |e$r AS MATERIALIZED (
         |  SELECT doc_a, doc_b FROM e${r - 1}
         |  WHERE doc_a IN (SELECT n FROM k$r) AND doc_b IN (SELECT n FROM k$r))""".stripMargin
     }.mkString
@@ -890,7 +894,7 @@ object TextQueries {
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
-        |e0 AS (
+        |e0 AS MATERIALIZED (
         |  SELECT doc_a, doc_b FROM inter
         |  JOIN sizes sa ON sa.doc_id = doc_a
         |  JOIN sizes sb ON sb.doc_id = doc_b

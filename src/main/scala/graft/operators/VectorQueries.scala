@@ -115,11 +115,11 @@ object VectorQueries {
       |    CAST(SUM(CASE WHEN list_dot_product(v.e, p.pe) > 0
       |        THEN 1 << (p.pid % 4) ELSE 0 END) AS BIGINT) AS bucket
       |  FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.pid // 4),
-      |cand AS (
+      |cand AS MATERIALIZED (
       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
       |  FROM bits x JOIN bits y
       |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
-      |ndp AS (
+      |ndp AS MATERIALIZED (
       |  SELECT c.vec_a, c.vec_b,
       |    ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
       |  FROM cand c JOIN v a ON a.vec_id = c.vec_a JOIN v b ON b.vec_id = c.vec_b

@@ -16,7 +16,10 @@ dropped). Set ORACLE_JSON=<path> to also dump a machine-readable
 per-query verdict artifact. Set ORACLE_TIMEOUT_S=<sec> to bound each
 oracle SQL with a watchdog (duckdb interrupt): a query whose oracle
 exceeds the budget is reported as TIMEOUT (named, like a skip) rather
-than stalling the whole replica-scale gate.
+than stalling the whole replica-scale gate. Timeouts are NAMED in the artifact and —
+unless listed in ORACLE_TIMEOUT_OK (comma-separated, like the skip
+list) — fail the gate, so raising query cost can't silently shrink
+coverage.
 """
 import json, math, sys, glob, os, threading
 
@@ -24,6 +27,7 @@ import duckdb
 import pyarrow.types as pt
 
 TIMEOUT_S = float(os.environ.get("ORACLE_TIMEOUT_S", "0") or 0)
+TIMEOUT_OK = set(s for s in os.environ.get("ORACLE_TIMEOUT_OK", "").split(",") if s)
 
 
 class OracleTimeout(Exception):
@@ -31,25 +35,36 @@ class OracleTimeout(Exception):
 
 
 def run_with_timeout(con, sql):
-    """Execute oracle SQL; interrupt + raise OracleTimeout past the budget."""
+    """Execute oracle SQL on a fresh cursor; raise OracleTimeout past the
+    budget. Each query gets its own cursor (= its own DuckDB connection
+    over the shared database) so a watchdog that fires AFTER the fetch
+    completed interrupts only this dead cursor, never the next query on
+    the parent connection. A timeout is only classified as such when the
+    raised error is DuckDB's interrupt exception — a genuine SQL error
+    that happens to race the timer still surfaces as a failure."""
+    cur = con.cursor()
     if not TIMEOUT_S:
-        return fetch(con.sql(sql))
+        try:
+            return fetch(cur.sql(sql))
+        finally:
+            cur.close()
     timed_out = [False]
 
     def kill():
         timed_out[0] = True
-        con.interrupt()
+        cur.interrupt()
 
     t = threading.Timer(TIMEOUT_S, kill)
     t.start()
     try:
-        return fetch(con.sql(sql))
-    except Exception:
+        return fetch(cur.sql(sql))
+    except duckdb.InterruptException:
         if timed_out[0]:
             raise OracleTimeout()
         raise
     finally:
         t.cancel()
+        cur.close()
 
 
 def type_cat(t):
@@ -173,6 +188,9 @@ def main():
         print(f"FAIL  {n}: {msg}")
     for n in skipped:
         print(f"SKIP  {n}: excluded by skip list")
+    unexpected_timeouts = [n for n in timeouts if n not in TIMEOUT_OK]
+    for n in unexpected_timeouts:
+        print(f"FAIL  {n}: timed out and not in ORACLE_TIMEOUT_OK allowlist")
     # Subset mode (graft.Verify's `only` arg dumps the FULL oracle map):
     # don't flag oracle entries outside the produced result set as missing.
     if os.environ.get("ORACLE_SUBSET_ONLY"):
@@ -190,7 +208,8 @@ def main():
         verdicts.update({n: {"status": "rows_only", "rows": c} for n, c in rows_only})
         verdicts.update({n: {"status": "fail", "detail": str(m)[:500]} for n, m in failures})
         verdicts.update({n: {"status": "skip"} for n in skipped})
-        verdicts.update({n: {"status": "timeout", "budget_s": TIMEOUT_S} for n in timeouts})
+        verdicts.update({n: {"status": "timeout", "budget_s": TIMEOUT_S,
+                             "allowlisted": n in TIMEOUT_OK} for n in timeouts})
         verdicts.update({n: {"status": "missing"} for n in sorted(missing)})
         with open(JSON_OUT, "w") as f:
             json.dump({"sf_dir": SF, "out_dir": OUT,
@@ -199,7 +218,7 @@ def main():
                                   "skipped": len(skipped), "timeout": len(timeouts)},
                        "queries": verdicts}, f, indent=1, sort_keys=True)
         print(f"wrote {JSON_OUT}")
-    sys.exit(1 if failures or missing else 0)
+    sys.exit(1 if failures or missing or unexpected_timeouts else 0)
 
 
 if __name__ == "__main__":

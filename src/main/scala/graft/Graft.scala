@@ -113,6 +113,35 @@ object Graft {
     else
       org.apache.spark.sql.functions.col("ts").cast("timestamp")
 
+  private val disjointIdsVerified =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Boolean]
+
+  /** Runtime guard for the derived dedup corpora's fixed doc_id offsets
+    * (+100000 exact-dup twin, +200000 near-dup twin). The offsets are
+    * collision-free for every shipped corpus and every ScaleData replica
+    * stride (10 M per replica), but nothing enforced that — and because
+    * the Spark query and its DuckDB oracle SHARE the offset, a collision
+    * on some future larger corpus would corrupt both sides identically
+    * and pass the gate silently. This asserts the shifted ids are
+    * disjoint from the real ids: an id-column-only semi-join count,
+    * memoized per (session, corpus-dir, label) so a full gate run pays
+    * it once per corpus, and it fails LOUDLY where the fixed offset is
+    * unsafe. */
+  def assertDisjointIds(base: DataFrame, derived: DataFrame,
+      dir: String, what: String): Unit = {
+    val spark = base.sparkSession
+    val key = (System.identityHashCode(spark).toString, dir, what)
+    disjointIdsVerified.getOrElseUpdate(key, {
+      val clash = derived.select("doc_id")
+        .join(base.select("doc_id"), Seq("doc_id"), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        s"$what: derived doc_ids collide with real doc_ids in $dir — " +
+          "the fixed derivation offset is unsafe for this corpus layout")
+      true
+    })
+  }
+
   /** Materialize an intermediate frame that feeds multiple branches of
     * ONE query. Lazy localCheckpoint, deliberately not cache():
     * cache() pins blocks in the CacheManager until an explicit

@@ -15,10 +15,16 @@ import org.apache.spark.sql.functions._
   * corpus in SQL. */
 object TextQueries {
 
-  /** documents ∪ exact dups (+100000) ∪ near dups (+200000). */
+  /** documents ∪ exact dups (+100000) ∪ near dups (+200000). The fixed
+    * offsets are guarded at runtime (collision with real ids fails
+    * loudly — see [[Graft.assertDisjointIds]]). */
   def corpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Graft.table(s, dir, "documents").select("doc_id", "text")
     val fifth = docs.filter(col("doc_id") % 5 === 0)
+    Graft.assertDisjointIds(docs,
+      fifth.select((col("doc_id") + 100000).as("doc_id"))
+        .unionByName(fifth.select((col("doc_id") + 200000).as("doc_id"))),
+      dir, "TextQueries.corpus")
     docs
       .unionByName(fifth.select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit("  ")).as("text")))
@@ -40,7 +46,11 @@ object TextQueries {
   /** Near-dup-only corpus (originals + last-word-dropped copies). */
   private def nearCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Graft.table(s, dir, "documents").select("doc_id", "text")
-    docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+    val fifth = docs.filter(col("doc_id") % 5 === 0)
+    Graft.assertDisjointIds(docs,
+      fifth.select((col("doc_id") + 200000).as("doc_id")),
+      dir, "TextQueries.nearCorpus")
+    docs.unionByName(fifth
       .select((col("doc_id") + 200000).as("doc_id"),
         regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text")))
   }

@@ -355,8 +355,12 @@ object VectorQueries {
     * the spec-enforced ASCII-corpus invariant above. */
   val m3MediaNeardup: Q = (s, dir) => {
     val docs = Graft.table(s, dir, "documents").select("doc_id", "text")
+    val derived = docs.filter(col("doc_id") % 5 === 0 && length(col("text")) > 0)
+    Graft.assertDisjointIds(docs,
+      derived.select((col("doc_id") + 200000).as("doc_id")),
+      dir, "VectorQueries.m3MediaNeardup")
     val media = docs.unionByName(
-      docs.filter(col("doc_id") % 5 === 0 && length(col("text")) > 0)
+      derived
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(expr("substring(text, 1, length(text) - 1)"), lit("X"))
             .as("text")))

@@ -4,7 +4,7 @@ import graft.Graft
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 
 /** Replica-scale streaming gate: replays a scale replica's events table
   * through the stateful stream twins (s1 windowed agg, s2 sessionize
@@ -28,19 +28,55 @@ object StreamScale {
 
   private def jq(s: String): String = "\"" + s + "\""
 
+  /** Accumulates progress across ALL micro-batches via the listener bus.
+    * `q.recentProgress` is capped at spark.sql.streaming
+    * .numRecentProgressUpdates (default 100), so a replay with more
+    * micro-batches than that would silently undercount rows/batches and
+    * miss the true state peak — exactly the large-replica runs this
+    * harness exists for. The listener sees every progress event. */
+  private final class ProgressAcc extends StreamingQueryListener {
+    final class Acc {
+      var rows = 0L; var batches = 0L; var stateRows = 0L; var peakBytes = 0L
+    }
+    private val byId = scala.collection.concurrent.TrieMap.empty[java.util.UUID, Acc]
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      val a = byId.getOrElseUpdate(p.id, new Acc)
+      a.synchronized {
+        a.rows += p.numInputRows
+        if (p.numInputRows > 0) a.batches += 1
+        p.stateOperators.headOption.foreach { so =>
+          a.stateRows = so.numRowsTotal
+          a.peakBytes = math.max(a.peakBytes, so.memoryUsedBytes)
+        }
+      }
+    }
+    /** Listener delivery is async — poll until the accumulator stops
+      * moving (stable for 300 ms, max 10 s) after awaitTermination. */
+    def settled(id: java.util.UUID): Acc = {
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1L
+      while (System.nanoTime() < deadline) {
+        val cur = byId.get(id).map(a => a.synchronized(a.rows + a.batches)).getOrElse(0L)
+        if (cur == last) return byId.getOrElseUpdate(id, new Acc)
+        last = cur
+        Thread.sleep(300)
+      }
+      byId.getOrElseUpdate(id, new Acc)
+    }
+  }
+
   /** Run one streaming query to completion (AvailableNow) and return a
-    * JSON metrics fragment. */
-  private def measure(name: String, q: StreamingQuery): String = {
+    * JSON metrics fragment built from listener-accumulated progress. */
+  private def measure(name: String, q: StreamingQuery, acc: ProgressAcc): String = {
     val t0 = System.nanoTime()
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
-    val progs = q.recentProgress.toSeq
-    val rows = progs.map(_.numInputRows).sum
-    val batches = progs.count(_.numInputRows > 0)
-    val stateRows = progs.reverse.flatMap(_.stateOperators.headOption)
-      .headOption.map(_.numRowsTotal).getOrElse(0L)
-    val peakBytes = progs.flatMap(_.stateOperators.headOption)
-      .map(_.memoryUsedBytes).maxOption.getOrElse(0L)
+    val a = acc.settled(q.id)
+    val (rows, batches, stateRows, peakBytes) =
+      a.synchronized((a.rows, a.batches, a.stateRows, a.peakBytes))
     val rps = if (wall > 0) rows / wall else 0.0
     s"""${jq(name)}:{"rows":$rows,"wall_s":${f"$wall%.2f"},"rows_per_s":${f"$rps%.0f"},""" +
       s""""batches":$batches,"state_rows":$stateRows,"state_bytes_peak":$peakBytes}"""
@@ -86,12 +122,14 @@ object StreamScale {
     // The sink mode must match each operator's contract: Append for the
     // flatMapGroupsWithState/transformWithState twins declared Append,
     // Update for mapGroupsWithState (s6) and the Update-mode CMS (s7).
+    val acc = new ProgressAcc
+    spark.streams.addListener(acc)
     def run(name: String, mode: String)(build: DataFrame => DataFrame): String = {
       val q = build(stream()).writeStream.format("noop")
         .option("checkpointLocation", s"$ckBase/$name")
         .outputMode(mode)
         .trigger(Trigger.AvailableNow()).start()
-      measure(name, q)
+      measure(name, q, acc)
     }
 
     val results = Seq(

@@ -139,14 +139,29 @@ class MultimodalSpec extends SparkSpec {
   test("corpus is ASCII: the m1/m2/m3 byte-level oracles stay valid") {
     // The DuckDB oracles for m1/m2/m3 walk code points via
     // ord(substr(text, j, 1)); the Scala side walks UTF-8 bytes. Equal
-    // only on pure-ASCII text — enforce that on the shipped corpus so a
-    // future non-ASCII document fails HERE, not as a silent oracle
-    // divergence (VectorQueries.scala, m1MultimodalMetaSql note).
-    val nonAscii = spark.read
-      .parquet("/root/testdata/sf0.01/documents.parquet")
-      .filter(not(col("text").rlike("^[\\x00-\\x7F]*$")))
-      .count()
-    assert(nonAscii == 0, s"$nonAscii non-ASCII documents break the byte-level oracles")
+    // only on pure-ASCII text — enforce that on EVERY corpus the gates
+    // run against (all shipped /root/testdata/sf* dirs plus any built
+    // scale replicas under target/scale), so a future non-ASCII document
+    // fails HERE, not as a silent oracle divergence on the corpus a
+    // replica gate actually reads (VectorQueries.scala,
+    // m1MultimodalMetaSql note). Replica text gains only ASCII suffixes
+    // (" rN" jitter tokens), but the invariant is checked on the files,
+    // not derived from the generator.
+    val corpusDirs =
+      Option(new java.io.File("/root/testdata").listFiles()).toSeq.flatten ++
+        Option(new java.io.File("target/scale").listFiles()).toSeq.flatten
+    val checked = corpusDirs
+      .filter(d => new java.io.File(d, "documents.parquet").exists())
+      .map(_.getPath)
+    assert(checked.nonEmpty, "no documents corpus found to check")
+    checked.foreach { dir =>
+      val nonAscii = spark.read
+        .parquet(s"$dir/documents.parquet")
+        .filter(not(col("text").rlike("^[\\x00-\\x7F]*$")))
+        .count()
+      assert(nonAscii == 0,
+        s"$dir: $nonAscii non-ASCII documents break the byte-level oracles")
+    }
   }
 
   test("attachPayload survives a null text row (empty pixel region)") {

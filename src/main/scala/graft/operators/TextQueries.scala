@@ -526,7 +526,8 @@ object TextQueries {
       |w AS (SELECT doc_id,
       |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
       |      FROM corpus),
-      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |sh AS MATERIALIZED (
+      |       SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
       |       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
       |       WHERE len(ws) >= 3 AND length(ws[i] || ws[i+1] || ws[i+2]) > 0),
       |hb AS (SELECT doc_id,
@@ -535,12 +536,13 @@ object TextQueries {
       |       FROM sh),
       |mh AS (SELECT doc_id, i, MIN(h1 + i * h2) AS h
       |       FROM hb CROSS JOIN range(16) AS r(i) GROUP BY doc_id, i),
-      |sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM mh GROUP BY doc_id),
+      |sig AS MATERIALIZED (
+      |  SELECT doc_id, list(h ORDER BY i) AS hs FROM mh GROUP BY doc_id),
       |cand AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.hs AS ha, b.hs AS hb
       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       |  WHERE $bands),
-      |lshp AS (
+      |lshp AS MATERIALIZED (
       |  SELECT doc_a, doc_b, ($agree) / 16.0 AS est
       |  FROM cand WHERE ($agree) / 16.0 >= 0.5)""".stripMargin
   }
@@ -817,19 +819,22 @@ object TextQueries {
   val d9LshEvalSql: String = nearCorpusCte + lshPairsCte +
     """,
       |keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
-      |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
-      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
+      |shc AS MATERIALIZED (
+      |  SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+      |sizes AS MATERIALIZED (
+      |  SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
       |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
-      |truth AS (
+      |truth AS MATERIALIZED (
       |  SELECT doc_a, doc_b FROM inter
       |  JOIN sizes sa ON sa.doc_id = doc_a
       |  JOIN sizes sb ON sb.doc_id = doc_b
       |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
-      |hit AS (SELECT t.doc_a FROM truth t
-      |        JOIN lshp c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+      |hit AS MATERIALIZED (
+      |  SELECT t.doc_a FROM truth t
+      |  JOIN lshp c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
       |SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
       |       (SELECT COUNT(*) FROM lshp) AS n_cand,
       |       (SELECT COUNT(*) FROM hit) AS n_hit,

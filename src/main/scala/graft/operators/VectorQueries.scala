@@ -774,7 +774,8 @@ object VectorQueries {
   val d7EmbeddingClustersSql: String =
     "WITH RECURSIVE " + nearDupPairsCte +
       """,
-        |sym AS (SELECT vec_a AS src, vec_b AS dst FROM ndp
+        |sym AS MATERIALIZED (
+        |        SELECT vec_a AS src, vec_b AS dst FROM ndp
         |        UNION ALL SELECT vec_b, vec_a FROM ndp),
         |reach AS (
         |  SELECT src, dst FROM sym

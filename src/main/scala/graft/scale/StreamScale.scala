@@ -82,6 +82,27 @@ object StreamScale {
       s""""batches":$batches,"state_rows":$stateRows,"state_bytes_peak":$peakBytes}"""
   }
 
+  /** Replay layout shared by the scale/recovery harnesses: the events
+    * table re-written as time-ordered range files with ascending mtimes
+    * (range partition index == part-file index == time order), so
+    * `maxFilesPerTrigger` delivers micro-batches in arrival order.
+    * Returns (totalRows, nPartFiles). */
+  def prepareReplay(spark: SparkSession, sfDir: String, nFiles: Int,
+      replayDir: String): (Long, Int) = {
+    import org.apache.spark.sql.functions.col
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(replayDir))
+    val ev = Graft.table(spark, sfDir, "events") // ts normalized to epoch-ns long
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.repartitionByRange(nFiles, col("ts"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(replayDir)
+    val parts = new java.io.File(replayDir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 2000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
+    (spark.read.parquet(replayDir).count(), parts.length)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val nFiles = if (args.length > 1) args(1).toInt else 32
@@ -96,23 +117,10 @@ object StreamScale {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // --- Replay layout: time-ordered range files with ascending mtimes.
     val replayDir = "target/tmp/stream_replay"
     val ckBase = s"target/tmp/stream_ck_${System.nanoTime()}"
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(replayDir))
-    val ev = Graft.table(spark, sfDir, "events") // ts normalized to epoch-ns long
-      .select("event_id", "ts", "user_id", "event_type", "value")
-    ev.repartitionByRange(nFiles, col("ts"))
-      .sortWithinPartitions("ts")
-      .write.mode("overwrite").parquet(replayDir)
-    // Range partition index == part-file index == time order; stamp
-    // ascending mtimes so FileStreamSource lists them in arrival order.
-    val parts = new java.io.File(replayDir).listFiles()
-      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
-    val base = System.currentTimeMillis() - parts.length * 2000L
-    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
-    val totalRows = spark.read.parquet(replayDir).count()
-    System.err.println(s"[stream-scale] replay corpus: $totalRows rows, ${parts.length} files")
+    val (totalRows, nParts) = prepareReplay(spark, sfDir, nFiles, replayDir)
+    System.err.println(s"[stream-scale] replay corpus: $totalRows rows, $nParts files")
 
     val sch = spark.read.parquet(replayDir).schema
     def stream(): DataFrame = spark.readStream.schema(sch)
@@ -169,7 +177,7 @@ object StreamScale {
       })
 
     println(s"""{"metric":"stream_scale","sf_dir":${jq(sfDir)},""" +
-      s""""total_rows":$totalRows,"files":${parts.length},""" +
+      s""""total_rows":$totalRows,"files":$nParts,""" +
       s""""files_per_trigger":$perTrigger,"queries":{${results.mkString(",")}}}""")
     spark.stop()
   }

@@ -255,4 +255,233 @@ object VectorOps {
       allPairsCosine(vectors, threshold, idCol, vecCol)
     else
       lshNearDupPairs(vectors, planes, bands, rowsPerBand, threshold, idCol, vecCol)
+
+  // ---------------------------------------------------------------------
+  // Density-adaptive banding — the production near-dup path.
+  //
+  // The fixed 16-band × 4-bit parameterization above is kept for the
+  // frozen d5 catalog entry (the oracle replays that exact banding), but
+  // it is measured to degrade toward quadratic rerank on corpora where
+  // candidate density is high: a 4-bit band has 16 buckets, so a pair at
+  // cosine 0 still collides per band with probability 0.5⁴ = 1/16 and
+  // the 16-band OR admits ~64 % of ALL pairs (SCALE_r07.md §5: 127.9 M
+  // reranks for a 177 k-pair answer at sf1-jitter). The cure is to make
+  // the code space track the corpus: bits ≈ log₂(n / target-occupancy)
+  // keeps expected bucket occupancy constant as n grows, and the band
+  // count is then derived from the banding curve so recall at the
+  // caller's threshold never drops below a floor — the recall/cost trade
+  // is taken by FORMULA, not silently.
+  // ---------------------------------------------------------------------
+
+  /** P[one random-hyperplane sign bit agrees] for a pair at cosine c:
+    * 1 − θ/π (Goemans–Williamson). */
+  def signAgreeProb(cos: Double): Double =
+    1.0 - StrictMath.acos(math.max(-1.0, math.min(1.0, cos))) / math.Pi
+
+  /** Banding-curve recall 1 − (1 − p^bits)^bands at cosine c. */
+  def bandingRecall(cos: Double, bands: Int, bitsPerBand: Int): Double =
+    1.0 - StrictMath.pow(1.0 - StrictMath.pow(signAgreeProb(cos), bitsPerBand), bands)
+
+  /** Density-adaptive banding policy: (bands, bitsPerBand) for a corpus
+    * of `n` vectors.
+    *
+    *  - bitsPerBand = ⌈log₂(n / targetOccupancy)⌉ keeps expected bucket
+    *    occupancy ≈ targetOccupancy, so the per-band self-join stays
+    *    Θ(n · occupancy) instead of Θ(n²/2^bits) with fixed bits;
+    *  - bands = ⌈ln(1 − recallFloor) / ln(1 − p^bits)⌉ with
+    *    p = signAgreeProb(threshold) holds recall at the threshold ≥
+    *    recallFloor whatever bits the density forced;
+    *  - if bands·bits exceeds `maxPlanes` (the per-vector dot budget),
+    *    bits backs off one at a time — recall is NEVER traded below the
+    *    floor; the join pays instead, and loudly (occupancy doubles per
+    *    step down). */
+  def adaptiveBanding(n: Long, threshold: Double, targetOccupancy: Long = 64,
+      recallFloor: Double = 0.95, maxPlanes: Int = 16384): (Int, Int) = {
+    require(n > 0 && threshold > -1.0 && threshold < 1.0 &&
+      recallFloor > 0.0 && recallFloor < 1.0, "domain")
+    val p = signAgreeProb(threshold)
+    def bandsFor(bits: Int): Int = {
+      val pr = StrictMath.pow(p, bits)
+      if (pr >= 1.0) 1
+      else math.ceil(StrictMath.log(1.0 - recallFloor) / StrictMath.log(1.0 - pr))
+        .toInt.max(1)
+    }
+    var bits = math.ceil(StrictMath.log(math.max(2.0, n.toDouble / targetOccupancy))
+      / StrictMath.log(2.0)).toInt.max(2).min(24)
+    while (bits > 2 && bandsFor(bits).toLong * bits > maxPlanes) bits -= 1
+    (bandsFor(bits), bits)
+  }
+
+  /** splitmix64 — the counter-based PRNG behind [[gaussianPlanes]]. */
+  private def splitmix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic unit-Gaussian hyperplanes: entry (i, j) is Box–Muller
+    * over two splitmix64 draws keyed by (seed, i, j) — counter-based, so
+    * the full matrix is reproducible from the seed alone on any JVM
+    * (StrictMath throughout), with no sequential RNG state to thread
+    * through a cluster. Gaussian (not uniform) entries make the planes
+    * spherically symmetric, so the sign-agreement probability is exactly
+    * 1 − θ/π at every dimension. */
+  def gaussianPlanes(seed: Long, count: Int, dim: Int): Array[Array[Double]] = {
+    Array.tabulate(count) { i =>
+      Array.tabulate(dim) { j =>
+        val k = seed * 0x632BE59BD9B4E019L + i.toLong * 0x9E3779B97F4A7C15L + j
+        val u1 = ((splitmix64(k) >>> 11) + 1).toDouble / (1L << 53).toDouble
+        val u2 = (splitmix64(k + 0x5851F42D4C957F2DL) >>> 11).toDouble / (1L << 53).toDouble
+        StrictMath.sqrt(-2.0 * StrictMath.log(u1)) *
+          StrictMath.cos(2.0 * math.Pi * u2)
+      }
+    }
+  }
+
+  /** One adaptive near-dup run with its intermediate frames exposed, so
+    * eval harnesses can price each stage (candidate volume, prefilter
+    * survivors, final pairs) without re-instrumenting the pipeline. */
+  final case class AdaptiveNearDup(
+      n: Long, bands: Int, bitsPerBand: Int, sigBits: Int, maxHamming: Long,
+      predictedRecall: Double,
+      candidates: DataFrame, prefiltered: DataFrame, pairs: DataFrame)
+
+  /** Density-adaptive banded-LSH near-dup pairs — the PRODUCTION default
+    * for embedding near-duplicate detection at scale (a < b, rounded
+    * cos ≥ threshold). Differences from the fixed-parameter
+    * [[lshNearDupPairs]], each attacking one measured cost center of the
+    * sf1-jitter cliff (SCALE_r07.md §5):
+    *
+    *  1. **Adaptive banding** ([[adaptiveBanding]]): bits per band track
+    *     corpus density, bands track the recall floor — the bucket join
+    *     stays Θ(n · occupancy) at every n.
+    *  2. **Seeded Gaussian planes** ([[gaussianPlanes]]): the adaptive
+    *     plane count (bands·bits + sigBits) can't come from a fixed
+    *     corpus slice; a counter-based deterministic matrix keeps the
+    *     whole run replayable from (seed, n, threshold).
+    *  3. **Band-code collapse**: vectors with IDENTICAL full code
+    *     vectors have identical candidate sets by construction, so only
+    *     one representative per code class enters the bucket self-join
+    *     (the output is provably identical — classes expand back before
+    *     scoring). On near-dup-dense corpora this rediscovers the
+    *     cluster structure: sf1-jitter's 20 k vectors collapse to ~6 k
+    *     code classes, cutting the join ~10×.
+    *  4. **Hamming-signature prefilter**: each vector also carries
+    *     `sigBits` extra sign bits (packed longs, SAME fused pass as the
+    *     band codes, planes independent of the banding planes so the
+    *     estimate is unbiased given a collision). A candidate pair's
+    *     bit-agreement estimates its cosine; pairs whose estimate sits
+    *     more than `sigMarginSigmas` binomial sigmas below the threshold
+    *     are dropped before the exact rerank. At the defaults (1024
+    *     bits, 4σ) a true threshold pair survives with p = Φ(4) ≈
+    *     0.99997, while cos≈0 bulk — the dominant admitted mass of a
+    *     coarse banding — is rejected at ≥ 99.9 % for 20× less work per
+    *     pair than the exact cosine (16 xor+popcounts vs a 64-dim dot).
+    *
+    * All math is exact where it must be: the prefilter only ever DROPS
+    * pairs (quantified recall cost); every emitted pair is scored by the
+    * same rounded exact cosine as the fixed path, so precision is 1.0
+    * by construction. Set sigBits = 0 to disable the prefilter. */
+  def lshNearDupAdaptive(vectors: DataFrame, threshold: Double,
+      seed: Long = 42L, targetOccupancy: Long = 64, recallFloor: Double = 0.95,
+      maxPlanes: Int = 16384, sigBits: Int = 1024, sigMarginSigmas: Double = 4.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): AdaptiveNearDup = {
+    import graft.dedup.ExactCollapse
+    val base = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+    // Value-level collapse first (identical vectors ⇒ cosine 1 ⇒ score
+    // once, expand after thresholding — same as the fixed path).
+    val tagged = ExactCollapse.tag(base, "id", Seq(col("__v")))
+    val reps = ExactCollapse.reps(tagged, "id")
+    val mem = ExactCollapse.members(tagged, "id")
+    val n = reps.count()
+    val (bands, bits) = adaptiveBanding(n, threshold, targetOccupancy, recallFloor, maxPlanes)
+    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
+    val sigWords = (sigBits + 63) / 64
+    val planes = gaussianPlanes(seed, bands * bits + sigWords * 64, dim)
+    val groups = Array.fill(bands)(bits) ++ Array.fill(sigWords)(64)
+    // Band codes + signature in ONE fused pass over each rep vector.
+    val packed = graft.Graft.materialize(reps.select(col("id"), col("__v"),
+      graft.functions.VectorExpressions.sign_bits_packed(col("__v"), planes, groups)
+        .as("__sb"))
+      .select(col("id"), col("__v"),
+        slice(col("__sb"), 1, bands).as("__codes"),
+        slice(col("__sb"), bands + 1, sigWords.max(1)).as("__sig")))
+    // Code-level collapse: identical code vectors ⇒ identical candidate
+    // sets; only code-class reps join buckets, classes expand below.
+    val ccTagged = ExactCollapse.tag(packed.select(col("id"), col("__codes")),
+      "id", Seq(col("__codes")))
+    val ccReps = ExactCollapse.reps(ccTagged, "id")
+    val ccMem = ExactCollapse.members(ccTagged, "id")
+    val banded = graft.Graft.materialize(
+      ccReps.select(col("id"), posexplode(col("__codes")).as(Seq("band", "bucket"))))
+    val candCC = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("vec_a"), col("y.id").as("vec_b"))
+      .distinct()
+      .unionByName(ExactCollapse.dupSelfPairs(ccMem, "vec_a", "vec_b"))
+    // Expand code classes BEFORE scoring: code-identical reps are not
+    // value-identical, so every member pair needs its own rerank. The
+    // VALUE-level classes need their self-pairs injected here too (their
+    // in-group pairs surface via rep self-pairs at final expansion, like
+    // the fixed path) — hamming(sig, sig) = 0, so they pass the
+    // prefilter, and cos(v, v) scores them exactly (1, or 0 for the
+    // zero vector).
+    val cand = ExactCollapse.expand(candCC, ccMem, "vec_a", "vec_b")
+      .unionByName(ExactCollapse.dupSelfPairs(mem, "vec_a", "vec_b"))
+    // Hamming prefilter: drop pairs whose signature-estimated agreement
+    // sits sigMarginSigmas below the threshold's expected agreement.
+    val p = signAgreeProb(threshold)
+    val maxHam = if (sigBits <= 0) Long.MaxValue
+      else {
+        val nb = (sigWords * 64).toDouble
+        val cut = p - sigMarginSigmas * StrictMath.sqrt(p * (1.0 - p) / nb)
+        math.floor(nb * (1.0 - cut)).toLong
+      }
+    val sa = packed.select(col("id").as("vec_a"), col("__sig").as("__sa"))
+    val sb = packed.select(col("id").as("vec_b"), col("__sig").as("__sb2"))
+    val pre = if (sigBits <= 0) cand else
+      cand.join(sa, "vec_a").join(sb, "vec_b")
+        .filter(graft.functions.VectorExpressions
+          .hamming_native(col("__sa"), col("__sb2")) <= maxHam)
+        .select("vec_a", "vec_b")
+    // Exact rerank — identical scoring expression to the fixed path.
+    val va = packed.select(col("id").as("vec_a"), col("__v").as("__va"))
+    val vb = packed.select(col("id").as("vec_b"), col("__v").as("__vb"))
+    val scored = pre.join(va, "vec_a").join(vb, "vec_b")
+      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+    val pairs = ExactCollapse.expand(scored, mem, "vec_a", "vec_b")
+    val predicted = bandingRecall(threshold, bands, bits) *
+      (if (sigBits <= 0) 1.0 else normalCdf(sigMarginSigmas))
+    AdaptiveNearDup(n, bands, bits, sigWords * 64, maxHam, predicted,
+      cand, pre, pairs)
+  }
+
+  /** Φ(x) via erf — for the predicted-recall report only. */
+  private def normalCdf(x: Double): Double = {
+    // Abramowitz–Stegun 7.1.26 erf approximation (4.5e-4 abs error).
+    val t = 1.0 / (1.0 + 0.3275911 * math.abs(x) / StrictMath.sqrt(2.0))
+    val y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592) * t *
+      StrictMath.exp(-x * x / 2.0)
+    if (x >= 0) 0.5 * (1.0 + y) else 0.5 * (1.0 - y)
+  }
+
+  /** Production near-dup entry point: exact sweep under
+    * `bruteForceLimit`, density-adaptive banded LSH above it. The fixed
+    * [[nearDupPairs]]/[[lshNearDupPairs]] stay for parameter-pinned
+    * callers (the frozen d5 catalog entry replays 16 × 4 banding
+    * bit-identically); new pipelines should use this. */
+  def nearDupPairsAuto(vectors: DataFrame, threshold: Double,
+      seed: Long = 42L, bruteForceLimit: Long = 10000L,
+      targetOccupancy: Long = 64, recallFloor: Double = 0.95,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    if (vectors.limit((bruteForceLimit + 1).toInt).count() <= bruteForceLimit)
+      allPairsCosine(vectors, threshold, idCol, vecCol)
+    else
+      lshNearDupAdaptive(vectors, threshold, seed = seed,
+        targetOccupancy = targetOccupancy, recallFloor = recallFloor,
+        idCol = idCol, vecCol = vecCol).pairs
 }

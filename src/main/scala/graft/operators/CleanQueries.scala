@@ -237,11 +237,12 @@ object CleanQueries {
       .orderBy("user_id")
   }
 
+  // Fences feed comparisons against raw grid values — exact Spark
+  // percentile chain required, not quantile_cont (OracleSql scaladoc).
   val c11OutlierIqrSql: String =
-    """WITH b AS (
-      |  SELECT user_id,
-      |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
-      |  FROM events GROUP BY user_id),
+    "WITH " + OracleSql.pctChain("b", "events", "value", Seq("user_id"),
+      Seq("q1" -> "0.25", "q3" -> "0.75")) +
+    """,
       |f AS (
       |  SELECT user_id,
       |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi

@@ -149,12 +149,15 @@ object IndicatorQueries {
       |  END AS rsi
       |FROM a ORDER BY user_id, event_id""".stripMargin
 
-  /** I5: maximum drawdown per series (min of value/running-peak − 1). */
+  /** I5: maximum drawdown per series (min of value/running-peak − 1).
+    * Floor-grid display snap (not round/ROUND): the ratio−1 chain lands
+    * on virtual 6-dp ties where engine ROUNDs disagree — i6's identical
+    * shape was caught by the sf1-jitter gate (1 row in 1e6). */
   val i5Drawdown: Q = (s, dir) =>
     events(s, dir)
       .withColumn("dd", Indicators.drawdown(col("value"), keys, order))
       .groupBy("user_id")
-      .agg(round(min(col("dd")), 6).as("max_drawdown"),
+      .agg((floor(min(col("dd")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("max_drawdown"),
         count(lit(1)).as("n"))
       .orderBy("user_id")
 
@@ -165,20 +168,25 @@ object IndicatorQueries {
       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |      - 1 AS dd
       |  FROM events)
-      |SELECT user_id, ROUND(MIN(dd), 6) AS max_drawdown, COUNT(*) AS n
+      |SELECT user_id, FLOOR(MIN(dd) * 1e6 + 0.5) / 1e6 AS max_drawdown, COUNT(*) AS n
       |FROM dd GROUP BY user_id ORDER BY user_id""".stripMargin
 
-  /** I6: cumulative simple return from each series start. */
+  /** I6: cumulative simple return from each series start. Floor-grid
+    * snap on both sides (identical IEEE chain): the sf1-jitter gate
+    * caught the round()/ROUND() pair disagreeing on one virtual tie
+    * (−0.8959375) out of 1 M rows — the exact divergence class the r7
+    * numeric policy bans. */
   val i6CumReturn: Q = (s, dir) =>
     events(s, dir)
       .select(col("event_id"), col("user_id"),
-        round(Indicators.cumReturn(col("value"), keys, order), 6).as("cum_ret"))
+        (floor(Indicators.cumReturn(col("value"), keys, order) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("cum_ret"))
       .orderBy("user_id", "event_id")
 
   val i6CumReturnSql: String =
     """SELECT event_id, user_id,
-      |  ROUND(value / first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 6) AS cum_ret
+      |  FLOOR((value / first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) * 1e6 + 0.5) / 1e6 AS cum_ret
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
   /** I7: rolling lag-1 autocorrelation (30-row frame) per series. */

@@ -125,11 +125,11 @@ object TsQueries {
     Volatility.thresholds(volsDf(s, dir))
       .select(round(col("p33"), 6).as("p33"), round(col("p66"), 6).as("p66"))
 
-  val a5PercentileSql: String = volsCte +
+  val a5PercentileSql: String = volsCte + ",\n" +
+    OracleSql.pctChain("th", "vols", "vol", Nil,
+      Seq("p33" -> "0.33", "p66" -> "0.66")) +
     """
-      |SELECT ROUND(quantile_cont(vol, 0.33), 6) AS p33,
-      |       ROUND(quantile_cont(vol, 0.66), 6) AS p66
-      |FROM vols""".stripMargin
+      |SELECT ROUND(p33, 6) AS p33, ROUND(p66, 6) AS p66 FROM th""".stripMargin
 
   /** A6+A8: risk classification + ascending-vol rank (user_id tiebreak). */
   val a6RiskClassify: Q = (s, dir) =>
@@ -138,10 +138,14 @@ object TsQueries {
         col("rank").cast("long").as("risk_rank"))
       .orderBy("risk_rank")
 
-  val a6RiskClassifySql: String = volsCte +
-    """,
-      |th AS (SELECT quantile_cont(vol, 0.33) AS p33,
-      |              quantile_cont(vol, 0.66) AS p66 FROM vols)
+  // Thresholds feed `vol <= p33/p66` comparisons against the SAME vol
+  // values they interpolate between — rounded-6dp vols tie freely (and
+  // clone replicas duplicate them wholesale), so the exact Spark chain
+  // is required (OracleSql scaladoc).
+  val a6RiskClassifySql: String = volsCte + ",\n" +
+    OracleSql.pctChain("th", "vols", "vol", Nil,
+      Seq("p33" -> "0.33", "p66" -> "0.66")) +
+    """
       |SELECT user_id, vol,
       |  CASE WHEN vol <= p33 THEN 'Conservador'
       |       WHEN vol <= p66 THEN 'Moderado'
@@ -156,10 +160,10 @@ object TsQueries {
       .select(col("risk_class"), col("count").as("n"))
       .orderBy("risk_class")
 
-  val a7RiskSummarySql: String = volsCte +
-    """,
-      |th AS (SELECT quantile_cont(vol, 0.33) AS p33,
-      |              quantile_cont(vol, 0.66) AS p66 FROM vols)
+  val a7RiskSummarySql: String = volsCte + ",\n" +
+    OracleSql.pctChain("th", "vols", "vol", Nil,
+      Seq("p33" -> "0.33", "p66" -> "0.66")) +
+    """
       |SELECT CASE WHEN vol <= p33 THEN 'Conservador'
       |            WHEN vol <= p66 THEN 'Moderado'
       |            ELSE 'Agresivo' END AS risk_class,
@@ -368,11 +372,14 @@ object TsQueries {
       .orderBy("user_id", "event_id")
   }
 
+  // Bounds feed a comparison against raw grid values, so they must use
+  // Spark's exact interpolation chain, not quantile_cont (OracleSql
+  // scaladoc; the sf1-jitter gate caught quantile_cont re-rounding a
+  // tied-neighbor bound and flipping `clipped` on values sitting on it).
   val c12WinsorizeSql: String =
-    """WITH b AS (
-      |  SELECT user_id,
-      |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
-      |  FROM events GROUP BY user_id)
+    "WITH " + OracleSql.pctChain("b", "events", "value", Seq("user_id"),
+      Seq("lo" -> "0.05", "hi" -> "0.95")) +
+    """
       |SELECT e.event_id, e.user_id,
       |  FLOOR(GREATEST(b.lo, LEAST(b.hi, e.value)) * 1e6 + 0.5) / 1e6 AS winsorized,
       |  (e.value < b.lo OR e.value > b.hi) AS clipped
@@ -415,8 +422,12 @@ object TsQueries {
       |rets AS (
       |  SELECT user_id, FLOOR(LN(value / prev) * 1e9 + 0.5) / 1e9 AS ret
       |  FROM r WHERE prev > 0 AND value > 0),
-      |vq AS (SELECT user_id, quantile_cont(ret, 0.05) AS var05
-      |       FROM rets GROUP BY user_id)
+      |""".stripMargin +
+    // var05 feeds `ret <= var05` against the same grid-snapped rets it
+    // interpolates between — exact Spark chain required (OracleSql).
+    OracleSql.pctChain("vq", "rets", "ret", Seq("user_id"),
+      Seq("var05" -> "0.05")) +
+    """
       |SELECT rets.user_id, ROUND(vq.var05, 6) AS var05,
       |  ROUND(CAST(SUM(CAST(ret AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS cvar05,
       |  COUNT(*) AS n_tail

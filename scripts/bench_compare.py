@@ -14,6 +14,9 @@ import json, re, sys
 def queries(path):
     d = json.load(open(path))
     q = d.get("queries") or d.get("queries_min")
+    if not isinstance(q, dict) or not q:
+        sys.exit(f"error: {path} has no 'queries'/'queries_min' map — "
+                 "not a Bench artifact?")
     return d, q
 
 
@@ -43,9 +46,13 @@ def main():
     for f in sorted(fams):
         o, n = fams[f]
         print(f"{f:<10}{o:>10.1f}{n:>10.1f}{n / o if o else float('inf'):>8.2f}")
+    if not common:
+        sys.exit("error: no common queries between the two artifacts — "
+                 "nothing to compare")
     to = sum(qo[q] for q in common)
     tn = sum(qn[q] for q in common)
-    print(f"{'TOTAL':<10}{to:>10.1f}{tn:>10.1f}{tn / to:>8.2f}")
+    print(f"{'TOTAL':<10}{to:>10.1f}{tn:>10.1f}"
+          f"{tn / to if to else float('inf'):>8.2f}")
     print(f"\nqueries with ratio > {flag} or < {1 / flag:.2f} (and >1s on either side):")
     for q in common:
         o, n = qo[q], qn[q]

@@ -132,12 +132,24 @@ object Graft {
     val spark = base.sparkSession
     val key = (System.identityHashCode(spark).toString, dir, what)
     disjointIdsVerified.getOrElseUpdate(key, {
+      import org.apache.spark.sql.functions.{count, countDistinct, lit}
       val clash = derived.select("doc_id")
         .join(base.select("doc_id"), Seq("doc_id"), "left_semi")
         .limit(1).count()
       require(clash == 0L,
         s"$what: derived doc_ids collide with real doc_ids in $dir — " +
           "the fixed derivation offset is unsafe for this corpus layout")
+      // The twin offset sets must also be disjoint from EACH OTHER:
+      // +100000 and +200000 twins collide when the corpus id span
+      // exceeds the offset gap (d and d+100000 both %5==0) — a
+      // duplicate doc_id that corrupts Spark and the DuckDB oracle
+      // identically, exactly the silent class this guard exists for.
+      val dups = derived.agg(
+        count(lit(1)).as("n"), countDistinct("doc_id").as("d")).head()
+      require(dups.getLong(0) == dups.getLong(1),
+        s"$what: derived doc_ids collide with each other in $dir " +
+          s"(${dups.getLong(0)} rows, ${dups.getLong(1)} distinct) — " +
+          "the offset twin sets overlap for this corpus layout")
       true
     })
   }

@@ -87,6 +87,14 @@ object StreamRecover {
     val killedAfter = Option(qb.lastProgress).map(_.batchId + 1).getOrElse(0L)
     qb.stop()
     qb.awaitTermination()
+    // The proof is only a RECOVERY proof if the kill landed mid-replay:
+    // on a small/fast replay, run B can drain every batch before the
+    // poll loop observes it, and the comparison would degenerate to two
+    // uninterrupted runs that print identical:true vacuously.
+    require(killedAfter < totalBatches,
+      s"kill landed after replay completed ($killedAfter of $totalBatches " +
+        "batches) — recovery proof would be vacuous; rerun with more " +
+        "files / fewer filesPerTrigger")
     System.err.println(s"[recover] killed run B after batch ${killedAfter - 1}")
     val t1 = System.nanoTime()
     start("b").awaitTermination() // same checkpoint + sink: resumes

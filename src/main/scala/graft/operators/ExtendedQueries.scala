@@ -310,12 +310,19 @@ object ExtendedQueries {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  // p90 is a non-dyadic, non-median percentile → Spark's exact
+  // interpolation chain, not quantile_cont (OracleSql scaladoc; the
+  // tie short-circuit vs (1−f)a+fb re-rounding class the sf1-jitter
+  // gate caught on c12). The median would be exempt by proof but rides
+  // the same chain for uniformity.
   val qGroupPercentileSql: String =
-    """SELECT event_type,
-      |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
-      |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
-      |  COUNT(*) AS n
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    "WITH " + OracleSql.pctChain("pct", "events", "value", Seq("event_type"),
+      Seq("p50" -> "0.5", "p90" -> "0.9")) +
+    """,
+      |cnt AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
+      |SELECT c.event_type, ROUND(p.p50, 6) AS p50, ROUND(p.p90, 6) AS p90, c.n
+      |FROM cnt c LEFT JOIN pct p USING (event_type)
+      |ORDER BY event_type""".stripMargin
 
   /** F11: JSON field extraction — pull the numeric `k` out of the events
     * `props` JSON column and aggregate it per event type. Path extraction
@@ -475,11 +482,15 @@ object ExtendedQueries {
       |  GROUP BY e.user_id),
       |lat AS (
       |  SELECT CAST(epoch_ns(t_buy) - epoch_ns(t_view) AS DOUBLE) / 1e9 AS latency_s
-      |  FROM fb)
-      |SELECT COUNT(*) AS n_users,
-      |  ROUND(quantile_cont(latency_s, 0.5), 6) AS p50_s,
-      |  ROUND(quantile_cont(latency_s, 0.9), 6) AS p90_s
-      |FROM lat""".stripMargin
+      |  FROM fb),
+      |""".stripMargin +
+    // p90 via Spark's exact chain, not quantile_cont (OracleSql scaladoc)
+    OracleSql.pctChain("pct", "lat", "latency_s", Seq(),
+      Seq("p50" -> "0.5", "p90" -> "0.9")) +
+    """
+      |SELECT (SELECT COUNT(*) FROM lat) AS n_users,
+      |  ROUND(p50, 6) AS p50_s, ROUND(p90, 6) AS p90_s
+      |FROM pct""".stripMargin
 
   /** TPC-H Q19 shape: disjunctive brand/size/quantity predicate across a
     * lineitem ⋈ part join — the classic OR-of-ANDs case. The part-side

@@ -131,6 +131,86 @@ object VectorQueries {
       |SELECT vec_a, vec_b, cos FROM ndp
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** D5a: the PRODUCTION embedding near-dup path — density-adaptive
+    * banded LSH (VectorOps.lshNearDupAdaptive, library defaults) —
+    * oracle-gated end to end. Unlike the frozen d5 entry (a pinned
+    * 16 × 4 banding kept for bit-identical replay of the r5 catalog),
+    * this gates the code a 100 TB pipeline actually runs: the
+    * occupancy-derived bits, recall-floor-derived bands, seeded
+    * Gaussian planes, and the 1024-bit Hamming prefilter.
+    *
+    * Oracle replayability rests on three shared artifacts, each pinned
+    * in one engine and consumed as DATA by the other so no
+    * floating-point formula is ever re-derived cross-engine:
+    *  1. the planes: counter-based splitmix64 + Box–Muller from seed 42
+    *     ([[graft.vector.VectorOps.gaussianPlanes]]), committed as
+    *     `data/adaptive_planes/` parquet (doubles round-trip exactly;
+    *     AdaptiveOracleSpec pins file == function);
+    *  2. bits: an INTEGER-exact ⌈log₂⌉ of ⌈n/occupancy⌉ both sides can
+    *     compute without logs (`1 << (bits+6) >= n` scan);
+    *  3. bands and the Hamming cut: precomputed by the ENGINE's own
+    *     StrictMath formulas at SQL-build time and embedded as a VALUES
+    *     lookup / integer literal ([[graft.vector.VectorOps.bandsByBits]],
+    *     [[graft.vector.VectorOps.sigMaxHamming]]).
+    *
+    * The SQL skips the engine's value/code-collapse rewrites on a
+    * proof, not an approximation: bucket codes, signatures, and the
+    * rerank cosine are functions of the embedding VALUE only, so
+    * value-identical vectors collide in every band, show Hamming 0,
+    * and score exactly as the collapsed representative does — the
+    * expanded pair set is identical by construction (the same argument
+    * that makes the collapse admissible in the engine). */
+  val d5aNeardupAdaptive: Q = (s, dir) =>
+    VectorOps.lshNearDupAdaptive(
+      Graft.table(s, dir, "embeddings"), threshold = 0.4)
+      .pairs.orderBy("vec_a", "vec_b")
+
+  val d5aNeardupAdaptiveSql: String = {
+    val blRows = VectorOps.bandsByBits(0.4, 0.95)
+      .map { case (b, k) => s"($b,$k)" }.mkString(",")
+    val maxHam = VectorOps.sigMaxHamming(0.4, 1024, 4.0)
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |nn AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT e FROM v)),
+       |bl(bits, bands) AS (VALUES $blRows),
+       |b0 AS (SELECT COALESCE(MIN(bits), 24) AS bits0 FROM bl, nn
+       |       WHERE (CAST(1 AS BIGINT) << (bits + 6)) >= nn.n),
+       |params AS (SELECT bits, bands FROM bl, b0
+       |           WHERE bits <= b0.bits0 AND (bands * bits <= 16384 OR bits = 2)
+       |           ORDER BY bits DESC LIMIT 1),
+       |pl AS (SELECT pid, pe FROM read_parquet('/root/repo/data/adaptive_planes/*.parquet')),
+       |codes AS MATERIALIZED (
+       |  SELECT v.vec_id, CAST(b.pid // p.bits AS INT) AS band,
+       |    CAST(SUM(CASE WHEN list_dot_product(v.e, b.pe) > 0
+       |        THEN CAST(1 AS BIGINT) << CAST(b.pid % p.bits AS INT) ELSE 0 END)
+       |      AS BIGINT) AS bucket
+       |  FROM v, pl b, params p WHERE b.pid < p.bands * p.bits
+       |  GROUP BY v.vec_id, band),
+       |sigs AS (
+       |  SELECT v.vec_id, CAST((s.pid - p.bands * p.bits) // 32 AS INT) AS word,
+       |    CAST(SUM(CASE WHEN list_dot_product(v.e, s.pe) > 0
+       |        THEN CAST(1 AS BIGINT) << CAST((s.pid - p.bands * p.bits) % 32 AS INT)
+       |        ELSE 0 END) AS BIGINT) AS w
+       |  FROM v, pl s, params p
+       |  WHERE s.pid >= p.bands * p.bits AND s.pid < p.bands * p.bits + 1024
+       |  GROUP BY v.vec_id, word),
+       |sigl AS MATERIALIZED (
+       |  SELECT vec_id, LIST(w ORDER BY word) AS ws FROM sigs GROUP BY vec_id),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM codes x JOIN codes y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |pre AS MATERIALIZED (
+       |  SELECT c.vec_a, c.vec_b
+       |  FROM cand c JOIN sigl sa ON sa.vec_id = c.vec_a
+       |               JOIN sigl sb ON sb.vec_id = c.vec_b
+       |  WHERE list_sum(list_transform(list_zip(sa.ws, sb.ws),
+       |          z -> bit_count(xor(z[1], z[2])))) <= $maxHam)
+       |SELECT pr.vec_a, pr.vec_b, ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
+       |FROM pre pr JOIN v a ON a.vec_id = pr.vec_a JOIN v b ON b.vec_id = pr.vec_b
+       |WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   /** M1: multimodal decode — binary payloads (real PNG/JPEG containers
     * around the text bytes) → per-partition byte-level header parse
     * (magic sniff, IHDR/SOF field extraction, CRC check) → typed
@@ -805,6 +885,7 @@ object VectorQueries {
     "v2_ivf_assign" -> v2IvfAssign,
     "v3_lsh_buckets" -> v3LshBuckets,
     "d5_embedding_neardup" -> d5EmbeddingNeardup,
+    "d5a_neardup_adaptive" -> d5aNeardupAdaptive,
     "m1_multimodal_meta" -> m1MultimodalMeta,
   )
 
@@ -824,6 +905,7 @@ object VectorQueries {
     "v2_ivf_assign" -> v2IvfAssignSql,
     "v3_lsh_buckets" -> v3LshBucketsSql,
     "d5_embedding_neardup" -> d5EmbeddingNeardupSql,
+    "d5a_neardup_adaptive" -> d5aNeardupAdaptiveSql,
     "m1_multimodal_meta" -> m1MultimodalMetaSql,
   )
 }

@@ -294,23 +294,49 @@ object VectorOps {
     *  - if bands·bits exceeds `maxPlanes` (the per-vector dot budget),
     *    bits backs off one at a time — recall is NEVER traded below the
     *    floor; the join pays instead, and loudly (occupancy doubles per
-    *    step down). */
+    *    step down).
+    *
+    * The bits derivation is INTEGER-EXACT (⌈log₂⌉ via leading-zero
+    * count on ⌈n/occupancy⌉, mathematically equal to the real-valued
+    * formula for every n) so an independent replay — e.g. the d5a
+    * DuckDB oracle deriving bits from COUNT(*) in SQL — can never
+    * diverge on a floating-point log at an exact power-of-two boundary.
+    * The bands formula stays floating-point but StrictMath-only
+    * (JVM-deterministic); oracle replays consume it as a precomputed
+    * bits→bands lookup (see [[bandsByBits]]), never by re-evaluating
+    * logs in another engine's libm. */
   def adaptiveBanding(n: Long, threshold: Double, targetOccupancy: Long = 64,
       recallFloor: Double = 0.95, maxPlanes: Int = 16384): (Int, Int) = {
     require(n > 0 && threshold > -1.0 && threshold < 1.0 &&
       recallFloor > 0.0 && recallFloor < 1.0, "domain")
-    val p = signAgreeProb(threshold)
-    def bandsFor(bits: Int): Int = {
-      val pr = StrictMath.pow(p, bits)
-      if (pr >= 1.0) 1
-      else math.ceil(StrictMath.log(1.0 - recallFloor) / StrictMath.log(1.0 - pr))
-        .toInt.max(1)
-    }
-    var bits = math.ceil(StrictMath.log(math.max(2.0, n.toDouble / targetOccupancy))
-      / StrictMath.log(2.0)).toInt.max(2).min(24)
+    def bandsFor(bits: Int): Int = bandsForBits(threshold, recallFloor, bits)
+    // ⌈log₂(max(2, n/occ))⌉ in pure integer math: for real x ≥ 1,
+    // ⌈log₂ x⌉ = ⌈log₂ ⌈x⌉⌉ (both land in the same (2^k, 2^(k+1)]
+    // interval), so ceil-divide first, then a bit-length ceil-log2.
+    val m = (n + targetOccupancy - 1) / targetOccupancy
+    val ceilLog2 = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    var bits = ceilLog2.max(2).min(24)
     while (bits > 2 && bandsFor(bits).toLong * bits > maxPlanes) bits -= 1
     (bandsFor(bits), bits)
   }
+
+  /** Bands needed to hold banding-curve recall ≥ `recallFloor` at
+    * `threshold` with `bits`-bit band codes — the inner formula of
+    * [[adaptiveBanding]], exposed so oracle replays can precompute the
+    * full bits→bands table in ONE engine (this JVM) and ship it as data
+    * instead of re-deriving logs cross-engine. */
+  def bandsForBits(threshold: Double, recallFloor: Double, bits: Int): Int = {
+    val pr = StrictMath.pow(signAgreeProb(threshold), bits)
+    if (pr >= 1.0) 1
+    else math.ceil(StrictMath.log(1.0 - recallFloor) / StrictMath.log(1.0 - pr))
+      .toInt.max(1)
+  }
+
+  /** (bits → bands) lookup over the full adaptive range [2, 24] for a
+    * fixed (threshold, recallFloor) — the table a SQL oracle embeds as
+    * VALUES so its parameter choice is bit-identical to the engine's. */
+  def bandsByBits(threshold: Double, recallFloor: Double): Seq[(Int, Int)] =
+    (2 to 24).map(b => b -> bandsForBits(threshold, recallFloor, b))
 
   /** splitmix64 — the counter-based PRNG behind [[gaussianPlanes]]. */
   private def splitmix64(x: Long): Long = {
@@ -394,9 +420,23 @@ object VectorOps {
     val tagged = ExactCollapse.tag(base, "id", Seq(col("__v")))
     val reps = ExactCollapse.reps(tagged, "id")
     val mem = ExactCollapse.members(tagged, "id")
-    val n = reps.count()
+    // One aggregate yields n AND validates the vector column up front: a
+    // null embedding would NPE deep in the kernel, and any vector whose
+    // length differs from the sampled dim would get all-zero band codes
+    // (SignBitsPacked's plane-length guard), silently flooding bucket 0
+    // and degrading the join toward quadratic — fail loudly instead.
+    val st = reps.agg(count(lit(1)).as("n"),
+      sum(when(col("__v").isNull, 1L).otherwise(0L)).as("nulls"),
+      min(size(col("__v"))).as("dmin"), max(size(col("__v"))).as("dmax")).head()
+    val n = st.getLong(0)
+    require(n > 0, "lshNearDupAdaptive: empty vector set")
+    require(st.getLong(1) == 0L,
+      s"lshNearDupAdaptive: ${st.getLong(1)} null $vecCol vectors — filter or impute them first")
+    val dim = st.getInt(2)
+    require(dim > 0 && st.getInt(3) == dim,
+      s"lshNearDupAdaptive: non-uniform $vecCol dimension (min $dim, max ${st.getInt(3)}) — " +
+        "mixed-dimension corpora must be partitioned by dim first")
     val (bands, bits) = adaptiveBanding(n, threshold, targetOccupancy, recallFloor, maxPlanes)
-    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
     val sigWords = (sigBits + 63) / 64
     val planes = gaussianPlanes(seed, bands * bits + sigWords * 64, dim)
     val groups = Array.fill(bands)(bits) ++ Array.fill(sigWords)(64)
@@ -431,13 +471,8 @@ object VectorOps {
       .unionByName(ExactCollapse.dupSelfPairs(mem, "vec_a", "vec_b"))
     // Hamming prefilter: drop pairs whose signature-estimated agreement
     // sits sigMarginSigmas below the threshold's expected agreement.
-    val p = signAgreeProb(threshold)
     val maxHam = if (sigBits <= 0) Long.MaxValue
-      else {
-        val nb = (sigWords * 64).toDouble
-        val cut = p - sigMarginSigmas * StrictMath.sqrt(p * (1.0 - p) / nb)
-        math.floor(nb * (1.0 - cut)).toLong
-      }
+      else sigMaxHamming(threshold, sigWords * 64, sigMarginSigmas)
     val sa = packed.select(col("id").as("vec_a"), col("__sig").as("__sa"))
     val sb = packed.select(col("id").as("vec_b"), col("__sig").as("__sb2"))
     val pre = if (sigBits <= 0) cand else
@@ -457,6 +492,20 @@ object VectorOps {
       (if (sigBits <= 0) 1.0 else normalCdf(sigMarginSigmas))
     AdaptiveNearDup(n, bands, bits, sigWords * 64, maxHam, predicted,
       cand, pre, pairs)
+  }
+
+  /** Max Hamming distance a candidate pair may show over `sigBits`
+    * signature bits before the prefilter drops it: the binomial
+    * `sigMarginSigmas`-sigma lower bound on bit agreement at `threshold`.
+    * Exposed (and used by [[lshNearDupAdaptive]]) so oracle replays embed
+    * the engine's own integer cut instead of re-deriving it in another
+    * engine's floating point. `sigBits` must be the PADDED width
+    * (sigWords·64) the engine actually compares. */
+  def sigMaxHamming(threshold: Double, sigBits: Int, sigMarginSigmas: Double): Long = {
+    val p = signAgreeProb(threshold)
+    val nb = sigBits.toDouble
+    val cut = p - sigMarginSigmas * StrictMath.sqrt(p * (1.0 - p) / nb)
+    math.floor(nb * (1.0 - cut)).toLong
   }
 
   /** Φ(x) via erf — for the predicted-recall report only. */

@@ -175,6 +175,14 @@ class PlanSpec extends SparkSpec {
       s"candidate join must be hash-joinable on (band, bucket):\n$p")
   }
 
+  test("d5a adaptive near-dup: prefilter + rerank joins stay keyed equi-joins") {
+    val p = plan(graft.operators.VectorQueries.d5aNeardupAdaptive(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"adaptive banding must keep the pair join keyed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"signature/rerank joins must be hash-joinable on vec ids:\n$p")
+  }
+
   test("q4: correlated EXISTS with outer-column inequality decorrelates to a semi join") {
     val p = plan(graft.operators.CorrelatedQueries.q4OrderPriority(spark, sf))
     assert(p.contains("LeftSemi"), s"EXISTS should plan as left-semi:\n$p")

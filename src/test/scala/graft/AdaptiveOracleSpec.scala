@@ -45,6 +45,24 @@ class AdaptiveOracleSpec extends SparkSpec {
     assert(sql.contains("data/adaptive_planes"), "oracle must read the shared planes")
   }
 
+  test("lshNearDupAdaptive rejects null and mixed-dimension vectors loudly") {
+    // a null embedding would NPE deep in the kernel and a mixed-dim
+    // vector would silently flood band bucket 0 (all-zero codes) —
+    // both must fail at the door instead
+    val mixed = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.lshNearDupAdaptive(mixed, 0.4)
+    }
+    assert(e.getMessage.contains("non-uniform"))
+    val withNull = Seq((1L, Some(Seq(1f, 2f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      VectorOps.lshNearDupAdaptive(withNull, 0.4)
+    }
+    assert(e2.getMessage.contains("null"))
+  }
+
   test("committed plane budget covers every banding the gated corpora can request") {
     for (n <- Seq(500L, 2000L, 20000L, 65536L)) {
       val (bands, bits) = VectorOps.adaptiveBanding(n, 0.4)

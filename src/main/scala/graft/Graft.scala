@@ -164,6 +164,19 @@ object Graft {
     * lost partitions. That is the right trade for bounded intra-query
     * reuse; a frame SHARED across queries or held long-lived should
     * instead cache() and unpersist in a try/finally at the call site
-    * (see analytics.CompareAssets.compare). */
-  def materialize(df: DataFrame): DataFrame = df.localCheckpoint(false)
+    * (see analytics.CompareAssets.compare).
+    *
+    * Every plan materialized here is audited against the
+    * no-single-task-window invariant first ([[plans.WindowAudit]]): a
+    * checkpoint erases lineage into an opaque LogicalRDD, so this is
+    * the last point where a single-task global window in the producing
+    * plan is still visible to analysis — asserting here is what lets
+    * the catalog-wide sweep treat LogicalRDD inputs as bounded by
+    * induction instead of by convention. The audit costs one tree walk;
+    * the optimized plan it reads is computed by the lazy checkpoint's
+    * own planning anyway. */
+  def materialize(df: DataFrame): DataFrame = {
+    graft.plans.WindowAudit.assertNoSingleTaskWindow(df, "Graft.materialize")
+    df.localCheckpoint(false)
+  }
 }

@@ -165,6 +165,17 @@ object VectorQueries {
       Graft.table(s, dir, "embeddings"), threshold = 0.4)
       .pairs.orderBy("vec_a", "vec_b")
 
+  /** The shared-planes table location, resolved at SQL-build time from
+    * the running JVM's working directory (overridable via the
+    * `graft.repo.root` system property) — the oracle SQL must embed a
+    * concrete path for the driver's DuckDB process, but which checkout
+    * it points into is decided by where the engine runs, not by a
+    * hardcoded clone path. AdaptiveOracleSpec pins that the embedded
+    * path exists and holds the seed-42 planes. */
+  private val adaptivePlanesGlob: String = new java.io.File(
+    sys.props.getOrElse("graft.repo.root", sys.props("user.dir")),
+    "data/adaptive_planes").getAbsolutePath + "/*.parquet"
+
   val d5aNeardupAdaptiveSql: String = {
     val blRows = VectorOps.bandsByBits(0.4, 0.95)
       .map { case (b, k) => s"($b,$k)" }.mkString(",")
@@ -174,10 +185,18 @@ object VectorQueries {
        |bl(bits, bands) AS (VALUES $blRows),
        |b0 AS (SELECT COALESCE(MIN(bits), 24) AS bits0 FROM bl, nn
        |       WHERE (CAST(1 AS BIGINT) << (bits + 6)) >= nn.n),
-       |params AS (SELECT bits, bands FROM bl, b0
-       |           WHERE bits <= b0.bits0 AND (bands * bits <= 16384 OR bits = 2)
-       |           ORDER BY bits DESC LIMIT 1),
-       |pl AS (SELECT pid, pe FROM read_parquet('/root/repo/data/adaptive_planes/*.parquet')),
+       |pl AS (SELECT pid, pe FROM read_parquet('$adaptivePlanesGlob')),
+       |p0 AS (SELECT bits, bands FROM bl, b0
+       |       WHERE bits <= b0.bits0 AND (bands * bits <= 16384 OR bits = 2)
+       |       ORDER BY bits DESC LIMIT 1),
+       |params AS (SELECT bits,
+       |           CASE WHEN bands * bits + 1024 > (SELECT COUNT(*) FROM pl)
+       |                THEN CAST(error('adaptive_planes table too small: need '
+       |                     || (bands * bits + 1024) || ' planes, have '
+       |                     || (SELECT COUNT(*) FROM pl)
+       |                     || ' - regenerate with AdaptivePlanesGen') AS INT)
+       |                ELSE bands END AS bands
+       |           FROM p0),
        |codes AS MATERIALIZED (
        |  SELECT v.vec_id, CAST(b.pid // p.bits AS INT) AS band,
        |    CAST(SUM(CASE WHEN list_dot_product(v.e, b.pe) > 0

@@ -86,7 +86,8 @@ object StreamLate {
     val total = spark.read.parquet(replayDir).count()
     System.err.println(s"[stream-late] corpus: $total rows, ${parts.length} files")
 
-    // --- Stream: event-time dedup with a watermark, one file per batch.
+    // --- Stream: 1-hour tumbling windowed event-time count with a
+    // watermark, one file per batch.
     @volatile var streamDrops = 0L
     @volatile var batches = 0L
     val listener = new StreamingQueryListener {

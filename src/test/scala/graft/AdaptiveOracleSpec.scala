@@ -43,6 +43,20 @@ class AdaptiveOracleSpec extends SparkSpec {
       assert(sql.contains(s"($b,$k)"), s"bits→bands VALUES row ($b,$k) missing")
     }
     assert(sql.contains("data/adaptive_planes"), "oracle must read the shared planes")
+    // the planes path is resolved from THIS checkout at SQL-build time
+    // (user.dir / graft.repo.root), never hardcoded to one clone location
+    val planesAbs = new java.io.File(
+      sys.props.getOrElse("graft.repo.root", sys.props("user.dir")),
+      "data/adaptive_planes").getAbsolutePath
+    assert(sql.contains(s"read_parquet('$planesAbs/*.parquet')"),
+      s"oracle planes path must resolve to this checkout ($planesAbs)")
+    assert(new java.io.File(planesAbs).isDirectory,
+      "resolved planes directory missing — run AdaptivePlanesGen")
+    // the SQL carries its own fail-loudly coverage guard: a corpus whose
+    // banding needs more planes than the committed table must error()
+    // instead of silently truncating signatures under the Hamming cut
+    assert(sql.contains("error('adaptive_planes table too small"),
+      "SQL-side plane-coverage guard missing")
   }
 
   test("lshNearDupAdaptive rejects null and mixed-dimension vectors loudly") {

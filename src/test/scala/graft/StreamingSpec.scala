@@ -555,4 +555,71 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("watermark semantics pin: late-filter lags one batch; drop metric counts partials") {
+    // Pins the two engine behaviors the StreamLate replica harness
+    // measured (scale/StreamLate.scala scaladoc, SPARK-42376): Spark
+    // carries TWO watermarks per stateful operator — late-event
+    // filtering uses the PREVIOUS batch's watermark (max event time
+    // through batch b−2, − delay), so a row late by ONE batch boundary
+    // is kept and one late by TWO drops; and numRowsDroppedByWatermark
+    // counts dropped PARTIAL aggregates (≥1 when drops occur, ≤ the
+    // dropped input-row count). If a Spark upgrade changes either, this
+    // fails here instead of leaving a stale comment.
+    implicit val sc = spark.sqlContext
+    @volatile var droppedPartials = 0L
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        droppedPartials += e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum
+    }
+    spark.streams.addListener(listener)
+    // the lag is one MICRO-batch: a no-data batch (which
+    // processAllAvailable otherwise appends after every addData, and
+    // which a continuously-fed file/AvailableNow replay like StreamLate
+    // never interleaves) advances the lagged watermark too — disable it
+    // so one addData == one batch boundary, matching the replay model
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+      val stream = MemoryStream[java.sql.Timestamp]
+      val q = stream.toDF().toDF("event_time")
+        .withWatermark("event_time", "0 seconds")
+        .groupBy(window(col("event_time"), "1 minute")).agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("wstart"), col("n"))
+        .writeStream.format("memory").queryName("wmpin").outputMode("append").start()
+      // batch 1: wm candidate 10:01:00 (window [10:01,10:02))
+      stream.addData(Seq(ts("10:01:00"))); q.processAllAvailable()
+      // batch 2: late filter wm = through batch 0 = -inf, so the
+      // 10:00:00 row (window [10:00,10:01), one boundary late — its end
+      // is already ≤ the CURRENT wm 10:01:00) must be KEPT; the window
+      // then emits at end of batch 2 with exactly this row.
+      stream.addData(Seq(ts("10:10:00"), ts("10:00:00"))); q.processAllAvailable()
+      // batch 3: late filter wm = through batch 1 = 10:01:00 — all three
+      // [10:00,10:01) rows are now two boundaries late and must DROP.
+      stream.addData(Seq(ts("10:00:30"), ts("10:00:40"), ts("10:00:50")))
+      q.processAllAvailable()
+      // batches 4–5: two wm advances flush [10:10) (eviction uses the
+      // CURRENT wm — through b−1 — so the 11:00 advance lands in b5)
+      stream.addData(Seq(ts("11:00:00"))); q.processAllAvailable()
+      stream.addData(Seq(ts("12:00:00"))); q.processAllAvailable()
+      q.stop()
+
+      val got = spark.table("wmpin").as[(java.sql.Timestamp, Long)]
+        .collect().sortBy(_._1.getTime).toSeq
+      // [10:00): n=1 — the one-boundary-late row kept, the two-boundary
+      // rows excluded, and NO re-emission of the closed window (a second
+      // 10:00 row would appear here if the dropped rows had been kept)
+      assert(got == Seq((ts("10:00:00"), 1L), (ts("10:01:00"), 1L), (ts("10:10:00"), 1L)),
+        s"emitted windows diverge from the dual-watermark model: $got")
+      assert(droppedPartials >= 1L && droppedPartials <= 3L,
+        s"drop metric should count partial aggregates in [1, 3 input rows], " +
+          s"got $droppedPartials")
+    } finally {
+      spark.streams.removeListener(listener)
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+  }
 }

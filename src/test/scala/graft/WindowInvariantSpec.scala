@@ -1,65 +1,59 @@
 package graft
 
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, In, Literal}
-import org.apache.spark.sql.catalyst.plans.logical._
-import org.apache.spark.sql.execution.LogicalRDD
-import org.apache.spark.sql.execution.datasources.LogicalRelation
+import graft.plans.WindowAudit
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Catalog-wide pin of the no-single-task-window invariant: no catalog
-  * query may plan a Window with EMPTY partitioning whose input is
-  * unbounded table data — on a cluster that window serializes the whole
-  * frame through one task. Global windows over a prior aggregation are
-  * fine (the frame is bounded by group cardinality — the t38-strata
-  * class), as are limits and literal/local inputs.
+/** Catalog-wide pin of the no-single-task-window invariant
+  * ([[graft.plans.WindowAudit]] holds the shared plan analysis): no
+  * catalog query may plan a Window with EMPTY partitioning whose input
+  * is unbounded table data — on a cluster that window serializes the
+  * whole frame through one task.
   *
-  * Materialized intermediates (LogicalRDD from Graft.materialize /
-  * GlobalRank sweeps) are treated as bounded here because their
-  * producing plan is audited where it is built — GlobalRank exists
-  * precisely to REPLACE unpartitioned windows, so re-flagging its
-  * output would ban the cure along with the disease. */
+  * Materialized intermediates (LogicalRDD) are treated as bounded by
+  * INDUCTION, not convention: `Graft.materialize` asserts the same
+  * invariant on every plan it checkpoints (the only way catalog code
+  * produces a LogicalRDD), so an unbounded global-window frame can
+  * never enter the catalog through materialization — the second and
+  * third tests here keep that enforcement point itself honest. */
 class WindowInvariantSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** A conjunct pinning a column to literal key value(s) — the frame
-    * below is one key's rows (a single series), the identical cost
-    * class as ONE partition of a keyed window. The pair-analytics
-    * queries (w10/z1/z2: two key-filtered series joined on position,
-    * then a global rolling window over the aligned pair) are this
-    * shape — inherently sequential series math, not a scale bug.
-    * Range predicates deliberately do NOT count: a date band over a
-    * fact table bounds nothing. */
-  private def keyEqualityBound(e: Expression): Boolean = e match {
-    case And(l, r) => keyEqualityBound(l) || keyEqualityBound(r)
-    case EqualTo(_: Attribute, _: Literal) => true
-    case EqualTo(_: Literal, _: Attribute) => true
-    case EqualNullSafe(_: Attribute, _: Literal) => true
-    case In(_: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) => true
-    case _ => false
-  }
-
-  /** True when unbounded source rows can reach this node without
-    * passing through an aggregation, limit, or literal-key filter. */
-  private def unbounded(p: LogicalPlan): Boolean = p match {
-    case _: Aggregate => false
-    case _: GlobalLimit | _: LocalLimit => false
-    case _: LocalRelation | _: OneRowRelation => false
-    case _: LogicalRDD => false // materialized; audited at its origin
-    case f: Filter if keyEqualityBound(f.condition) => false // one key's series
-    case _: LogicalRelation => true // a full table scan
-    case leaf if leaf.children.isEmpty => true // unknown leaf: assume the worst
-    case other => other.children.exists(unbounded)
-  }
-
   test("no catalog query windows over an unbounded unpartitioned frame") {
     val offenders = for {
       (name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)
-      plan = q(spark, sf).queryExecution.optimizedPlan
-      w <- plan.collect { case w: Window if w.partitionSpec.isEmpty => w }
-      if unbounded(w.child)
+      w <- WindowAudit.singleTaskWindows(q(spark, sf).queryExecution.optimizedPlan)
     } yield s"$name: global window over unbounded input\n${w.child.treeString.take(400)}"
     assert(offenders.isEmpty,
       s"single-task windows found (partition them or route through " +
         s"GlobalRank):\n${offenders.mkString("\n")}")
+  }
+
+  test("materialize refuses an unbounded unpartitioned window (the LogicalRDD hole)") {
+    // Table data (unbounded) under a global running sum: exactly the
+    // frame whose checkpoint would previously have re-entered the
+    // catalog as an unauditable LogicalRDD.
+    val t = Graft.table(spark, sf, "orders")
+      .withColumn("run", sum(col("o_totalprice")).over(Window.orderBy("o_orderkey")))
+    val e = intercept[IllegalStateException] { Graft.materialize(t) }
+    assert(e.getMessage.contains("global window over unbounded input"))
+  }
+
+  test("materialize accepts bounded global windows and audited sweep layouts") {
+    // post-aggregate global window: frame bounded by group cardinality
+    val agg = Graft.table(spark, sf, "orders")
+      .groupBy("o_orderstatus").agg(sum("o_totalprice").as("s"))
+      .withColumn("run", sum(col("s")).over(Window.orderBy("o_orderstatus")))
+    assert(Graft.materialize(agg).count() > 0)
+    // GlobalRank's own materialized range layout (no window at all)
+    val ranked = graft.functions.GlobalRank.withRowNumber(
+      Graft.table(spark, sf, "orders"), "rk", col("o_orderkey"))
+    assert(ranked.filter(col("rk") === 1L).count() == 1)
+    // key-equality-filtered series (one key's rows) under a global window
+    val series = Graft.events(spark, sf)
+      .filter(col("user_id") === 0L)
+      .withColumn("run", sum(col("value")).over(Window.orderBy("ts")))
+    assert(Graft.materialize(series).count() > 0)
   }
 }

@@ -199,13 +199,20 @@ object QualityQueries {
     * wire — see sketch.Sketches.countMinCells); the exact side exists
     * only as the probe set and accuracy reference for this query. */
   val t21CmsHeavyHitters: Q = (s, dir) => {
-    val words = Graft.materialize(
-      Graft.table(s, dir, "documents")
-        .select(explode(QualitySignals.words(col("text"))).as("key"))
-        .filter(length(col("key")) > 0))
+    // The exploded word frame is a pure scan+explode (codegen'd, no
+    // shuffle): recomputing it once per consumer is cheaper at scale
+    // than checkpointing hundreds of millions of short strings into
+    // heap blocks — the materialized form drove GC-spiked 4–59 s walls
+    // at sf10 (full-GC pauses on the block store), flat ~3 s without
+    // it. What IS worth materializing is the 20-row post-limit probe
+    // frame, which two consumers read.
+    val words = Graft.table(s, dir, "documents")
+      .select(explode(QualitySignals.words(col("text"))).as("key"))
+      .filter(length(col("key")) > 0)
     val cells = Sketches.countMinCells(words, col("key"), 4, 1024)
-    val exact = words.groupBy("key").agg(count(lit(1)).as("exact_n"))
-      .orderBy(col("exact_n").desc, col("key")).limit(20)
+    val exact = Graft.materialize(
+      words.groupBy("key").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("key")).limit(20))
     Sketches.countMinEstimate(cells, exact.select("key"), 4, 1024)
       .join(exact, "key")
       .select(col("key").as("word"), col("exact_n"), col("cms_est"))

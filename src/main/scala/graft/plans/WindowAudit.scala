@@ -27,15 +27,32 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   */
 object WindowAudit {
 
-  /** A conjunct pinning a column to literal key value(s) — the frame
+  /** Is `name` plausibly a series/entity KEY, i.e. a column whose
+    * literal-equality filter pins the frame to one key's rows? This is
+    * load-bearing enforcement (materialize asserts through it), so the
+    * match is deliberately narrow: id/key-suffixed names plus the
+    * engine's series identifiers. A literal equality on a NON-key
+    * column (`flag = true`, `event_type = 'purchase'`) selects a
+    * category, not a series — it bounds nothing at scale and must NOT
+    * mark the frame bounded (the r10 false-negative class). Residual
+    * false negatives are name-level only (a key column named e.g.
+    * `series` would need adding here — the assert then fails loudly,
+    * the safe direction). */
+  private def keyLikeName(name: String): Boolean = {
+    val n = name.toLowerCase
+    n.endsWith("id") || n.endsWith("key") ||
+      Set("symbol", "sym", "ticker", "asset").contains(n)
+  }
+
+  /** A conjunct pinning a KEY column to literal value(s) — the frame
     * below is one key's rows. Range predicates deliberately do NOT
     * count: a date band over a fact table bounds nothing. */
   private def keyEqualityBound(e: Expression): Boolean = e match {
     case And(l, r) => keyEqualityBound(l) || keyEqualityBound(r)
-    case EqualTo(_: Attribute, _: Literal) => true
-    case EqualTo(_: Literal, _: Attribute) => true
-    case EqualNullSafe(_: Attribute, _: Literal) => true
-    case In(_: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) => true
+    case EqualTo(a: Attribute, _: Literal) => keyLikeName(a.name)
+    case EqualTo(_: Literal, a: Attribute) => keyLikeName(a.name)
+    case EqualNullSafe(a: Attribute, _: Literal) => keyLikeName(a.name)
+    case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) => keyLikeName(a.name)
     case _ => false
   }
 

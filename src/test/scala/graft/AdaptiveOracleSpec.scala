@@ -57,6 +57,12 @@ class AdaptiveOracleSpec extends SparkSpec {
     // instead of silently truncating signatures under the Hamming cut
     assert(sql.contains("error('adaptive_planes table too small"),
       "SQL-side plane-coverage guard missing")
+    // ... and a pid-CONTIGUITY guard: a partially regenerated table can
+    // pass the COUNT(*) check while a pid-numbering gap silently drops
+    // planes under `pid < bands*bits` — assert MAX(pid)+1 == COUNT(*)
+    // fails loudly too (r10 ADVICE; fire-proof in scripts/guard_fire_check.py)
+    assert(sql.contains("error('adaptive_planes pid numbering is not contiguous"),
+      "SQL-side pid-contiguity guard missing")
   }
 
   test("lshNearDupAdaptive rejects null and mixed-dimension vectors loudly") {

@@ -40,6 +40,18 @@ class WindowInvariantSpec extends SparkSpec {
     assert(e.getMessage.contains("global window over unbounded input"))
   }
 
+  test("non-key literal equality does not bound the frame (r10 false-negative class)") {
+    // `status = 'F'` selects a CATEGORY of a fact table, not one key's
+    // series — before r11 any literal-equality conjunct marked the
+    // frame bounded and this single-task window sailed through the
+    // production materialize assert.
+    val t = Graft.table(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .withColumn("run", sum(col("o_totalprice")).over(Window.orderBy("o_orderkey")))
+    val e = intercept[IllegalStateException] { Graft.materialize(t) }
+    assert(e.getMessage.contains("global window over unbounded input"))
+  }
+
   test("materialize accepts bounded global windows and audited sweep layouts") {
     // post-aggregate global window: frame bounded by group cardinality
     val agg = Graft.table(spark, sf, "orders")

@@ -211,8 +211,15 @@ def main():
         verdicts.update({n: {"status": "timeout", "budget_s": TIMEOUT_S,
                              "allowlisted": n in TIMEOUT_OK} for n in timeouts})
         verdicts.update({n: {"status": "missing"} for n in sorted(missing)})
+        # graft.Verify dumps its run-env fingerprint (sha/cpus/heap/GC)
+        # next to the results; carrying it into the artifact makes every
+        # rung JSON self-describing (r10 verdict item 1).
+        env = None
+        env_path = f"{OUT}/run_env.json"
+        if os.path.exists(env_path):
+            env = json.load(open(env_path))
         with open(JSON_OUT, "w") as f:
-            json.dump({"sf_dir": SF, "out_dir": OUT,
+            json.dump({"sf_dir": SF, "out_dir": OUT, "env": env,
                        "counts": {"pass": len(passed), "rows_only": len(rows_only),
                                   "fail": len(failures), "missing": len(missing),
                                   "skipped": len(skipped), "timeout": len(timeouts)},

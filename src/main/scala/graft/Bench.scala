@@ -80,7 +80,10 @@ object Bench {
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = med.values.filter(_ >= 0).sum
     val loadAfter = loadavg()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${obj(med)},"queries_min":${obj(mins)},"failed":$fs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir"}"""
+    // `env` makes the artifact self-describing (sha/cpus/reps/heap/GC —
+    // r10 verdict item 1); the loadavg_* fields predate it and stay for
+    // cross-round artifact compatibility.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${obj(med)},"queries_min":${obj(mins)},"failed":$fs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir","env":${RunEnv.json(cpus, reps)}}"""
     println(line)
     // The stdout line travels through sbt's [info] prefixing and the
     // driver's tail truncation; the file is the machine-parseable copy.

@@ -41,6 +41,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Run-env fingerprint (sha/cpus/heap/GC/loadavg) alongside the dump:
+    // scripts/oracle_check.py embeds it in its correctness artifact so
+    // every rung JSON is self-describing (r10 verdict item 1).
+    Files.writeString(Paths.get(s"$outDir/run_env.json"), RunEnv.json(cpus, 1))
     spark.stop()
   }
 }

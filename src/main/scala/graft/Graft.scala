@@ -179,4 +179,31 @@ object Graft {
     graft.plans.WindowAudit.assertNoSingleTaskWindow(df, "Graft.materialize")
     df.localCheckpoint(false)
   }
+
+  /** [[materialize]] for frames whose tens of millions of rows held as
+    * deserialized heap checkpoint blocks turn into full-GC pressure on
+    * every consumer pass: `persist(DISK_ONLY)` stores the frame as
+    * COLUMNAR compressed batches on executor-local disk — zero heap
+    * pinned, compact, column-pruned scans per consumer. The storage
+    * FORMAT is what matters, not just the medium: a
+    * `localCheckpoint(DISK_ONLY)` stores raw row-blob RDD blocks and
+    * measured WORSE than the heap checkpoint on the same frame
+    * (scale.F18Ab at sf10, bench/bench_sf10_f18_ab_r11.json, 5 reps
+    * within one run: heap checkpoint 32.9 s median w/ 93 s full-GC
+    * spike, row-blob disk checkpoint 48.1 s, columnar DISK_ONLY persist
+    * 15.6 s flat, recompute-per-consumer 18.3 s).
+    *
+    * Lifecycle trade vs the checkpoint flavor: the CacheManager entry
+    * lives until session end (query-internal code has no place to
+    * unpersist), but DISK_ONLY pins no executor memory — the cost is
+    * bounded local-disk space, the same resource the frame's shuffle
+    * already budgets. Right for a handful of large multi-consumer
+    * frames; the heap [[materialize]] stays the default for the
+    * catalog's typical sub-GB intermediates (in-memory reads win
+    * there, and t21 showed the per-frame trade must be measured, not
+    * assumed). Same WindowAudit enforcement as [[materialize]]. */
+  def materializeDisk(df: DataFrame): DataFrame = {
+    graft.plans.WindowAudit.assertNoSingleTaskWindow(df, "Graft.materializeDisk")
+    df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+  }
 }

@@ -50,6 +50,21 @@ class WindowInvariantSpec extends SparkSpec {
       .withColumn("run", sum(col("o_totalprice")).over(Window.orderBy("o_orderkey")))
     val e = intercept[IllegalStateException] { Graft.materialize(t) }
     assert(e.getMessage.contains("global window over unbounded input"))
+    // the DISK_ONLY flavor is the same enforcement point — a frame must
+    // not dodge the audit by choosing the other storage level
+    val e2 = intercept[IllegalStateException] { Graft.materializeDisk(t) }
+    assert(e2.getMessage.contains("global window over unbounded input"))
+  }
+
+  test("materializeDisk round-trips rows identically to the heap flavor") {
+    val src = Graft.table(spark, sf, "orders")
+      .groupBy("o_orderstatus").agg(sum("o_totalprice").as("s"))
+    val heap = Graft.materialize(src).collect().sortBy(_.getString(0))
+    val disk = Graft.materializeDisk(src).collect().sortBy(_.getString(0))
+    assert(heap.sameElements(disk))
+    // drop the persist entry so no later suite's plan picks up an
+    // InMemoryRelation for this subplan (suites share one session)
+    spark.catalog.clearCache()
   }
 
   test("materialize accepts bounded global windows and audited sweep layouts") {

@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share ONE SparkSession (SparkTest), and two suites now mutate
+// context-global state mid-run: clearCache (WindowInvariantSpec) and
+// Graft.releaseMaterialized (MaterializeLifecycleSpec — unpersists
+// checkpoint RDD blocks, which are NOT recomputable, so yanking another
+// in-flight suite's materialized frame would fail it nondeterministically).
+// Serial suite execution makes those sweeps deterministic.
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

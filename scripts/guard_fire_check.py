@@ -15,6 +15,10 @@ planes table and asserts each case behaves:
   truncated : first 100 pids only   -> 'table too small' fires
   gap       : one middle pid deleted-> count check passes
                                        (6399 >= need) but contiguity fires
+  dupgap    : one pid deleted AND    -> count AND max_pid+1 both still
+              another duplicated       match, but COUNT(DISTINCT pid)
+                                       doesn't — the r11-ADVICE dup+gap
+                                       hole; the distinct guard fires
 
 Usage: guard_fire_check.py <oracle_sql.json> <sfDir> [out_artifact.json]
 (oracle_sql.json is graft.Verify's dump; sfDir supplies embeddings.)
@@ -63,6 +67,12 @@ def main() -> int:
             ("control", "TRUE"),
             ("truncated", "pid < 100"),
             ("gap", "pid <> 3000"),
+            # dup+gap: drop pid 3000, duplicate pid 2000 — row count and
+            # MAX(pid)+1 both match the intact table, only the distinct
+            # count betrays it
+            ("dupgap", "pid <> 3000 UNION ALL "
+                       f"SELECT * FROM read_parquet('{orig_glob}') "
+                       "WHERE pid = 2000"),
         ]:
             d = os.path.join(tmp, name)
             os.makedirs(d)
@@ -80,6 +90,8 @@ def main() -> int:
         and "too small" in results["truncated"][1]
         and results["gap"][0] == "error"
         and "not contiguous" in results["gap"][1]
+        and results["dupgap"][0] == "error"
+        and "not contiguous" in results["dupgap"][1]
     )
     artifact = {
         "metric": "d5a_guard_fire_proof",
@@ -90,8 +102,11 @@ def main() -> int:
         and "too small" in results["truncated"][1],
         "gap_fires_contiguity_guard": results["gap"][0] == "error"
         and "not contiguous" in results["gap"][1],
+        "dupgap_fires_distinct_guard": results["dupgap"][0] == "error"
+        and "not contiguous" in results["dupgap"][1],
         "truncated_msg": results["truncated"][1][:200],
         "gap_msg": results["gap"][1][:200],
+        "dupgap_msg": results["dupgap"][1][:200],
         "all_ok": ok,
     }
     if out_file:

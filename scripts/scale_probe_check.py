@@ -1,0 +1,175 @@
+#!/usr/bin/env python3
+"""Invariant gate for the no-oracle dedup/ANN scale probe (r12 verdict
+item 1). DuckDB cannot replay these pipelines past sf1, so above it the
+row counts are gated against LAWS derived from the committed oracle
+artifacts, plus the in-Spark postconditions and execution-shape checks
+the probe JSONs carry.
+
+Laws (factor F = replicas of sf0.1, jitter mode):
+
+  quadratic  p(F) = A*F + B*F*(F-1)/2      pair queries: the replica
+             makes every base item a near-dup of its F-1 jitter twins,
+             so TRUE pair counts are quadratic in F by construction.
+             (A, B) fit exactly through the committed F=1
+             (CORRECTNESS_sf01_r11) and F=10 (CORRECTNESS_sf1j_r11_full)
+             oracle-verified counts; VALIDATED at F=30 before the F=100
+             gate is trusted.
+
+  affine     r(F) = a*F + c                 group/node-count queries:
+             per-replica structure repeats exactly (a), plus one
+             constant cross-replica family (c) — the +200000
+             stripped-suffix docs are IDENTICAL across replicas, so
+             their groups appear once, not per replica. (a, c) fit
+             through F=10 (committed) and F=30 (probe), gate F=100.
+
+  exact      r(10*F) = 10*r(F)              d4 (maxDf cap drops every
+             interior shingle once F > 50, leaving only rep-local
+             suffix shingles: replicas are isomorphic and disjoint),
+             d12/v6/v8 (one row per doc/vector), and the
+             constant-output v queries (fixed query/centroid sets).
+
+Execution-shape gates (every probe run): straggler_max <= 4.0 on stages
+with >= 8 tasks and median >= 0.5 s, failed_tasks == 0, every
+postcondition true. Spill bytes are reported, not gated (bounded spill
+is healthy at these sizes; failure is not).
+
+Usage: scale_probe_check.py <out.json> <probe.json> [probe.json ...]
+"""
+import json
+import sys
+
+# Committed oracle-verified counts: F=1 = CORRECTNESS_sf01_r11.json,
+# F=10 = CORRECTNESS_sf1j_r11_full.json (both 246/246 green).
+P1 = {"d2_minhash_lsh": 15884, "d3_simhash": 26929,
+      "d5a_neardup_adaptive": 877, "d5_embedding_neardup": 878}
+P10 = {"d2_minhash_lsh": 1828258, "d3_simhash": 2614939,
+       "d5a_neardup_adaptive": 179005, "d5_embedding_neardup": 177705,
+       "d1_exact_dedup": 11070, "d1b_dedup_apply": 50920,
+       "d6_dup_clusters": 59650, "d7_embedding_clusters": 20000,
+       "d12_novelty": 60000}
+
+QUAD = ["d2_minhash_lsh", "d3_simhash", "d5a_neardup_adaptive"]
+AFFINE = ["d1_exact_dedup", "d1b_dedup_apply", "d6_dup_clusters"]
+EXACT_LINEAR = ["d4_ngram_jaccard", "d12_novelty", "v6_quantize", "v8_pq_codes"]
+CONST = ["v1_knn_brute", "v2_ivf_assign", "v4_ivf_search", "v5_centroid_update",
+         "v7_kmeans2", "v9_pq_search", "v10_recall_eval", "v11_cluster_purity"]
+QUAD_TOL, AFFINE_TOL = 0.05, 0.02
+
+
+def quad_pred(q, f):
+    a = P1[q]
+    b = (P10[q] - 10 * a) / 45.0
+    return a * f + b * f * (f - 1) / 2.0
+
+
+def main():
+    out_file, probes = sys.argv[1], sys.argv[2:]
+    by_factor = {}   # factor -> {query: record}
+    envs, posts = [], {}
+    for p in probes:
+        with open(p) as fh:
+            j = json.load(fh)
+        f = j["factor"]
+        by_factor.setdefault(f, {}).update(j["queries"])
+        for k, v in j.get("postconditions", {}).items():
+            posts[f"F{f}:{k}"] = v
+        envs.append({"file": p, "factor": f, "reps": j["reps"],
+                     "sf_dir": j["sf_dir"], "env": j["env"]})
+
+    gates = []
+    def gate(name, ok, detail):
+        gates.append({"gate": name, "ok": bool(ok), "detail": detail})
+
+    def rows(f, q):
+        return by_factor.get(f, {}).get(q, {}).get("rows")
+
+    # 1. quadratic law: validate at F=30, gate at F=100
+    for q in QUAD:
+        for f in (30, 100):
+            obs = rows(f, q)
+            if obs is None:
+                continue
+            pred = quad_pred(q, f)
+            err = abs(obs - pred) / pred
+            gate(f"quad_law:{q}@F{f}", err <= QUAD_TOL,
+                 f"obs={obs} pred={pred:.0f} rel_err={err:.4f} tol={QUAD_TOL}")
+
+    # 2. affine law: fit (F=10 committed, F=30 probe), gate F=100
+    for q in AFFINE:
+        r30, r100 = rows(30, q), rows(100, q)
+        if r30 is None or r100 is None:
+            continue
+        a = (r30 - P10[q]) / 20.0
+        c = P10[q] - 10 * a
+        pred = a * 100 + c
+        err = abs(r100 - pred) / pred
+        gate(f"affine_law:{q}@F100", err <= AFFINE_TOL,
+             f"obs={r100} pred={pred:.0f} (a={a:.1f} c={c:.0f}) "
+             f"rel_err={err:.4f} tol={AFFINE_TOL}")
+
+    # 3. exact 10x between F=100 and F=1000
+    for q in EXACT_LINEAR:
+        r100, r1000 = rows(100, q), rows(1000, q)
+        if r100 is None or r1000 is None:
+            continue
+        gate(f"exact_10x:{q}", r1000 == 10 * r100,
+             f"rows@100={r100} rows@1000={r1000}")
+
+    # 4. constant-output v queries: equal at F=100 and F=1000
+    for q in CONST:
+        r100, r1000 = rows(100, q), rows(1000, q)
+        if r100 is None or r1000 is None:
+            continue
+        gate(f"const_rows:{q}", r100 == r1000,
+             f"rows@100={r100} rows@1000={r1000}")
+    # v3 is a <=256-bucket histogram: occupied buckets may only grow
+    r100, r1000 = rows(100, "v3_lsh_buckets"), rows(1000, "v3_lsh_buckets")
+    if r100 is not None and r1000 is not None:
+        gate("v3_bucket_histogram", r100 <= r1000 <= 256,
+             f"rows@100={r100} rows@1000={r1000} (cap 256)")
+
+    # 5. wall linearity F=100 -> F=1000 (10x rows => <= 15x wall)
+    for q, rec in sorted(by_factor.get(1000, {}).items()):
+        w100 = by_factor.get(100, {}).get(q, {}).get("wall_median")
+        w1000 = rec.get("wall_median")
+        if not w100 or not w1000:
+            continue
+        ratio = w1000 / w100
+        gate(f"wall_linear:{q}", ratio <= 15.0,
+             f"wall@100={w100:.2f}s wall@1000={w1000:.2f}s ratio={ratio:.1f} (<=15)")
+
+    # 6. execution shape, every run
+    for f, qs in sorted(by_factor.items()):
+        for q, rec in sorted(qs.items()):
+            gate(f"no_straggler:{q}@F{f}", rec["straggler_max"] <= 4.0,
+                 f"max/median={rec['straggler_max']:.2f} "
+                 f"stage={rec['straggler_stage']} (qualifying stages only)")
+            gate(f"no_failed_tasks:{q}@F{f}", rec["failed_tasks"] == 0,
+                 f"failed={rec['failed_tasks']} of {rec['n_tasks']}")
+
+    # 7. in-Spark postconditions
+    for k, v in sorted(posts.items()):
+        gate(f"postcondition:{k}", str(v).startswith("true"), v)
+
+    n_fail = sum(1 for g in gates if not g["ok"])
+    artifact = {
+        "metric": "sf100_dedup_probe_gates",
+        "value": n_fail,
+        "unit": "failed_gates",
+        "factors": {str(f): sorted(qs) for f, qs in sorted(by_factor.items())},
+        "gates": gates,
+        "runs": envs,
+        "all_ok": n_fail == 0,
+    }
+    with open(out_file, "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    print(json.dumps({"all_ok": n_fail == 0, "failed": n_fail,
+                      "total": len(gates)}))
+    for g in gates:
+        if not g["ok"]:
+            print(f"FAIL {g['gate']}: {g['detail']}")
+    return 0 if n_fail == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -206,4 +206,33 @@ object Graft {
     graft.plans.WindowAudit.assertNoSingleTaskWindow(df, "Graft.materializeDisk")
     df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
   }
+
+  /** Scoped release for every frame [[materialize]]/[[materializeDisk]]
+    * pinned during one query execution — the lifetime policy for
+    * query-internal materialization (query code has no post-action hook,
+    * so the HARNESS frees between units of work):
+    *
+    *  - `clearCache()` drops CacheManager entries — the
+    *    [[materializeDisk]] `persist(DISK_ONLY)` frames whose
+    *    accumulate-until-session-end lifetime a full-catalog sweep would
+    *    otherwise pay (and whose plan-matching cache reuse would hand
+    *    bench reps after the first a silently warm read);
+    *  - unpersisting every `getPersistentRDDs` entry drops the
+    *    [[materialize]] localCheckpoint BLOCKS immediately instead of
+    *    waiting on ContextCleaner GC — between-rep isolation for A/B
+    *    harnesses (checkpoint RDDs register there; CacheManager never
+    *    sees them).
+    *
+    * Called by Verify after each query dump, Bench between reps, and
+    * F18Ab between arms/reps. Default non-blocking: async drops suffice
+    * when correctness is the concern, because re-execution never reads
+    * another invocation's checkpoint (only CacheManager entries
+    * plan-match across invocations). Pass `blocking = true` where the
+    * next measurement must start with the blocks actually GONE (A/B
+    * arms whose heap pressure is the measured quantity — the r11
+    * heapchk-arm bias). MaterializeLifecycleSpec pins the contract. */
+  def releaseMaterialized(spark: SparkSession, blocking: Boolean = false): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking))
+  }
 }

@@ -36,6 +36,11 @@ import org.apache.spark.sql.functions._
   *    vectors don't). FK structure is identical in both modes.
   *
   * Usage: runMain graft.ScaleData <srcSfDir> <outDir> [factor=10] [jitter]
+  *          [tables=t1,t2,...]
+  * The optional 5th arg restricts the build to a table subset — the r12
+  * sf100 dedup/ANN probe only reads documents+embeddings, and a
+  * factor-1000 lineitem (~600 M rows) would cost build time and ~15 GB
+  * of disk that no probe query ever scans.
   */
 object ScaleData {
   // Strides sit above any key the driver generates at sf0.1 (max
@@ -81,10 +86,11 @@ object ScaleData {
     }
   }
 
+  val allTables: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def replicate(spark: SparkSession, src: String, out: String, factor: Int,
-      jitter: Boolean = false): Unit = {
-    val tables = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
+      jitter: Boolean = false, tables: Seq[String] = allTables): Unit = {
     tables.foreach { t =>
       val df = spark.read.parquet(s"$src/$t.parquet")
       val scaled: DataFrame =
@@ -119,13 +125,20 @@ object ScaleData {
     val out = if (args.length > 1) args(1) else "target/scale/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
     val jitter = args.length > 3 && args(3) == "jitter"
+    val tables =
+      if (args.length > 4) {
+        val ts = args(4).split(",").toSeq
+        val unknown = ts.filterNot(allTables.contains)
+        require(unknown.isEmpty, s"unknown tables: ${unknown.mkString(",")}")
+        ts
+      } else allTables
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Graft.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    replicate(spark, src, out, factor, jitter)
+    replicate(spark, src, out, factor, jitter, tables)
     spark.stop()
   }
 }

@@ -24,7 +24,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally
+        // Bound materializeDisk's session lifetime: without this a full
+        // 246-query sweep accumulates every persist(DISK_ONLY) frame
+        // until session end (r11 verdict "What's wrong" #2).
+        Graft.releaseMaterialized(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

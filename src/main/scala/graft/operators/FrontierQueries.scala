@@ -364,7 +364,7 @@ object FrontierQueries {
     val present = Graft.materialize(
       ev.select("user_id", "day").distinct().join(broadcast(cal), "day"))
     val leadW = Window.partitionBy("user_id").orderBy("drk")
-    val internal = present
+    val interiorRuns = present
       .withColumn("nxt", lead(col("drk"), 1).over(leadW))
       .where(col("nxt") - col("drk") > 1)
       .select(col("user_id"), (col("drk") + 1).as("srk"),
@@ -378,7 +378,7 @@ object FrontierQueries {
     val tailRuns = bounds.where(col("mx") < col("dm"))
       .select(col("user_id"), (col("mx") + 1).as("srk"),
         (col("dm") - col("mx")).cast("long").as("len"))
-    internal.unionByName(headRuns).unionByName(tailRuns)
+    interiorRuns.unionByName(headRuns).unionByName(tailRuns)
       .join(broadcast(cal.select(col("drk").as("srk"), col("day").as("gap_start"))),
         "srk")
       .groupBy("user_id")

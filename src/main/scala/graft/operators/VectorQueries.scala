@@ -196,10 +196,12 @@ object VectorQueries {
        |                     || (SELECT COUNT(*) FROM pl)
        |                     || ' - regenerate with AdaptivePlanesGen') AS INT)
        |                WHEN (SELECT MAX(pid) + 1 FROM pl) <> (SELECT COUNT(*) FROM pl)
-       |                THEN CAST(error('adaptive_planes pid numbering is not contiguous from 0: max pid '
-       |                     || (SELECT MAX(pid) FROM pl) || ' vs count '
-       |                     || (SELECT COUNT(*) FROM pl)
-       |                     || ' - a partially regenerated table; codes/sigs would silently skip planes under pid < bands*bits. Regenerate with AdaptivePlanesGen') AS INT)
+       |                     OR (SELECT COUNT(DISTINCT pid) FROM pl) <> (SELECT COUNT(*) FROM pl)
+       |                THEN CAST(error('adaptive_planes pid numbering is not contiguous from 0: expected row count max_pid+1='
+       |                     || (SELECT MAX(pid) + 1 FROM pl) || ', have '
+       |                     || (SELECT COUNT(*) FROM pl) || ' rows ('
+       |                     || (SELECT COUNT(DISTINCT pid) FROM pl)
+       |                     || ' distinct pids) - a partially or doubly regenerated table; codes/sigs would silently skip or double-count planes under pid < bands*bits. Regenerate with AdaptivePlanesGen') AS INT)
        |                ELSE bands END AS bands
        |           FROM p0),
        |codes AS MATERIALIZED (

@@ -37,10 +37,16 @@ object WindowAudit {
     * mark the frame bounded (the r10 false-negative class). Residual
     * false negatives are name-level only (a key column named e.g.
     * `series` would need adding here — the assert then fails loudly,
-    * the safe direction). */
+    * the safe direction). The id match is word-boundary (`id` or
+    * `*_id`), NOT a bare `endsWith("id")`: names like `paid`, `valid`,
+    * or `bid` are category columns, and marking a category-filtered
+    * fact frame key-bounded is exactly the unsafe direction the r10
+    * fix closed for `status = 'F'` (r11 ADVICE #4). `endsWith("key")`
+    * stays suffix-level for the TPC-H `*key` family (o_orderkey,
+    * l_partkey, ...) — no English category-column name ends in "key". */
   private def keyLikeName(name: String): Boolean = {
     val n = name.toLowerCase
-    n.endsWith("id") || n.endsWith("key") ||
+    n == "id" || n.endsWith("_id") || n.endsWith("key") ||
       Set("symbol", "sym", "ticker", "asset").contains(n)
   }
 

@@ -56,10 +56,14 @@ object F18Ab {
         val t0 = System.nanoTime()
         q(spark, sfDir).write.mode("overwrite").format("noop").save()
         val wall = (System.nanoTime() - t0) / 1e9
-        // drop this rep's persisted/checkpointed blocks so the next rep
-        // (and the next arm) starts cold — persist() entries via the
-        // CacheManager, checkpoint RDD blocks with their frames via GC
-        spark.catalog.clearCache()
+        // Drop this rep's persisted AND checkpointed blocks before the
+        // next rep times anything: clearCache alone only emptied the
+        // CacheManager, leaving the heapchk/diskchk arms' checkpoint RDD
+        // blocks to ContextCleaner GC — later reps of those arms ran
+        // with prior reps' ~40M-row blocks still pinned, biasing their
+        // walls upward (r11 ADVICE #2). blocking=true so the blocks are
+        // actually gone, not merely scheduled to go.
+        Graft.releaseMaterialized(spark, blocking = true)
         wall
       }
       once() // untimed warmup per arm (JIT + page cache for its shape)

@@ -10,10 +10,14 @@ Laws (factor F = replicas of sf0.1, jitter mode):
   quadratic  p(F) = A*F + B*F*(F-1)/2      pair queries: the replica
              makes every base item a near-dup of its F-1 jitter twins,
              so TRUE pair counts are quadratic in F by construction.
-             (A, B) fit exactly through the committed F=1
-             (CORRECTNESS_sf01_r11) and F=10 (CORRECTNESS_sf1j_r11_full)
-             oracle-verified counts; VALIDATED at F=30 before the F=100
-             gate is trusted.
+             The F=100 gate fits (A, B) through the committed F=10
+             count (CORRECTNESS_sf1j_r11_full, oracle-verified) and the
+             probe's own F=30 count — the F=1 point has no cross-replica
+             term at all (slice-only pairs), so a {1,10} fit
+             extrapolates curvature it never saw (d3 deviates 3.4%
+             already at F=30). The {1,10} fit is still computed and
+             reported at F=30 as the independent two-committed-points
+             validation (gate: within 5%).
 
   affine     r(F) = a*F + c                 group/node-count queries:
              per-replica structure repeats exactly (a), plus one
@@ -83,16 +87,28 @@ def main():
     def rows(f, q):
         return by_factor.get(f, {}).get(q, {}).get("rows")
 
-    # 1. quadratic law: validate at F=30, gate at F=100
+    # 1a. quadratic law, committed-points validation at F=30 ({1,10} fit)
     for q in QUAD:
-        for f in (30, 100):
-            obs = rows(f, q)
-            if obs is None:
-                continue
-            pred = quad_pred(q, f)
-            err = abs(obs - pred) / pred
-            gate(f"quad_law:{q}@F{f}", err <= QUAD_TOL,
-                 f"obs={obs} pred={pred:.0f} rel_err={err:.4f} tol={QUAD_TOL}")
+        obs = rows(30, q)
+        if obs is None:
+            continue
+        pred = quad_pred(q, 30)
+        err = abs(obs - pred) / pred
+        gate(f"quad_law_committed:{q}@F30", err <= QUAD_TOL,
+             f"obs={obs} pred={pred:.0f} rel_err={err:.4f} tol={QUAD_TOL}")
+    # 1b. quadratic law gate at F=100 ({10,30} fit — both points inside
+    # the cross-replica regime)
+    for q in QUAD:
+        r30, r100 = rows(30, q), rows(100, q)
+        if r30 is None or r100 is None:
+            continue
+        b = (r30 - 3 * P10[q]) / 300.0
+        a = (P10[q] - 45 * b) / 10.0
+        pred = a * 100 + b * 100 * 99 / 2.0
+        err = abs(r100 - pred) / pred
+        gate(f"quad_law:{q}@F100", err <= 0.03,
+             f"obs={r100} pred={pred:.0f} (a={a:.0f} b={b:.1f}) "
+             f"rel_err={err:.4f} tol=0.03")
 
     # 2. affine law: fit (F=10 committed, F=30 probe), gate F=100
     for q in AFFINE:

@@ -106,31 +106,70 @@ object DedupScaleProbe {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       stats.clear()
-      val walls = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        val w = (System.nanoTime() - t0) / 1e9
-        Graft.releaseMaterialized(spark) // cold reps (Bench convention)
-        w
-      }
-      // Deterministic row count for the law/ratio gates (untimed).
-      val rows = fn(spark, sfDir).count()
-      Graft.releaseMaterialized(spark)
+      // A query that cannot complete at this factor is a DATUM (d7's
+      // frozen 16x4 pipeline exhausts spill disk at jitter F=30) — the
+      // probe records the failure and moves on instead of dying with
+      // the JSON unwritten.
+      var error: Option[String] = None
+      val walls = scala.collection.mutable.ArrayBuffer[Double]()
+      var rows = -1L
+      try {
+        if (reps == 0) {
+          // Single-pass mode for frontier-scale runs (d5a at factor 100
+          // streams ~1.4e10 candidates; four passes would cost hours):
+          // ONE timed count() supplies both the law-gated row count and
+          // a single-shot wall. The count plan differs from the noop
+          // sink only in the final projection — the rerank/filter work
+          // is identical.
+          val t0 = System.nanoTime()
+          rows = fn(spark, sfDir).count()
+          walls += (System.nanoTime() - t0) / 1e9
+        } else (1 to reps).foreach { rep =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          walls += (System.nanoTime() - t0) / 1e9
+          Graft.releaseMaterialized(spark) // cold reps (Bench convention)
+          // The straggler gate targets DATA skew, not JIT: rep 1 of a
+          // query carries its codegen/classload warmup, which lands on
+          // whichever task runs a fragment first and reads as a fake
+          // 5-7x "straggler". Stats cover the warm reps + count pass.
+          if (rep == 1 && reps > 1) { Thread.sleep(300); stats.clear() }
+        }
+        // Deterministic row count for the law/ratio gates (untimed;
+        // single-pass mode already counted).
+        if (reps > 0) rows = fn(spark, sfDir).count()
+      } catch { case e: Throwable =>
+        error = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+      } finally Graft.releaseMaterialized(spark)
       Thread.sleep(500) // drain late listener events into THIS window
       val (strag, stragStage, spill, nFailed, nTasks) = stats.snapshot()
       System.err.println(f"[probe] $name%-24s rows=$rows%-12d " +
         f"walls=${walls.map(w => f"$w%.1f").mkString("/")} " +
-        f"straggler=$strag%.2f spillMB=${spill / 1e6}%.0f failed=$nFailed")
-      (name, rows, walls, strag, stragStage, spill, nFailed, nTasks)
+        f"straggler=$strag%.2f spillMB=${spill / 1e6}%.0f failed=$nFailed" +
+        error.fold("")(e => s" ERROR=$e"))
+      (name, rows, walls.toSeq, strag, stragStage, spill, nFailed, nTasks, error)
     }
 
     // Algebraic postconditions — exact, engine-internal, no oracle.
+    // Only for queries that completed (a failed query's postcondition
+    // would re-run the failing pipeline), and failure-isolated so one
+    // broken check cannot cost the whole artifact.
+    // SPARK_GRAFT_PROBE_POST=0 skips them: the checks are scale-invariant
+    // logic (label joins, aggregate ties), so one factor's proof carries;
+    // at F=100 the d6 check alone would re-run the full pair+CC pipeline.
+    val postOn = sys.env.getOrElse("SPARK_GRAFT_PROBE_POST", "1") != "0"
+    val succeeded = results.collect { case r if r._9.isEmpty => r._1 }.toSet
+    def names_(n: String): Boolean = postOn && succeeded.contains(n)
     val post = scala.collection.mutable.LinkedHashMap[String, String]()
+    def guarded(key: String)(body: => String): Unit =
+      post += (key -> (try body catch {
+        case e: Throwable => s"false (postcondition error: ${String.valueOf(e.getMessage).take(200)})"
+      }))
     // d1/d1b run over TextQueries.corpus (documents ∪ the +100000 exact
     // dups ∪ the +200000 stripped-suffix slice), not raw documents.
     def corpus = graft.operators.TextQueries.corpus(spark, sfDir)
     def docsFp = graft.dedup.Dedup.exact(corpus)
-    if (names.contains("d1_exact_dedup")) {
+    if (names_("d1_exact_dedup")) guarded("d1_group_sum_ties_out") {
       // Σ n_dups over the query's >1 groups must equal
       // total_docs − singleton_groups, with both sides from independent
       // aggregations (total scan count; distinct-fingerprint count).
@@ -139,16 +178,15 @@ object DedupScaleProbe {
       val out = SparkEntry.queries("d1_exact_dedup")(spark, sfDir)
         .agg(sum("n_dups"), count(lit(1))).head()
       val (dupSum, groups) = (out.getLong(0), out.getLong(1))
-      val ok = dupSum == total - (distinctFp - groups)
-      post += ("d1_group_sum_ties_out" ->
-        s"$ok (sum_n_dups=$dupSum total=$total distinct_fp=$distinctFp out_groups=$groups)")
       Graft.releaseMaterialized(spark)
+      val ok = dupSum == total - (distinctFp - groups)
+      s"$ok (sum_n_dups=$dupSum total=$total distinct_fp=$distinctFp out_groups=$groups)"
     }
-    if (names.contains("d1b_dedup_apply")) {
+    if (names_("d1b_dedup_apply")) guarded("d1b_rows_eq_distinct_fp") {
       val rows = results.find(_._1 == "d1b_dedup_apply").get._2
       val distinctFp = docsFp.count()
-      post += ("d1b_rows_eq_distinct_fp" -> s"${rows == distinctFp} (rows=$rows fp=$distinctFp)")
       Graft.releaseMaterialized(spark)
+      s"${rows == distinctFp} (rows=$rows fp=$distinctFp)"
     }
     def ccConsistent(pairsQ: String, clustersQ: String, idA: String,
         idB: String, nodeCol: String, labelCol: String): String = {
@@ -167,21 +205,23 @@ object DedupScaleProbe {
       Graft.releaseMaterialized(spark)
       r
     }
-    if (names.contains("d6_dup_clusters"))
-      post += ("d6_labels_consistent_with_d2_pairs" ->
-        ccConsistent("d2_minhash_lsh", "d6_dup_clusters", "doc_a", "doc_b",
-          "doc_id", "cluster"))
-    if (names.contains("d7_embedding_clusters"))
-      post += ("d7_labels_consistent_with_d5_pairs" ->
-        ccConsistent("d5_embedding_neardup", "d7_embedding_clusters",
-          "vec_a", "vec_b", "vec_id", "cluster"))
+    if (names_("d6_dup_clusters")) guarded("d6_labels_consistent_with_d2_pairs") {
+      ccConsistent("d2_minhash_lsh", "d6_dup_clusters", "doc_a", "doc_b",
+        "doc_id", "cluster")
+    }
+    if (names_("d7_embedding_clusters")) guarded("d7_labels_consistent_with_d5_pairs") {
+      ccConsistent("d5_embedding_neardup", "d7_embedding_clusters",
+        "vec_a", "vec_b", "vec_id", "cluster")
+    }
 
-    val qjson = results.map { case (n, rows, walls, strag, sStage, spill, nf, nt) =>
+    val qjson = results.map { case (n, rows, walls, strag, sStage, spill, nf, nt, err) =>
+      val med = if (walls.isEmpty) -1.0 else walls.sorted.apply(walls.size / 2)
       s"${jq(n)}:{" +
         s""""rows":$rows,"walls":[${walls.map(w => f"$w%.3f").mkString(",")}],""" +
-        f""""wall_median":${walls.sorted.apply(walls.size / 2)}%.3f,""" +
+        f""""wall_median":$med%.3f,""" +
         f""""straggler_max":$strag%.3f,"straggler_stage":$sStage,""" +
-        s""""spill_bytes":$spill,"failed_tasks":$nf,"n_tasks":$nt}"""
+        s""""spill_bytes":$spill,"failed_tasks":$nf,"n_tasks":$nt""" +
+        err.fold("")(e => s""","error":${jq(e.replace("\\", "/").replace("\"", "'").replace("\n", " "))}""") + "}"
     }.mkString(",")
     val pjson = post.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString(",")
     val json = s"""{"metric":"dedup_scale_probe","sf_dir":${jq(sfDir)},""" +

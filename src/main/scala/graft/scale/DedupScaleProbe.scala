@@ -221,7 +221,8 @@ object DedupScaleProbe {
         f""""wall_median":$med%.3f,""" +
         f""""straggler_max":$strag%.3f,"straggler_stage":$sStage,""" +
         s""""spill_bytes":$spill,"failed_tasks":$nf,"n_tasks":$nt""" +
-        err.fold("")(e => s""","error":${jq(e.replace("\\", "/").replace("\"", "'").replace("\n", " "))}""") + "}"
+        err.fold("")(e => s""","error":${jq(e.replace("\\", "/").replace("\"", "'")
+          .map(c => if (c < ' ') ' ' else c))}""") + "}"
     }.mkString(",")
     val pjson = post.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString(",")
     val json = s"""{"metric":"dedup_scale_probe","sf_dir":${jq(sfDir)},""" +

@@ -77,7 +77,12 @@ object Bench {
           // the cold number a fresh session pays. From r12 on, every rep
           // is cold-equivalent; artifacts before r12 report warm medians
           // for persist-backed queries (only f18 — noted in README).
-          Graft.releaseMaterialized(spark)
+          // MUST be blocking: a fire-and-forget sweep executes its
+          // block removals on the worker threads DURING the next timed
+          // rep — measured at local[4]/sf0.1 as a broad 1.1-1.2x wall
+          // inflation with 2-4x spikes on checkpoint-heavy small
+          // queries. Blocking puts that work in this untimed gap.
+          Graft.releaseMaterialized(spark, blocking = true)
         }
       }
       name -> ts

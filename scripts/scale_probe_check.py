@@ -54,7 +54,10 @@ P10 = {"d2_minhash_lsh": 1828258, "d3_simhash": 2614939,
 
 QUAD = ["d2_minhash_lsh", "d3_simhash", "d5a_neardup_adaptive"]
 AFFINE = ["d1_exact_dedup", "d1b_dedup_apply", "d6_dup_clusters"]
-EXACT_LINEAR = ["d4_ngram_jaccard", "d12_novelty", "v6_quantize", "v8_pq_codes"]
+EXACT_LINEAR = ["d4_ngram_jaccard", "d12_novelty", "v6_quantize"]
+# v8 codes every vector EXCEPT the 8 sub-centroid ids into 4 subcodes:
+# rows = 4*(2000*F - 8), so r(1000) != 10*r(100) by exactly 288.
+V8_FORM = lambda f: 4 * (2000 * f - 8)
 CONST = ["v1_knn_brute", "v2_ivf_assign", "v4_ivf_search", "v5_centroid_update",
          "v7_kmeans2", "v9_pq_search", "v10_recall_eval", "v11_cluster_purity"]
 QUAD_TOL, AFFINE_TOL = 0.05, 0.02
@@ -119,18 +122,27 @@ def main():
                  f"obs={obs} pred={pred:.0f} (a={a:.0f} b={b:.1f}) "
                  f"rel_err={err:.4f} tol=0.03")
 
-    # 2. affine law: fit (F=10 committed, F=30 probe), gate F=100
+    # 2. affine law: fit (F=10 committed, F=30 probe), gate every
+    # probed factor above 30 (empirically the fit is EXACT at F=100
+    # and F=1000 for d1/d1b — the per-replica + constant-cross-family
+    # decomposition is the true generative structure, not a model)
     for q in AFFINE:
-        r30, r100 = rows(30, q), rows(100, q)
-        if r30 is None or r100 is None:
+        r30 = rows(30, q)
+        if r30 is None:
             continue
         a = (r30 - P10[q]) / 20.0
         c = P10[q] - 10 * a
-        pred = a * 100 + c
-        err = abs(r100 - pred) / pred
-        gate(f"affine_law:{q}@F100", err <= AFFINE_TOL,
-             f"obs={r100} pred={pred:.0f} (a={a:.1f} c={c:.0f}) "
-             f"rel_err={err:.4f} tol={AFFINE_TOL}")
+        for f in sorted(by_factor):
+            if f <= 30:
+                continue
+            obs = rows(f, q)
+            if obs is None or obs < 0:
+                continue
+            pred = a * f + c
+            err = abs(obs - pred) / pred
+            gate(f"affine_law:{q}@F{f}", err <= AFFINE_TOL,
+                 f"obs={obs} pred={pred:.0f} (a={a:.1f} c={c:.0f}) "
+                 f"rel_err={err:.4f} tol={AFFINE_TOL}")
 
     # 3. exact 10x between F=100 and F=1000
     for q in EXACT_LINEAR:
@@ -139,6 +151,13 @@ def main():
             continue
         gate(f"exact_10x:{q}", r1000 == 10 * r100,
              f"rows@100={r100} rows@1000={r1000}")
+
+    # 3b. v8's closed form at every probed factor
+    for f, qs in sorted(by_factor.items()):
+        r = qs.get("v8_pq_codes", {}).get("rows")
+        if r is not None and r >= 0:
+            gate(f"closed_form:v8_pq_codes@F{f}", r == V8_FORM(f),
+                 f"rows={r} expected 4*(2000*{f}-8)={V8_FORM(f)}")
 
     # 4. constant-output v queries: equal at F=100 and F=1000
     for q in CONST:
@@ -153,10 +172,19 @@ def main():
         gate("v3_bucket_histogram", r100 <= r1000 <= 256,
              f"rows@100={r100} rows@1000={r1000} (cap 256)")
 
-    # 5. wall linearity F=100 -> F=1000 (10x rows => <= 15x wall)
+    # 5. wall linearity F=100 -> F=1000 (10x rows => <= 15x wall).
+    # True median from the walls array: the harness's wall_median field
+    # takes the UPPER middle for even rep counts, which would bias a
+    # 2-rep run's ratio high.
+    def med(rec):
+        ws = sorted(rec.get("walls", []))
+        if not ws:
+            return None
+        n = len(ws)
+        return ws[n // 2] if n % 2 else (ws[n // 2 - 1] + ws[n // 2]) / 2.0
     for q, rec in sorted(by_factor.get(1000, {}).items()):
-        w100 = by_factor.get(100, {}).get(q, {}).get("wall_median")
-        w1000 = rec.get("wall_median")
+        w100 = med(by_factor.get(100, {}).get(q, {}))
+        w1000 = med(rec)
         if not w100 or not w1000:
             continue
         ratio = w1000 / w100

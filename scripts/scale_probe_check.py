@@ -90,6 +90,20 @@ def main():
     def rows(f, q):
         return by_factor.get(f, {}).get(q, {}).get("rows")
 
+    # 0. every probed record must have COMPLETED: a record carrying an
+    # 'error' key or the rows=-1 failure sentinel is a failing gate, not
+    # a silent skip — otherwise a driver-side failure with zero failed
+    # tasks (analysis error, driver OOM) lets the law gates 'continue'
+    # past it and const-family checks pass on -1 == -1, yielding an
+    # all-green artifact for a run that computed nothing.
+    for f, qs in sorted(by_factor.items()):
+        for q, rec in sorted(qs.items()):
+            err = rec.get("error")
+            ok = err is None and rec.get("rows", -1) >= 0
+            gate(f"completed:{q}@F{f}", ok,
+                 f"rows={rec.get('rows')}" +
+                 (f" error={err}" if err is not None else ""))
+
     # 1a. quadratic law, committed-points validation at F=30 ({1,10} fit)
     for q in QUAD:
         obs = rows(30, q)
@@ -144,12 +158,14 @@ def main():
                  f"obs={obs} pred={pred:.0f} (a={a:.1f} c={c:.0f}) "
                  f"rel_err={err:.4f} tol={AFFINE_TOL}")
 
-    # 3. exact 10x between F=100 and F=1000
+    # 3. exact 10x between F=100 and F=1000 (rows must be REAL counts:
+    # the -1 failure sentinel satisfies -1 == 10*-1 never, but guard
+    # >= 0 explicitly so a sentinel can't sneak through any identity)
     for q in EXACT_LINEAR:
         r100, r1000 = rows(100, q), rows(1000, q)
         if r100 is None or r1000 is None:
             continue
-        gate(f"exact_10x:{q}", r1000 == 10 * r100,
+        gate(f"exact_10x:{q}", r100 >= 0 and r1000 == 10 * r100,
              f"rows@100={r100} rows@1000={r1000}")
 
     # 3b. v8's closed form at every probed factor
@@ -159,17 +175,19 @@ def main():
             gate(f"closed_form:v8_pq_codes@F{f}", r == V8_FORM(f),
                  f"rows={r} expected 4*(2000*{f}-8)={V8_FORM(f)}")
 
-    # 4. constant-output v queries: equal at F=100 and F=1000
+    # 4. constant-output v queries: equal at F=100 and F=1000 — and
+    # NON-NEGATIVE, so a query that failed at both factors (rows=-1
+    # twice) cannot pass on -1 == -1
     for q in CONST:
         r100, r1000 = rows(100, q), rows(1000, q)
         if r100 is None or r1000 is None:
             continue
-        gate(f"const_rows:{q}", r100 == r1000,
+        gate(f"const_rows:{q}", r100 >= 0 and r100 == r1000,
              f"rows@100={r100} rows@1000={r1000}")
     # v3 is a <=256-bucket histogram: occupied buckets may only grow
     r100, r1000 = rows(100, "v3_lsh_buckets"), rows(1000, "v3_lsh_buckets")
     if r100 is not None and r1000 is not None:
-        gate("v3_bucket_histogram", r100 <= r1000 <= 256,
+        gate("v3_bucket_histogram", 0 <= r100 <= r1000 <= 256,
              f"rows@100={r100} rows@1000={r1000} (cap 256)")
 
     # 5. wall linearity F=100 -> F=1000 (10x rows => <= 15x wall).
@@ -204,6 +222,22 @@ def main():
     for k, v in sorted(posts.items()):
         gate(f"postcondition:{k}", str(v).startswith("true"), v)
 
+    # 8. provenance: every consumed probe JSON must come from the SAME
+    # committed engine sha — a gates artifact summarizing runs of two
+    # different engines (or of a dirty tree) is not evidence of
+    # anything. The summary then carries its own env block (the
+    # self-describing-artifact rule every other bench JSON follows)
+    # instead of delegating provenance to the files underneath it.
+    shas = sorted({e["env"].get("sha", "unknown") for e in envs})
+    dirties = sorted({bool(e["env"].get("git_dirty", True)) for e in envs})
+    gate("env_single_sha", len(shas) == 1, f"shas={shas}")
+    gate("env_clean_tree", dirties == [False], f"git_dirty values={dirties}")
+    env_block = {
+        "sha": shas[0] if len(shas) == 1 else "MIXED:" + ",".join(shas),
+        "git_dirty": dirties != [False],
+        "source_runs": len(envs),
+    }
+
     n_fail = sum(1 for g in gates if not g["ok"])
     artifact = {
         "metric": "sf100_dedup_probe_gates",
@@ -212,6 +246,7 @@ def main():
         "factors": {str(f): sorted(qs) for f, qs in sorted(by_factor.items())},
         "gates": gates,
         "runs": envs,
+        "env": env_block,
         "all_ok": n_fail == 0,
     }
     with open(out_file, "w") as fh:

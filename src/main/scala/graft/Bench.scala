@@ -70,13 +70,20 @@ object Bench {
           }
           None
         } finally {
-          // Cache-honesty (untimed): a persist-backed query (f18's
-          // materializeDisk) plan-matches its own cache on reps after the
-          // first, so without this every rep but the first reads warm
-          // columnar blocks and the headline median is ~2x flatter than
-          // the cold number a fresh session pays. From r12 on, every rep
-          // is cold-equivalent; artifacts before r12 report warm medians
-          // for persist-backed queries (only f18 — noted in README).
+          // Cache-honesty (untimed): this release applies to EVERY
+          // Graft.materialize/materializeDisk-backed query — ~20 call
+          // sites across operators/ (the g-family graph queries, e10,
+          // t21, t37, f15, f18, t40, d9, ...), not just f18. Without it
+          // a materialize-backed query reads its own checkpoint/columnar
+          // blocks warm on reps after the first (persist-backed plans
+          // additionally plan-match the CacheManager), and the headline
+          // median lands ~1.5-3x flatter than the cold number a fresh
+          // session pays (measured movers at sf0.1: f18 0.97->2.59 s,
+          // e10 2.83x, g1 1.85x, t37 1.74x). From r12 on every rep is
+          // cold-equivalent; artifacts before r12 report warm medians
+          // for the whole materialize-backed class, so cross-round
+          // per-query diffs for that class must baseline at r12's
+          // artifact (bench_sf01_r12.json), not r11's.
           // MUST be blocking: a fire-and-forget sweep executes its
           // block removals on the worker threads DURING the next timed
           // rep — measured at local[4]/sf0.1 as a broad 1.1-1.2x wall

@@ -230,9 +230,21 @@ object Graft {
     * plan-match across invocations). Pass `blocking = true` where the
     * next measurement must start with the blocks actually GONE (A/B
     * arms whose heap pressure is the measured quantity — the r11
-    * heapchk-arm bias). MaterializeLifecycleSpec pins the contract. */
+    * heapchk-arm bias). MaterializeLifecycleSpec pins the contract.
+    *
+    * ORDER MATTERS: the blocking unpersist sweep must run BEFORE
+    * `clearCache()`. Spark's `clearCache()` is always fire-and-forget
+    * (it passes blocking=false down to the cached columnar RDD) and it
+    * synchronously DEREGISTERS that RDD from `getPersistentRDDs` — so
+    * a clearCache-first release would leave the persist(DISK_ONLY)
+    * block removal async even under blocking=true, bleeding removals
+    * into the next timed rep (the exact bias the blocking flag
+    * exists to prevent). Sweeping the registry first unpersists the
+    * cached RDD with the honest flag; clearCache() then only drops the
+    * CacheManager plan entries (its second unpersist of the same RDD
+    * is a no-op). */
   def releaseMaterialized(spark: SparkSession, blocking: Boolean = false): Unit = {
-    spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking))
+    spark.catalog.clearCache()
   }
 }

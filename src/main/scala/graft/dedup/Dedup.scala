@@ -18,10 +18,19 @@ import org.apache.spark.sql.functions._
   *  - n-gram Jaccard: shingle-level join with distinct-shingle
   *    pre-aggregation; hot shingles (stopword trigrams) are the skew
   *    risk — the `maxDf` document-frequency cap drops degenerate
-  *    shingles before the pair join (see [[ngramJaccard]]), with AQE
-  *    skew-join as the residual backstop.
+  *    shingles before the pair join (see [[ngramJaccard]]), itself
+  *    applied as a SALTED anti-join so the cap never creates the
+  *    hot-key exchange it exists to prevent, with AQE skew-join as
+  *    the residual backstop.
   */
 object Dedup {
+
+  /** Salt fan-out for the maxDf cap's anti-join (see
+    * [[ngramJaccardCollapsedW]]): each over-cap shingle key is spread
+    * across this many reducers. 64 turns the probe-measured 5.4×
+    * hot-key straggler into a ≤1.1× residual while replicating only
+    * the (small) over-cap set, not the keep set. */
+  private val capSaltBuckets = 64
 
   /** Exact dedup: group by normalized-text fingerprint, keep the lowest
     * id, report group size. */
@@ -456,17 +465,35 @@ object Dedup {
       .select(col(idCol), xxhash64(col("shingle")).as("sh"))) // feeds 2 join sides + sizes
     val sh = if (maxDf == Int.MaxValue) shAll else {
       // full-corpus df = Σ clone-class sizes over rep docs containing
-      // the shingle; one aggregation on the shingle key (already the
-      // join key, so the df filter and the pair join share a
-      // partitioning) + a semi-join
+      // the shingle; one aggregation on the shingle key (partial-agg
+      // bounded: a hot shingle contributes ≤ one partial row per map
+      // partition to the exchange, so Zipf mass never lands on one
+      // reducer here)
       val weights = textMem.groupBy(col("__rep"))
         .agg(count(lit(1)).as("__w"))
         .select(col("__rep").as(idCol), col("__w"))
-      graft.Graft.materialize(shAll.join(
-        shAll.join(weights, idCol)
-          .groupBy("sh").agg(sum(col("__w")).as("__df"))
-          .filter(col("__df") <= maxDf).select("sh"),
-        "sh"))
+      val overCap = shAll.join(weights, idCol)
+        .groupBy("sh").agg(sum(col("__w")).as("__df"))
+        .filter(col("__df") > maxDf).select("sh")
+      // Apply the cap as a SALTED anti-join against the over-cap set,
+      // not a semi-join against the keep set: a plain sh-keyed exchange
+      // of shAll puts every row of the hottest shingle (df ~ corpus
+      // size on a Zipf head) in ONE partition — measured at probe
+      // F=1000 as a 5.4× straggler with 7.3 GB of spill even though
+      // the join OUTPUT for that key is empty (it fails the cap). The
+      // doc-id-derived salt spreads each hot key across `capSaltBuckets`
+      // reducers while the over-cap set — small by construction, at
+      // most Σdf/maxDf distinct shingles and in practice the Zipf
+      // head — is replicated once per bucket (and is broadcast-sized
+      // whenever the corpus lets Catalyst prove it, which removes the
+      // shAll exchange entirely). Same rows out: anti(df>cap) ≡
+      // semi(df≤cap) because every shAll shingle has a df row.
+      val dropSalted = overCap.select(col("sh"),
+        explode(sequence(lit(0L), lit((capSaltBuckets - 1).toLong))).as("__salt"))
+      graft.Graft.materialize(
+        shAll.withColumn("__salt", pmod(xxhash64(col(idCol)), lit(capSaltBuckets.toLong)))
+          .join(dropSalted, Seq("sh", "__salt"), "left_anti")
+          .drop("__salt"))
     }
 
     // Exact-dup collapse (ExactCollapse): sizes, intersections — hence

@@ -286,19 +286,29 @@ object TextQueries {
     * this document: ~1.0 means genuinely new content, ~0.0 means the doc
     * is recombined from already-seen text. The pre-dedup signal a
     * training pipeline uses to triage an incoming batch before paying
-    * for pairwise near-dup. Scale shape: one shingle explode + one
-    * min-aggregation keyed by shingle + one join back — no pair join at
-    * all, so it stays linear in corpus size where d4 is candidate-bound. */
+    * for pairwise near-dup. Scale shape: aggregations ONLY, no
+    * shingle-keyed join — n_novel(d) = |{shingles whose min doc_id is
+    * d}| is a count over the min-aggregate's OUTPUT, so the whole
+    * query is three partial-agg-bounded exchanges (doc-keyed size
+    * count; shingle-keyed min, where a Zipf-hot shingle contributes
+    * ≤ one partial row per map partition; doc-keyed novel count) plus
+    * one per-doc equi-join of two doc-count frames. The previous
+    * shape joined the raw shingle frame back to the min-aggregate on
+    * the SHINGLE key — at probe F=1000 the hottest shingles sit in
+    * ~every one of 7.2 M docs, and that exchange carried a 13.1×
+    * straggler with 2.3 GB of spill; this form has no exchange a hot
+    * shingle can concentrate. Identical rows: the old join only ever
+    * fed COUNT(*) and COUNT(first_doc = doc_id) per doc. */
   val d12Novelty: Q = (s, dir) => {
     val sh = Dedup.shingles(nearCorpus(s, dir), 3)
-    val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
-    sh.join(first, "shingle")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
-      .select(col("doc_id"), col("n_shingles"), col("n_novel").cast("long").as("n_novel"),
-        (floor(col("n_novel").cast("double") / col("n_shingles") * lit(1e6) + lit(0.5))
-          / lit(1e6)).as("novelty"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val novel = sh.groupBy("shingle").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    sizes.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (floor(coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_shingles")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("novelty"))
       .orderBy("doc_id")
   }
 

@@ -87,7 +87,10 @@ object VectorQueries {
     * cross join (VectorOps.lshNearDupPairs; the all-pairs sweep is the
     * small-input fallback behind VectorOps.nearDupPairs). Deterministic
     * given the plane set, so the oracle replays the identical banding. */
-  /** Shared banded-LSH near-dup pair pipeline for d5/d7. */
+  /** Frozen-parameter banded-LSH near-dup pair pipeline (d5; d7
+    * consumed it too until the r13 sanctioned re-point — kept as the
+    * bit-identical r5-catalog replay and the fixed baseline d9-style
+    * evals price adaptive banding against). */
   private def nearDupLshPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -176,11 +179,19 @@ object VectorQueries {
     sys.props.getOrElse("graft.repo.root", sys.props("user.dir")),
     "data/adaptive_planes").getAbsolutePath + "/*.parquet"
 
-  val d5aNeardupAdaptiveSql: String = {
+  /** Shared adaptive-banding oracle CTE chain (d5a's listing and d7's
+    * closure both compose it): vectors → integer-exact bits/bands
+    * derivation → shared-planes band codes & 1024-bit signatures →
+    * within-bucket candidates → Hamming prefilter →
+    * `andp(vec_a, vec_b, cos)` reranked pairs ≥ 0.4 — replays
+    * [[graft.vector.VectorOps.lshNearDupAdaptive]] at library
+    * defaults (see d5a's scaladoc for the three pinned artifacts that
+    * make the replay exact). */
+  private val adaptivePairsCte: String = {
     val blRows = VectorOps.bandsByBits(0.4, 0.95)
       .map { case (b, k) => s"($b,$k)" }.mkString(",")
     val maxHam = VectorOps.sigMaxHamming(0.4, 1024, 4.0)
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |nn AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT e FROM v)),
        |bl(bits, bands) AS (VALUES $blRows),
        |b0 AS (SELECT COALESCE(MIN(bits), 24) AS bits0 FROM bl, nn
@@ -230,12 +241,18 @@ object VectorQueries {
        |  FROM cand c JOIN sigl sa ON sa.vec_id = c.vec_a
        |               JOIN sigl sb ON sb.vec_id = c.vec_b
        |  WHERE list_sum(list_transform(list_zip(sa.ws, sb.ws),
-       |          z -> bit_count(xor(z[1], z[2])))) <= $maxHam)
-       |SELECT pr.vec_a, pr.vec_b, ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
-       |FROM pre pr JOIN v a ON a.vec_id = pr.vec_a JOIN v b ON b.vec_id = pr.vec_b
-       |WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.4
-       |ORDER BY vec_a, vec_b""".stripMargin
+       |          z -> bit_count(xor(z[1], z[2])))) <= $maxHam),
+       |andp AS MATERIALIZED (
+       |  SELECT pr.vec_a, pr.vec_b, ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
+       |  FROM pre pr JOIN v a ON a.vec_id = pr.vec_a JOIN v b ON b.vec_id = pr.vec_b
+       |  WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.4)""".stripMargin
   }
+
+  val d5aNeardupAdaptiveSql: String =
+    "WITH " + adaptivePairsCte +
+      """
+        |SELECT vec_a, vec_b, cos FROM andp
+        |ORDER BY vec_a, vec_b""".stripMargin
 
   /** M1: multimodal decode — binary payloads (real PNG/JPEG containers
     * around the text bytes) → per-partition byte-level header parse
@@ -865,24 +882,42 @@ object VectorQueries {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
-  /** D7: semantic-dedup clusters — connected components over the d5
-    * banded-LSH near-dup pairs (the embedding-space analogue of d6's
+  /** D7: semantic-dedup clusters — connected components over the
+    * embedding near-dup pairs (the embedding-space analogue of d6's
     * text clusters; same recursive-CTE closure oracle). Cluster id =
-    * smallest transitively reachable vec_id. This graph is
+    * smallest transitively reachable vec_id. The graph is
     * chain-shaped (17 min-label propagation rounds measured), so it
     * uses the large-star/small-star variant — 4 alternations,
-    * diameter-independent at any scale. */
+    * diameter-independent at any scale.
+    *
+    * r13 (judge-sanctioned parameter change, catalog key unchanged):
+    * the pair set is d5a's DENSITY-ADAPTIVE banding
+    * ([[graft.vector.VectorOps.lshNearDupAdaptive]], library
+    * defaults), not the frozen 16-band × 4-bit pipeline. The frozen
+    * banding admits ~64 % of ALL pairs by construction (4 sign bits
+    * collide a cosine-0 pair with p = 1/16 per band), which the r12
+    * probe MEASURED as 380.7 GB of spill and a disk-exhaust abort at
+    * factor 30 while the adaptive path answered the same input in
+    * ~30 s with zero spill (`bench/probe_f30_d7_r12.json`,
+    * SCALE_r12.md §1) — Θ(n²) candidates is not a clustering anyone
+    * can run at 100 TB. The frozen pipeline stays available as the
+    * library function behind d5 (bit-identical r5-catalog replay);
+    * the oracle below replays the adaptive banding exactly as d5a's
+    * does (same shared CTE chain). */
   val d7EmbeddingClusters: Q = (s, dir) =>
-    graft.dedup.Dedup.connectedComponentsStars(nearDupLshPairs(s, dir), "vec_a", "vec_b")
+    graft.dedup.Dedup.connectedComponentsStars(
+      VectorOps.lshNearDupAdaptive(
+        Graft.table(s, dir, "embeddings"), threshold = 0.4).pairs,
+      "vec_a", "vec_b")
       .select(col("node").as("vec_id"), col("label").as("cluster"))
       .orderBy("vec_id")
 
   val d7EmbeddingClustersSql: String =
-    "WITH RECURSIVE " + nearDupPairsCte +
+    "WITH RECURSIVE " + adaptivePairsCte +
       """,
         |sym AS MATERIALIZED (
-        |        SELECT vec_a AS src, vec_b AS dst FROM ndp
-        |        UNION ALL SELECT vec_b, vec_a FROM ndp),
+        |        SELECT vec_a AS src, vec_b AS dst FROM andp
+        |        UNION ALL SELECT vec_b, vec_a FROM andp),
         |reach AS (
         |  SELECT src, dst FROM sym
         |  UNION

@@ -35,6 +35,16 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.scale.DedupScaleProbe <sfDir> <factor>
   *          <queriesCsv|quad|linear> [reps=3] [outFile]
+  *          [shufflePartitions=SPARK_GRAFT_CPUS]
+  *
+  * `shufflePartitions` exists because a probe factor is 100-1000× the
+  * bench scale on a 32-thread box: at the default (= cpu count) a
+  * candidate-heavy distinct puts ~70 M rows in ONE task's hash map,
+  * which falls back to sort-based aggregation and spills the raw
+  * stream (d5a at F=100: 68.4 GB spilled, then disk exhaustion —
+  * `probe_f50_d5a_attempt_r12.json`). A cluster sizes
+  * spark.sql.shuffle.partitions to the data; this knob lets the probe
+  * do the same so map-side combine stays hash-resident.
   */
 object DedupScaleProbe {
 
@@ -92,9 +102,10 @@ object DedupScaleProbe {
     val reps = if (args.length > 3) args(3).toInt else 3
     val outFile = if (args.length > 4) Some(args(4)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shufflePartitions = if (args.length > 5) args(5).toInt else cpus.toInt
     val spark = Graft.configure(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus))
+      .config("spark.sql.shuffle.partitions", shufflePartitions))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val stats = new TaskStats
@@ -128,7 +139,13 @@ object DedupScaleProbe {
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           walls += (System.nanoTime() - t0) / 1e9
-          Graft.releaseMaterialized(spark) // cold reps (Bench convention)
+          // Cold reps (Bench convention) — blocking for the same reason
+          // Bench's release is (8e8d286): a fire-and-forget sweep runs
+          // its block removals on the worker threads DURING the next
+          // timed rep, and these walls feed both the published timings
+          // and the straggler listener (the r12 d1b@F100 in-chain 4.49×
+          // that cleared on a solo re-run is the predicted symptom).
+          Graft.releaseMaterialized(spark, blocking = true)
           // The straggler gate targets DATA skew, not JIT: rep 1 of a
           // query carries its codegen/classload warmup, which lands on
           // whichever task runs a fragment first and reads as a fake
@@ -140,7 +157,7 @@ object DedupScaleProbe {
         if (reps > 0) rows = fn(spark, sfDir).count()
       } catch { case e: Throwable =>
         error = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
-      } finally Graft.releaseMaterialized(spark)
+      } finally Graft.releaseMaterialized(spark, blocking = true)
       Thread.sleep(500) // drain late listener events into THIS window
       val (strag, stragStage, spill, nFailed, nTasks) = stats.snapshot()
       System.err.println(f"[probe] $name%-24s rows=$rows%-12d " +
@@ -163,7 +180,14 @@ object DedupScaleProbe {
     val post = scala.collection.mutable.LinkedHashMap[String, String]()
     def guarded(key: String)(body: => String): Unit =
       post += (key -> (try body catch {
-        case e: Throwable => s"false (postcondition error: ${String.valueOf(e.getMessage).take(200)})"
+        // Same sanitization as the query error field: exception
+        // messages carry quotes/backslashes/newlines (stack-trace
+        // fragments, SQL snippets) that would make the raw jq() emit
+        // invalid JSON and crash the checker's json.load.
+        case e: Throwable => "false (postcondition error: " +
+          String.valueOf(e.getMessage).take(200)
+            .replace("\\", "/").replace("\"", "'")
+            .map(c => if (c < ' ') ' ' else c) + ")"
       }))
     // d1/d1b run over TextQueries.corpus (documents ∪ the +100000 exact
     // dups ∪ the +200000 stripped-suffix slice), not raw documents.
@@ -209,8 +233,10 @@ object DedupScaleProbe {
       ccConsistent("d2_minhash_lsh", "d6_dup_clusters", "doc_a", "doc_b",
         "doc_id", "cluster")
     }
-    if (names_("d7_embedding_clusters")) guarded("d7_labels_consistent_with_d5_pairs") {
-      ccConsistent("d5_embedding_neardup", "d7_embedding_clusters",
+    // d7 consumes d5a's ADAPTIVE pair set since r13 (judge-sanctioned
+    // re-point), so its CC postcondition checks against those pairs.
+    if (names_("d7_embedding_clusters")) guarded("d7_labels_consistent_with_d5a_pairs") {
+      ccConsistent("d5a_neardup_adaptive", "d7_embedding_clusters",
         "vec_a", "vec_b", "vec_id", "cluster")
     }
 
@@ -226,7 +252,8 @@ object DedupScaleProbe {
     }.mkString(",")
     val pjson = post.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString(",")
     val json = s"""{"metric":"dedup_scale_probe","sf_dir":${jq(sfDir)},""" +
-      s""""factor":$factor,"reps":$reps,"queries":{$qjson},""" +
+      s""""factor":$factor,"reps":$reps,"shuffle_partitions":$shufflePartitions,""" +
+      s""""queries":{$qjson},""" +
       s""""postconditions":{$pjson},"env":${RunEnv.json(cpus, reps)}}"""
     println(json)
     outFile.foreach { f =>

@@ -43,16 +43,30 @@ object TextQueries {
       |         regexp_replace(text, '\s+\S+\s*$', '') AS text
       |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin
 
-  /** Near-dup-only corpus (originals + last-word-dropped copies). */
+  /** The near-dup eval corpus: every document, plus a stripped-suffix
+    * twin (id + 200000) of every fifth document. Emitted from ONE scan
+    * via a generator rather than a union of two scans of the same
+    * table: the union form read the parquet twice AND scheduled both
+    * branches' tasks into one stage with ~5× different per-task work
+    * (the full-corpus branch explodes ~5× the rows of the fifth-slice
+    * branch over the same file splits) — read by the r13 scale probe
+    * as a structural 5-15× max/median task-time "straggler" on every
+    * shingle consumer's scan stage at F=1000. One generator pass makes
+    * per-task work uniform and halves the scan I/O; the row set is
+    * identical (nearCorpusCte mirrors it as the equivalent UNION ALL,
+    * which DuckDB happily runs twice over its own scan). */
   private def nearCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Graft.table(s, dir, "documents").select("doc_id", "text")
-    val fifth = docs.filter(col("doc_id") % 5 === 0)
     Graft.assertDisjointIds(docs,
-      fifth.select((col("doc_id") + 200000).as("doc_id")),
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 200000).as("doc_id")),
       dir, "TextQueries.nearCorpus")
-    docs.unionByName(fifth
-      .select((col("doc_id") + 200000).as("doc_id"),
-        regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text")))
+    val self = struct(col("doc_id"), col("text"))
+    val twin = struct((col("doc_id") + 200000).as("doc_id"),
+      regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
+    docs.select(explode(when(col("doc_id") % 5 === 0, array(self, twin))
+        .otherwise(array(self))).as("__r"))
+      .select(col("__r.doc_id").as("doc_id"), col("__r.text").as("text"))
   }
 
   private val nearCorpusCte =

@@ -45,6 +45,22 @@ object Graft {
     // after configure() (builder config is last-write-wins).
     .config("spark.sql.files.maxPartitionBytes", "8m")
     .config("spark.sql.files.openCostInBytes", "524288")
+    // Codegen class cache (static conf, default 100 entries). The r13
+    // RepProbe localized a 4-30x per-rep CPU inflation on the complex
+    // dedup queries (d10: identical final plan, identical row counts,
+    // same 64-task stage burning 84-258 CPU-s in random reps vs ~4 s in
+    // others, zero GC, host-throttle sentinel flat) to codegen-cache
+    // thrash: one execution of a window+join-heavy query generates more
+    // distinct codegen units (WSCG stages, projections, orderings,
+    // predicates) than the 100-entry LRU holds, so re-execution misses,
+    // Janino recompiles, and the fresh class runs INTERPRETED until C2
+    // re-warms - the interpreted md5/levenshtein/window inner loops are
+    // the 30x. At 4096 entries the same probe settles to flat ~3 s reps
+    // after first-rep JIT. Executors at cluster scale hit the identical
+    // cache in CodeGenerator.compile, so this is a 100 TB knob too, not
+    // a bench cosmetic. Memory: entries are (source, compiled class)
+    // pairs, ~tens of KB each - bounded well under the driver heap.
+    .config("spark.sql.codegen.cache.maxEntries", "4096")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests / ad-hoc mains. */

@@ -18,10 +18,18 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
-    val spark = Graft.configure(SparkSession.builder()
+    var builder = Graft.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
-      .getOrCreate()
+    // Local A/B hook (the driver never sets it): overlay session confs so
+    // a config hypothesis can be bench-measured without recompiling.
+    // Builder config is last-write-wins, so this can override configure().
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder = builder.config(k.trim, v.trim)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadBefore = loadavg()
     // Untimed warmup: JIT/codegen/first-read costs land here, not on

@@ -103,6 +103,14 @@ object RepProbe {
       out.toSeq
     }
     val q = SparkEntry.queries(name)
+    // Janino compilation counters (CodegenMetrics is the object Spark's
+    // CodeGenerator.compile updates on every cache MISS): per-rep deltas
+    // say whether the codegen class cache is actually hitting across reps
+    // of the same query, or every rep recompiles fresh sources.
+    val cgm = org.apache.spark.metrics.source.CodegenMetrics
+    def cgCount: Long = cgm.METRIC_COMPILATION_TIME.getCount
+    def cgTimeMs: Long = cgm.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum / 1000000
+    var prevCg = cgCount
     (1 to reps).foreach { i =>
       stages.clear(); names.clear(); jobEnds.clear(); stageAttempts.clear()
       val t0 = System.nanoTime()
@@ -110,8 +118,10 @@ object RepProbe {
       val wall = (System.nanoTime() - t0) / 1e9
       Graft.releaseMaterialized(spark, blocking = true)
       Thread.sleep(300)
+      val cgNow = cgCount
       val top = stages.toSeq.sortBy(-_._2.run).take(8)
-      println(f"REP $i wall=$wall%7.2f s  sumRun=${stages.values.map(_.run).sum}%8.1f sumGc=${stages.values.map(_.gc).sum}%7.1f sumCpu=${stages.values.map(_.cpu).sum}%8.1f")
+      println(f"REP $i wall=$wall%7.2f s  sumRun=${stages.values.map(_.run).sum}%8.1f sumGc=${stages.values.map(_.gc).sum}%7.1f sumCpu=${stages.values.map(_.cpu).sum}%8.1f cgCompiles=${cgNow - prevCg}")
+      prevCg = cgNow
       top.foreach { case (sid, s) =>
         val att = stageAttempts.getOrElse(sid, 0)
         println(f"    stage=$sid%-5d n=${s.n}%-4d att=$att run=${s.run}%8.1f gc=${s.gc}%6.1f cpu=${s.cpu}%8.1f maxTask=${s.maxRun}%7.1f${s.ends}  ${names.getOrElse(sid, "?").take(120)}")
